@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers for the driver-generated star schema + stream tables
+  * (see /root/repo/TESTDATA.md) and for the reference's user-activity JSON
+  * shape (reference: src/main/scala/generators/useractivity/package.scala:10
+  * — `UserActivity(userId, activity, timestamp)`).
+  *
+  * All readers are plain parquet/json scans so Catalyst keeps predicate
+  * pushdown and column pruning; no eager caching here — callers decide.
+  */
+object Tables {
+
+  /** One driver table. `dir` is e.g. /root/testdata/sf0.01 */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---------------------------------------------------------------------
+  // Reference user-activity shape (SURVEY §1, §2.1)
+  // ---------------------------------------------------------------------
+
+  /** Explicit schema — never inferred (SURVEY §1.2): three string fields. */
+  val userActivitySchema: StructType = StructType(Seq(
+    StructField("userId", StringType),
+    StructField("activity", StringType),
+    StructField("timestamp", StringType)
+  ))
+
+  /** Batch read of the reference's JSON-array file shape with
+    * skip-and-report malformed-record policy (reference package.scala:29-35:
+    * parse failure → record dropped, never fails the job).
+    * Adds `eventTime` parsed once at ingest (SURVEY §1.1).
+    */
+  def userActivityJson(spark: SparkSession, path: String): DataFrame = {
+    val withCorrupt = userActivitySchema.add("_corrupt", StringType)
+    spark.read
+      .option("multiLine", "true") // file is a JSON array of objects
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(withCorrupt)
+      .json(path)
+      .filter(col("_corrupt").isNull && col("userId").isNotNull &&
+        col("activity").isNotNull && col("timestamp").isNotNull)
+      .drop("_corrupt")
+      .withColumn("eventTime", to_timestamp(col("timestamp")))
+  }
+}
