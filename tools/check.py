@@ -1,59 +1,51 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: run graft.Verify output
-against the DuckDB oracle and diff. Usage:
-  python3 tools/check.py <verify_out_dir> [sf_dir]
-Pre-verifies oracle SQL + result parity before the driver's per-round run.
-(Local tooling only — the Scala library has no Python dependency.)
-"""
-import sys, json, glob, os
-import duckdb
+"""Local pre-check of the driver's t2 gate: run each oracle_sql in DuckDB
+over the same parquet tables, compare to the Spark parquet dumps
+(columns sorted by name, values compared row-wise after full sort)."""
+import sys, json, glob, duckdb, math
+import pyarrow.parquet as pq
 
-out = sys.argv[1]
-sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-
+outdir = sys.argv[1]
+sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 con = duckdb.connect()
-for p in glob.glob(os.path.join(sf, "*.parquet")):
-    name = os.path.basename(p)[:-len(".parquet")]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
-oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
-ok = fail = 0
-for name, sql in sorted(oracle.items()):
-    rdir = os.path.join(out, name)
-    if not os.path.isdir(rdir):
-        print(f"FAIL {name}: no spark output dir")
-        fail += 1
-        continue
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6) if not math.isnan(v) else 'nan'
+            rr.append(str(v))
+        out.append(tuple(rr))
+    return sorted(out), [cols[i] for i in idx]
+
+nfail = 0
+for name in sorted(oracle):
+    path = f"{outdir}/{name}"
     try:
-        want = con.sql(sql).df()
+        tb = pq.read_table(path)
+        scols = tb.column_names
+        srows = [tuple(d[c] for c in scols) for d in tb.to_pylist()]
+        res = con.execute(oracle[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
     except Exception as e:
-        print(f"FAIL {name}: oracle sql error: {e}")
-        fail += 1
-        continue
-    got = con.sql(f"SELECT * FROM '{rdir}/*.parquet'").df()
-    # driver compare: sort columns by name, then compare value multisets
-    want = want.reindex(sorted(want.columns), axis=1)
-    got = got.reindex(sorted(got.columns), axis=1)
-    if list(want.columns) != list(got.columns):
-        print(f"FAIL {name}: columns differ: oracle={list(want.columns)} spark={list(got.columns)}")
-        fail += 1
-        continue
-    ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
-    gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
-    if len(ws) != len(gs):
-        print(f"FAIL {name}: rows differ: oracle={len(ws)} spark={len(gs)}")
-        fail += 1
-        continue
-    if ws.equals(gs):
-        ok += 1
-        print(f"OK   {name} ({len(ws)} rows)")
+        print(f"FAIL {name}: {e}"); nfail += 1; continue
+    sc, scn = canon(srows, scols)
+    dc, dcn = canon(drows, dcols)
+    if scn != dcn:
+        print(f"FAIL {name}: cols spark={scn} duck={dcn}"); nfail += 1
+    elif sc != dc:
+        diffs = [(a,b) for a,b in zip(sc,dc) if a!=b][:3]
+        print(f"FAIL {name}: {len(sc)} vs {len(dc)} rows; first diffs: {diffs}")
+        nfail += 1
     else:
-        neq = (ws != gs) & ~(ws.isna() & gs.isna())
-        bad = neq.any(axis=1)
-        print(f"FAIL {name}: {int(bad.sum())}/{len(ws)} rows mismatch")
-        print("  oracle:", ws[bad].head(3).to_dict("records"))
-        print("  spark: ", gs[bad].head(3).to_dict("records"))
-        fail += 1
-
-print(f"\n{ok} OK, {fail} FAIL")
-sys.exit(1 if fail else 0)
+        print(f"OK   {name} ({len(sc)} rows)")
+print(f"\n{len(oracle)-nfail} OK, {nfail} FAIL")
+sys.exit(1 if nfail else 0)
