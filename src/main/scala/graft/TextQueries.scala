@@ -1,3 +1,153 @@
 package graft
-/** Text-analysis inventory (placeholder — filled in next milestone). */
-object TextQueries { def defs: Seq[QueryDef] = Seq() }
+
+import graft.operators.Text._
+
+/** Text-analysis / dedup inventory over `documents` (SURVEY §7.6).
+  * Oracle SQL mirrors the Spark plans mechanically; the shared 60-bit hash
+  * is `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` (= Spark
+  * `conv(substr(md5(x),1,15),16,10)`), so signatures match bit-for-bit.
+  */
+object TextQueries {
+
+  /** DuckDB spelling of operators.Text.hash60. */
+  private def h60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  private val SHINGLES =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w)-2),
+      |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  private val SIZES = "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)"
+
+  private val INTER =
+    """inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_lang_stats", (s, d) => langStats(s, d), Some(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS total_chars,
+        |  round(SUM(n_chars) / COUNT(*), 6) AS avg_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q31_quality_stats", (s, d) => qualityStats(s, d), Some(
+      """WITH per_doc AS (
+        |  SELECT lang, n_chars, len(w) AS n_words,
+        |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM (SELECT lang, n_chars, string_split(text, ' ') AS w FROM documents))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(n_words) AS total_words,
+        |  round(SUM(n_words) / COUNT(*), 6) AS avg_words,
+        |  round((SUM(n_chars) - (SUM(n_words) - COUNT(*))) / SUM(n_words), 6) AS avg_word_len,
+        |  round(SUM(n_stop) / SUM(n_words), 6) AS stopword_ratio
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q32_token_stats", (s, d) => tokenStats(s, d), Some(
+      """WITH per_doc AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS n_ws,
+        |    len(list_filter(string_split_regex(text, '[^a-z]+'), x -> x != '')) AS n_re
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, SUM(n_ws) AS n_tokens_ws, SUM(n_re) AS n_tokens_re
+        |  FROM per_doc GROUP BY lang),
+        |vocab AS (
+        |  SELECT lang, COUNT(DISTINCT tok) AS n_distinct_tokens
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY lang)
+        |SELECT counts.lang, n_tokens_ws, n_tokens_re, n_distinct_tokens
+        |FROM counts JOIN vocab ON counts.lang = vocab.lang
+        |ORDER BY counts.lang""".stripMargin)),
+
+    QueryDef("q33_exact_dedup", (s, d) => exactDedup(s, d), Some(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_unique_texts,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q34_ngram_jaccard", (s, d) => ngramJaccardPairs(s, d), Some(
+      s"""WITH $SHINGLES,
+         |$SIZES,
+         |$INTER
+         |SELECT d1, d2, n_common,
+         |  round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes s1 ON s1.doc_id = d1
+         |JOIN sizes s2 ON s2.doc_id = d2
+         |WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+         |ORDER BY d1, d2""".stripMargin)),
+
+    QueryDef("q35_minhash_lsh", (s, d) => minhashLshPairs(s, d), Some(
+      s"""WITH $SHINGLES,
+         |mh AS (
+         |  SELECT doc_id,
+         |    MIN(${h60("concat('0:', sh)")}) AS mh0, MIN(${h60("concat('1:', sh)")}) AS mh1,
+         |    MIN(${h60("concat('2:', sh)")}) AS mh2, MIN(${h60("concat('3:', sh)")}) AS mh3,
+         |    MIN(${h60("concat('4:', sh)")}) AS mh4, MIN(${h60("concat('5:', sh)")}) AS mh5,
+         |    MIN(${h60("concat('6:', sh)")}) AS mh6, MIN(${h60("concat('7:', sh)")}) AS mh7
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS sig FROM mh
+         |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM mh
+         |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM mh
+         |  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |$SIZES,
+         |$INTER
+         |SELECT cand.d1, cand.d2,
+         |  round(COALESCE(n_common, 0) / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) AS jaccard
+         |FROM cand
+         |LEFT JOIN inter ON inter.d1 = cand.d1 AND inter.d2 = cand.d2
+         |JOIN sizes s1 ON s1.doc_id = cand.d1
+         |JOIN sizes s2 ON s2.doc_id = cand.d2
+         |WHERE round(COALESCE(n_common, 0) / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) >= 0.5
+         |ORDER BY cand.d1, cand.d2""".stripMargin)),
+
+    QueryDef("q36_simhash", (s, d) => simhash(s, d), Some {
+      val votes = (0 until 16).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
+      val assemble = (0 until 16).map(b =>
+        s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+      s"""WITH wh AS (
+         |  SELECT doc_id, ${h60("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM wh GROUP BY doc_id)
+         |SELECT doc_id, $assemble AS simhash16
+         |FROM votes ORDER BY doc_id""".stripMargin
+    }),
+
+    QueryDef("q37_fingerprint", (s, d) => fingerprint(s, d), Some(
+      s"""SELECT doc_id, MIN(${h60("g")}) AS fingerprint
+         |FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(text)-7), i -> substr(text, i, 8))) AS g
+         |  FROM documents WHERE n_chars >= 8)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q38_lang_id", (s, d) => langIdAgreement(s, d), Some(
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and'))) AS en_votes,
+        |    len(list_filter(w, x -> x IN ('el', 'la', 'de', 'y'))) AS es_votes
+        |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+        |SELECT lang,
+        |  CASE WHEN en_votes > es_votes THEN 'en'
+        |       WHEN es_votes > en_votes THEN 'es'
+        |       ELSE 'und' END AS predicted,
+        |  COUNT(*) AS n
+        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

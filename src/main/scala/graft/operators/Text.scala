@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface mandated beyond the reference
+  * (SURVEY §7.6): language heuristics, quality scoring, token counting,
+  * exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and
+  * rolling-fingerprint sampling.
+  *
+  * Cross-engine determinism: every hash used here is the shared 60-bit
+  * md5-prefix hash [[hash60]] — `conv(substr(md5(s),1,15),16,10)` in Spark
+  * equals `CAST('0x'||substr(md5(s),1,15) AS BIGINT)` in DuckDB — so the
+  * oracle can recompute signatures bit-for-bit. Ratios are computed from
+  * integer sums and rounded at the end (no accumulation-order float drift).
+  *
+  * Scale notes (100 TB): everything here is explode → hash-partitioned
+  * aggregation; no driver-side state, no cross joins. The exact
+  * shingle-join near-dup (q34) is the small-scale oracle-checkable path;
+  * MinHash-LSH (q35) is the scale path — candidate pairs come from
+  * band-signature equi-joins (shuffle on band key) instead of the
+  * inverted-index join whose hot shingles explode quadratically.
+  */
+object Text {
+
+  /** Deterministic 60-bit hash shared with the DuckDB oracle. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Whitespace tokens (the documents corpus is single-space separated). */
+  private def words: Column = split(col("text"), " ")
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+        ))).as("sh"))
+
+  /** Per-language corpus profile: volume, length, source spread. */
+  def langStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")) / count(lit(1)), 6).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources")
+      )
+      .orderBy(col("lang"))
+
+  /** Quality-scoring aggregates per language: word counts, mean word
+    * length, stopword ratio — all from integer sums, divided once.
+    */
+  def qualityStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"), words.as("w"))
+      .select(col("lang"), col("n_chars"),
+        size(col("w")).as("n_words"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).as("n_stop"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        round(sum(col("n_words")) / count(lit(1)), 6).as("avg_words"),
+        round((sum(col("n_chars")) - (sum(col("n_words")) - count(lit(1))))
+          / sum(col("n_words")), 6).as("avg_word_len"),
+        round(sum(col("n_stop")) / sum(col("n_words")), 6).as("stopword_ratio")
+      )
+      .orderBy(col("lang"))
+
+  /** Token counting two ways — whitespace split vs. a letters-only regex
+    * tokenizer — plus corpus-distinct vocabulary per language.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("lang"), col("text"))
+    val perDoc = base.select(col("lang"),
+      size(split(col("text"), " ")).as("n_ws"),
+      size(expr("filter(split(text, '[^a-z]+'), x -> x != '')")).as("n_re"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_ws")).as("n_tokens_ws"), sum(col("n_re")).as("n_tokens_re"))
+    val vocab = base.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+    perDoc.join(vocab, "lang").orderBy(col("lang"))
+  }
+
+  /** Exact deduplication accounting per language: docs vs. distinct text
+    * hashes. (Content-hash groupBy — at 100 TB this is one shuffle on a
+    * 16-byte key; the dedup itself is `dropDuplicates("text_md5")`.)
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), md5(col("text").cast(BinaryType)).as("h"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs")
+      )
+      .orderBy(col("lang"))
+
+  /** Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, found via an
+    * inverted-index self-join on shingles (no O(n²) cross join: only pairs
+    * sharing ≥1 shingle are materialized). The LSH variant below is the
+    * 100 TB path; this exact form is the oracle-checkable ground truth.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("d1", "sh")
+    val b = sh.toDF("d2", "sh")
+    val inter = a.join(b, "sh").filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("d1", "s1"), "d1")
+      .join(sizes.toDF("d2", "s2"), "d2")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** MinHash + banded LSH near-dup detection — the scale path.
+    * 8 min-hashes per doc (seeded [[hash60]] over distinct shingles),
+    * banded 4×2; docs sharing any band signature become candidate pairs
+    * (equi-join on the band key — shuffle-friendly, no quadratic blowup),
+    * then candidates are verified with exact Jaccard and filtered.
+    * Same final semantics as [[ngramJaccardPairs]] at high thresholds,
+    * with recall traded for scalability at low ones.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(s, dir)
+    val mhCols = (0 until 8).map(j =>
+      min(hash60(concat(lit(j.toString), lit(":"), col("sh")))).as(s"mh$j"))
+    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bands = (0 until 4).map { bnd =>
+      mh.select(col("doc_id"), lit(bnd).as("band"),
+        concat_ws("_", col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("sig"))
+    }.reduce(_ unionByName _)
+    val cand = bands.toDF("d1", "band", "sig")
+      .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("d1", "sh").join(sh.toDF("d2", "sh"), "sh")
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+    cand.join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.toDF("d1", "s1"), "d1")
+      .join(sizes.toDF("d2", "s2"), "d2")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** 16-bit SimHash per document over word hashes with multiplicity:
+    * bit b is set iff the (+1/−1) vote of all word-hash bits at position b
+    * sums positive. Bucket-equal simhashes → near-dup candidates at scale.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val wordsHashed = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words).as("tok"))
+      .select(col("doc_id"), hash60(col("tok")).as("h"))
+    val votes = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    wordsHashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-sampling document fingerprint: minimum [[hash60]] over all
+    * 8-char rolling character shingles (winnowing-style content id that
+    * survives small edits, unlike a whole-document hash).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("n_chars") >= 8)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, length(text)-8), i -> substring(text, i+1, 8))")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(hash60(col("g"))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Marker-word language-ID heuristic vs. the labeled lang column.
+    * (The real algorithm: score languages by closed-class marker counts;
+    * on this synthetic corpus every doc votes English, which the agreement
+    * matrix makes visible rather than hiding.)
+    */
+  def langIdAgreement(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), words.as("w"))
+      .select(col("lang"),
+        size(expr("filter(w, x -> x IN ('the', 'a', 'of', 'and'))")).as("en_votes"),
+        size(expr("filter(w, x -> x IN ('el', 'la', 'de', 'y'))")).as("es_votes"))
+      .withColumn("predicted",
+        when(col("en_votes") > col("es_votes"), "en")
+          .when(col("es_votes") > col("en_votes"), "es")
+          .otherwise("und"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+}
