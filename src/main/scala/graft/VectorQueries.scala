@@ -1,3 +1,75 @@
 package graft
-/** Embedding/similarity inventory (placeholder — filled in next milestone). */
-object VectorQueries { def defs: Seq[QueryDef] = Seq() }
+
+import graft.operators.Vectors._
+
+/** Embedding / similarity-search inventory over `embeddings` (SURVEY §7.6).
+  * Float parity with the oracle: floats widen to double exactly; both
+  * engines reduce dot products left-to-right (Spark `aggregate` fold,
+  * DuckDB `list_dot_product`); outputs round to 6 dp; cross-row means
+  * accumulate rounded DECIMALs, never raw floats.
+  */
+object VectorQueries {
+
+  private val NSQ = "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_knn_cosine", (s, d) => knnBrute(s, d), Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qe, nsq AS qn FROM base WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    list_dot_product(qe, e) / sqrt(qn * nsq) AS cos
+         |  FROM q CROSS JOIN base WHERE vec_id != qid),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id)
+         |      AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, neighbor_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    QueryDef("q41_norm_stats", (s, d) => normStats(s, d), Some(
+      s"""WITH v AS (SELECT label, round(sqrt($NSQ), 6) AS nrm FROM embeddings)
+         |SELECT label, COUNT(*) AS n,
+         |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+         |  round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+         |FROM v GROUP BY label ORDER BY label""".stripMargin)),
+
+    QueryDef("q42_embed_neardup", (s, d) => embedNearDup(s, d), Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(list_dot_product(a.e, b.e) / sqrt(a.nsq * b.nsq), 6) AS cos
+         |FROM base a JOIN base b ON a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.e, b.e) / sqrt(a.nsq * b.nsq), 6) >= 0.4
+         |ORDER BY id1, id2""".stripMargin)),
+
+    QueryDef("q43_lsh_buckets", (s, d) => lshBuckets(s, d), Some {
+      def bit(j: Int): String =
+        s"""CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+           |  CAST(embedding[i+1] AS DOUBLE) *
+           |  CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE)),
+           |  (a, b) -> a + b) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+      s"""SELECT ${(0 until 8).map(bit).mkString(" + ")} AS bucket,
+         |  COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
+    QueryDef("q44_ivf_assign", (s, d) => ivfAssign(s, d), Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
+         |  FROM base CROSS JOIN cent),
+         |best AS (
+         |  SELECT vec_id, cid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT cid, COUNT(*) AS n_vecs,
+         |  round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_cos
+         |FROM best WHERE rnk = 1 GROUP BY cid ORDER BY cid""".stripMargin))
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Similarity-search operators over the `embeddings` table
+  * (`vec_id BIGINT, embedding ARRAY<FLOAT>, label INT` — 64-dim):
+  * brute-force cosine top-k (ground truth), embedding near-dup pairs,
+  * sign-random-projection LSH bucketing, and IVF-style centroid
+  * assignment — the approximate paths that survive 100 TB.
+  *
+  * Float determinism: every float is widened to double (exact), products
+  * of two 24-bit-mantissa floats are exact in double, and reductions use
+  * `aggregate(...)`'s left-to-right fold — the same order DuckDB's
+  * `list_dot_product` uses — so cosines match the oracle bit-for-bit
+  * before the final 6-dp rounding. Cross-row sums (averages) are rounded
+  * per-row then accumulated in DECIMAL, never summed in float.
+  *
+  * Scale notes: brute-force KNN is O(Q·N) with a broadcast query side —
+  * correct as ground truth and for small Q; the LSH bucketer and IVF
+  * assignment are the 100 TB designs (candidates only within a bucket /
+  * probed cell; both are single-shuffle groupBys).
+  */
+object Vectors {
+
+  /** Left-to-right double dot product of two float arrays. */
+  def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def cosine(dotC: Column, n1: Column, n2: Column): Column =
+    dotC / sqrt(n1 * n2)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nsq", dot("embedding", "embedding"))
+
+  /** Brute-force cosine top-k for every 50th vector as a query point:
+    * broadcast the (small) query side, score all candidates, keep the
+    * top-k per query via rank over (cosine desc, id).
+    */
+  def knnBrute(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val base = withNorm(Tables.embeddings(s, dir))
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("nsq").as("cn"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(dot("qe", "ce"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast(LongType).as("rnk"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Per-label norm statistics. Cross-row aggregation is decimal-exact:
+    * each vector's norm is rounded to 6 dp, cast to DECIMAL, summed.
+    */
+  def normStats(s: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.embeddings(s, dir))
+      .withColumn("nrm", round(sqrt(col("nsq")), 6))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        round(sum(col("nrm").cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_norm")
+      )
+      .orderBy(col("label"))
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold; 0.4 captures the top pair tail of this corpus). Brute-force
+    * self-join scores all pairs once (id1 < id2); at scale the identical
+    * plan runs per-LSH-bucket (see [[lshBuckets]]) instead of globally.
+    */
+  def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val base = withNorm(Tables.embeddings(s, dir))
+    val a = base.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nsq").as("n1"))
+    val b = base.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nsq").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", round(cosine(dot("e1", "e2"), col("n1"), col("n2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Sign-random-projection LSH: 8 deterministic integer hyperplanes
+    * (LCG-generated components, exact in 64-bit on any engine); bit j of a
+    * vector's bucket is the sign of its dot product with plane j. Reports
+    * bucket occupancy + label spread — the bucketing that bounds candidate
+    * generation for ANN at scale.
+    */
+  def lshBuckets(s: SparkSession, dir: String, planes: Int = 8): DataFrame = {
+    val bits = (0 until planes).map { j =>
+      val d = expr(
+        s"aggregate(sequence(0, size(embedding)-1), CAST(0 AS DOUBLE), (acc, i) -> " +
+          s"acc + CAST(element_at(embedding, i+1) AS DOUBLE) * " +
+          s"CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE))")
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    Tables.embeddings(s, dir)
+      .withColumn("bucket", bits.reduce(_ + _))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
+      .orderBy(col("bucket"))
+  }
+
+  /** IVF-style cell assignment: the 8 vectors with vec_id 0..7 act as
+    * fixed coarse centroids; each vector joins its max-cosine centroid.
+    * Per-cell occupancy + mean similarity (decimal-exact accumulation).
+    * At 100 TB the centroid side stays broadcast and the argmax is the
+    * same single aggregation — no extra shuffle of the big side.
+    */
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(Tables.embeddings(s, dir))
+    val cent = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nsq").as("cn"))
+    val scored = base.select(col("vec_id"), col("embedding"), col("nsq"))
+      .join(broadcast(cent))
+      .withColumn("cos", cosine(dot("embedding", "ce"), col("nsq"), col("cn")))
+    // argmax by (cos, -cid): max_by on a struct is order-defined and
+    // engine-portable via the same struct comparison in the oracle
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(round(col("cos"), 6).cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("avg_cos")
+      )
+      .orderBy(col("cid"))
+  }
+}
