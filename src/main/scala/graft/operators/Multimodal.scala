@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** One media payload: opaque bytes + typed metadata. */
+final case class DocBlob(doc_id: Long, source: String, payload: Array[Byte])
+
+/** Multimodal-column operators (SURVEY §7.6): media as opaque BINARY
+  * payloads with typed metadata, byte-level sampling (the frame-sampling
+  * shape for video), and a decode→feature-extract pipeline whose decode
+  * step is STUBBED (this container ships no image/audio codecs) while the
+  * Spark-side plumbing — schema, typed Dataset, `mapPartitions` batch
+  * shape, partition-parallel aggregation — is real and oracle-checked.
+  *
+  * The synthetic payloads are the documents' UTF-8 bytes (pure-ASCII
+  * corpus, so byte offsets == char offsets and the DuckDB oracle can
+  * recompute every byte-level result with string functions).
+  *
+  * Scale notes: payload bytes never leave their partition — metadata,
+  * sampling, and features are all computed per-row/per-partition and only
+  * small (key, counter) rows shuffle. That is the 100 TB contract for
+  * multimodal data: move features, not media.
+  */
+object Multimodal {
+
+  /** Documents as media blobs: BINARY payload + metadata columns. */
+  def blobs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast(LongType))
+
+  /** Per-blob metadata + content addressing: byte length, md5 checksum,
+    * head-8-bytes hex, and a sparse "every 64th byte" sample string.
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    blobs(s, dir)
+      .select(col("doc_id"), col("mime"), col("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        hex(substring(col("payload"), 1, 8)).as("head_hex"),
+        expr("concat_ws('', transform(sequence(1, CAST(length(payload) AS INT), 64), " +
+          "i -> hex(substring(payload, i, 1))))").as("sample_hex"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling: 16-byte "frames" at stride 64 (first 4 per blob) —
+    * the video-keyframe access pattern expressed on binary columns.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    blobs(s, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(sequence(1, CAST(length(payload) AS INT), 64), " +
+          "i -> i + 15 <= length(payload))")).as("off"),
+        col("payload"))
+      .select(col("doc_id"), ((col("off") - 1).divide(64)).cast(LongType).as("frame_no"),
+        col("off").cast(LongType).as("off"),
+        hex(expr("substring(payload, off, 16)")).as("frame_hex"))
+      .filter(col("frame_no") < 4)
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  /** Decode → feature-extract over typed blobs via `mapPartitions`.
+    * The decode step is a STUB: a real pipeline would decode
+    * image/audio bytes here (libs absent in this container); the
+    * deterministic stand-in extracts a 16-bin byte histogram per blob.
+    * Everything around the stub — encoder-backed Dataset[DocBlob], batch
+    * iteration, partial aggregation after the narrow map — is the real
+    * production plumbing.
+    */
+  def byteHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = blobs(s, dir)
+      .select(col("doc_id"), col("source"), col("payload")).as[DocBlob]
+    ds.mapPartitions { blobs =>
+      blobs.flatMap { b =>
+        // STUB: replace with real media decode (e.g. image -> pixels).
+        val hist = new Array[Long](16)
+        b.payload.foreach(byte => hist((byte & 0xFF) >> 4) += 1)
+        hist.iterator.zipWithIndex.collect {
+          case (n, bucket) if n > 0 => (b.source, bucket, n)
+        }
+      }
+    }.toDF("source", "bucket", "n")
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n")).as("n_bytes"))
+      .orderBy(col("source"), col("bucket"))
+  }
+}
