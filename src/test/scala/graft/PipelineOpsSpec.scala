@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Text, Vectors}
+
+/** Pipeline-extension operators (SURVEY §7.6): properties the DuckDB
+  * oracle can't express — LSH recall against exact ground truth, KNN
+  * sanity, dedup idempotence.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("MinHash-LSH finds every exact-Jaccard pair at the 0.5 threshold") {
+    val exact = Text.ngramJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Text.minhashLshPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture corpus must contain planted near-dups")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall; missed ${exact -- lsh}")
+  }
+
+  test("simhash: identical docs collide, hamming distance is edit-robust") {
+    val sh = Text.simhash(spark, sfDir)
+    assert(sh.count() === 500)
+    // near-dup pairs (ground truth) should sit close in hamming space
+    val pairs = Text.ngramJaccardPairs(spark, sfDir, threshold = 0.8)
+      .select(col("d1"), col("d2")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (pairs.nonEmpty) {
+      val h = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mean = pairs.map { case (a, b) =>
+        java.lang.Long.bitCount(h(a) ^ h(b))
+      }.sum.toDouble / pairs.length
+      assert(mean <= 4.0, s"mean hamming distance $mean for >0.8-jaccard pairs")
+    }
+  }
+
+  test("brute-force KNN: self-similarity excluded, cosines sorted, k respected") {
+    val rows = Vectors.knnBrute(spark, sfDir, k = 5).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.forall(_._2.length == 5))
+    byQ.foreach { case (q, rs) =>
+      assert(!rs.exists(_.getLong(2) == q), s"query $q returned itself")
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"query $q not sorted")
+    }
+  }
+
+  test("LSH buckets partition all vectors; IVF assigns each vector once") {
+    val total = Vectors.lshBuckets(spark, sfDir)
+      .agg(sum(col("n_vecs"))).collect().head.getLong(0)
+    assert(total === 500L)
+    val ivf = Vectors.ivfAssign(spark, sfDir)
+      .agg(sum(col("n_vecs"))).collect().head.getLong(0)
+    assert(ivf === 500L)
+  }
+
+  test("exact dedup is idempotent and keeps one row per distinct text") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val deduped = docs.dropDuplicates("text")
+    assert(deduped.count() === docs.select(col("text")).distinct().count())
+    assert(deduped.dropDuplicates("text").count() === deduped.count())
+  }
+}

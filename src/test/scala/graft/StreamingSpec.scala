@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{CountTriggerStream, StreamingWindows}
+
+/** Streaming-equivalence and watermark-semantics tests (SURVEY §5 tier 2):
+  * the batch plans of UserActivityGoldenSpec run unchanged on
+  * MemoryStream micro-batches; final results must match batch, and late
+  * data beyond the watermark must be dropped from closed windows.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def fixtureEvents: Seq[UserActivity] = {
+    import spark.implicits._
+    fixture.select(col("userId"), col("activity"), col("timestamp"))
+      .as[UserActivity].orderBy(col("timestamp")).collect().toSeq
+  }
+
+  test("streaming tumbling counts (complete mode) == batch counts") {
+    import spark.implicits._
+    val mem = MemoryStream[UserActivity](spark)
+    val df = mem.toDF().withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = StreamingWindows.tumblingRegistrations(
+      StreamingWindows.watermarked(df))
+      .writeStream.format("memory").queryName("stream_tumbling")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (b1, rest) = fixtureEvents.splitAt(4)
+      val (b2, b3) = rest.splitAt(4)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val rows = spark.table("stream_tumbling").orderBy(col("start")).collect()
+      assert(rows.map(_.getLong(2)).toSeq === Seq(1L, 3L, 2L, 0L))
+    } finally q.stop()
+  }
+
+  test("watermark drops late data for already-closed windows (append mode)") {
+    import spark.implicits._
+    val mem = MemoryStream[UserActivity](spark)
+    val df = mem.toDF().withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = StreamingWindows.tumblingRegistrations(
+      StreamingWindows.watermarked(df, delay = "2 seconds"))
+      .writeStream.format("memory").queryName("stream_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ev(act: String, sec: Int) =
+        UserActivity("u", act, f"2025-08-03T13:00:$sec%02dZ")
+      // batch 1 advances the watermark to :08 -> window [0,3) closes
+      mem.addData(Seq(ev("register", 2), ev("online", 10)))
+      q.processAllAvailable()
+      // batch 2: register@1 is LATE (watermark :08 > window end :03) -> dropped
+      mem.addData(Seq(ev("register", 1), ev("register", 11)))
+      q.processAllAvailable()
+      // advance watermark past [9,12) so it closes and emits
+      mem.addData(Seq(ev("online", 20)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev("online", 21)))
+      q.processAllAvailable()
+      val got = spark.table("stream_late").collect()
+        .map(r => r.getTimestamp(0).toInstant.getEpochSecond % 60 -> r.getLong(2))
+        .toMap
+      assert(got(0L) === 1L, "late register@1 must not be re-counted")
+      assert(got(9L) === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming count-trigger fires across micro-batches == batch fires") {
+    import spark.implicits._
+    val mem = MemoryStream[UserActivity](spark)
+    val q = CountTriggerStream.fires(spark, mem.toDS())
+      .writeStream.format("memory").queryName("stream_fires")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, rest) = fixtureEvents.splitAt(3)
+      val (b2, b3) = rest.splitAt(4)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val fires = spark.table("stream_fires").orderBy(col("fireSeq"))
+        .as[CountFire].collect().toSeq
+      assert(fires === Seq(CountFire(1, 5, 4), CountFire(2, 10, 6)))
+    } finally q.stop()
+  }
+
+  test("keyed count-trigger keeps independent per-activity counters") {
+    import spark.implicits._
+    val ds = fixture.select(col("userId"), col("activity"), col("timestamp"))
+      .as[UserActivity]
+    val fires = CountTriggerStream.firesPerKey(spark, ds, every = 3)
+      .collect().toSeq.sortBy(f => (f._1, f._2.fireSeq))
+    // 6 registers -> fires at 3 and 6 (all matching); 6 online -> same count shape
+    assert(fires === Seq(
+      ("online", CountFire(1, 3, 0)), ("online", CountFire(2, 6, 0)),
+      ("register", CountFire(1, 3, 3)), ("register", CountFire(2, 6, 6))))
+  }
+}
