@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDot
+
+/** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`,
+  * wired in GraftSession.configure): registers the engine's native
+  * Catalyst expressions so they are callable from SQL and `expr(...)` in
+  * any session — the idiomatic way to ship custom codegen'd functions
+  * without forking Spark.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (children: Seq[Expression]) => FloatDot(children.head, children(1))))
+  }
+}

@@ -84,15 +84,16 @@ object TextQueries {
          |WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
          |ORDER BY d1, d2""".stripMargin)),
 
-    QueryDef("q35_minhash_lsh", (s, d) => minhashLshPairs(s, d), Some(
+    QueryDef("q35_minhash_lsh", (s, d) => minhashLshPairs(s, d), Some {
+      val P = 1073741789L
+      val mins = (0 until 8).map(j =>
+        s"MIN((${operators.Text.mhA(j)} * h + ${operators.Text.mhB(j)}) % $P) AS mh$j")
+        .mkString(", ")
       s"""WITH $SHINGLES,
+         |shh AS (SELECT doc_id, ${h60("sh")} % $P AS h FROM sh),
          |mh AS (
-         |  SELECT doc_id,
-         |    MIN(${h60("concat('0:', sh)")}) AS mh0, MIN(${h60("concat('1:', sh)")}) AS mh1,
-         |    MIN(${h60("concat('2:', sh)")}) AS mh2, MIN(${h60("concat('3:', sh)")}) AS mh3,
-         |    MIN(${h60("concat('4:', sh)")}) AS mh4, MIN(${h60("concat('5:', sh)")}) AS mh5,
-         |    MIN(${h60("concat('6:', sh)")}) AS mh6, MIN(${h60("concat('7:', sh)")}) AS mh7
-         |  FROM sh GROUP BY doc_id),
+         |  SELECT doc_id, $mins
+         |  FROM shh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS sig FROM mh
          |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM mh
@@ -111,7 +112,8 @@ object TextQueries {
          |JOIN sizes s1 ON s1.doc_id = cand.d1
          |JOIN sizes s2 ON s2.doc_id = cand.d2
          |WHERE round(COALESCE(n_common, 0) / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) >= 0.5
-         |ORDER BY cand.d1, cand.d2""".stripMargin)),
+         |ORDER BY cand.d1, cand.d2""".stripMargin
+    }),
 
     QueryDef("q36_simhash", (s, d) => simhash(s, d), Some {
       val votes = (0 until 16).map(b =>

@@ -136,11 +136,22 @@ object Text {
     * Same final semantics as [[ngramJaccardPairs]] at high thresholds,
     * with recall traded for scalability at low ones.
     */
+  /** Universal-hash family for MinHash: one md5 per shingle, then
+    * `h_j = (a_j * (h mod p) + b_j) mod p` with p < 2^30 so every product
+    * stays below 2^60 — exact, overflow-free 64-bit arithmetic on any
+    * engine. Constants derive from a fixed LCG so the oracle embeds the
+    * same literals.
+    */
+  private val P = 1073741789L
+  private[graft] def mhA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % P
+  private[graft] def mhB(j: Int): Long = (1103515245L * (j + 101) + 54321L) % P
+
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(s, dir)
+    val shh = sh.withColumn("h", hash60(col("sh")) % P)
     val mhCols = (0 until 8).map(j =>
-      min(hash60(concat(lit(j.toString), lit(":"), col("sh")))).as(s"mh$j"))
-    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j"))
+    val mh = shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     val bands = (0 until 4).map { bnd =>
       mh.select(col("doc_id"), lit(bnd).as("band"),
         concat_ws("_", col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("sig"))
@@ -149,8 +160,14 @@ object Text {
       .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
+    // exact-Jaccard verification touches ONLY candidate docs' shingles —
+    // at scale the candidate set is tiny vs. the corpus, so the verify
+    // join stays proportional to true near-dups, not to corpus size
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), "doc_id")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.toDF("d1", "sh").join(sh.toDF("d2", "sh"), "sh")
+    val inter = shCand.toDF("d1", "sh").join(shCand.toDF("d2", "sh"), "sh")
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
     cand.join(inter, Seq("d1", "d2"), "left")

@@ -26,10 +26,12 @@ import graft.sources.Tables
   */
 object Vectors {
 
-  /** Left-to-right double dot product of two float arrays. */
-  def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Left-to-right double dot product of two float arrays — the codegen'd
+    * native expression (graft.functions.FloatDot, registered by
+    * GraftExtensions); same reduction order as the oracle's
+    * `list_dot_product`.
+    */
+  def dot(a: String, b: String): Column = expr(s"float_dot($a, $b)")
 
   private def cosine(dotC: Column, n1: Column, n2: Column): Column =
     dotC / sqrt(n1 * n2)

@@ -1,0 +1,22 @@
+// Plan audit: run with `sbt "Test / runMain graft.tools.ExplainAudit"`.
+// Prints the formatted physical plan of each headline query at sf0.01 so
+// broadcast/pushdown/codegen decisions can be reviewed (100 TB design gate).
+package graft.tools
+
+import graft._
+
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8, "explain-audit")
+    val dir = "/root/testdata/sf0.01"
+    val interesting = Seq("q1_pricing_summary", "q2_revenue_by_segment",
+      "q3_top_orders", "q5_region_revenue", "q8_top_customers",
+      "q20_win_tumbling", "q34_ngram_jaccard", "q40_knn_cosine")
+    interesting.foreach { name =>
+      println(s"\n========== $name ==========")
+      println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
