@@ -75,6 +75,22 @@ object EventQueries {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    QueryDef("q28_asof_join", (s, d) => asofSignupToPurchase(s, d), Some(
+      """SELECT p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |  epoch_ms(p.ts) - epoch_ms(s.ts) AS since_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("q29_range_join", (s, d) => signupFollowups(s, d), Some(
+      """SELECT s.user_id, epoch_ms(s.ts) AS signup_ms, COUNT(e.ts) AS n_following
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN events e
+        |  ON e.user_id = s.user_id AND e.ts > s.ts
+        |    AND e.ts <= s.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1, epoch_ms(s.ts) ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("q27_top_purchasers", (s, d) => topPurchasers(s, d), Some(
       """SELECT user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total,

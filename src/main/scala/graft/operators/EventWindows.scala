@@ -130,6 +130,47 @@ object EventWindows {
       )
       .orderBy(col("event_type"))
 
+  /** As-of join (no Spark built-in — composed per SURVEY §7.4 preference
+    * (a)): for each purchase, the most recent signup by the same user at
+    * or before the purchase time. One shuffle on user_id + an in-partition
+    * RANGE-frame max — the scalable as-of design (no per-row lookups, no
+    * cross join). The RANGE frame (not ROWS) makes equal-timestamp
+    * matches identical to ASOF's `s.ts <= p.ts` semantics.
+    */
+  def asofSignupToPurchase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("last_signup_ts",
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        (unix_millis(col("ts")) - unix_millis(col("last_signup_ts"))).as("since_ms"))
+      .orderBy(col("user_id"), col("ts_ms"))
+  }
+
+  /** Range join: events by the same user within 30 minutes after each
+    * signup. The equi-key (user_id) carries the shuffle; the time range is
+    * a post-join predicate — the plan stays a hash/sort-merge join, never
+    * a cross join. (A range join with NO equi key would instead bucket
+    * both sides by time-bucket and join bucket b to b and b+1.)
+    */
+  def signupFollowups(s: SparkSession, dir: String, minutes: Int = 30): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val e = ev.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    su.join(e, col("s_user") === col("e_user") &&
+        col("e_ts") > col("s_ts") &&
+        col("e_ts") <= col("s_ts") + expr(s"INTERVAL $minutes MINUTES"), "left")
+      .groupBy(col("s_user"), col("s_ts"))
+      .agg(count(col("e_ts")).as("n_following"))
+      .select(col("s_user").as("user_id"), unix_millis(col("s_ts")).as("signup_ms"),
+        col("n_following"))
+      .orderBy(col("user_id"), col("signup_ms"))
+  }
+
   /** Top-k users by purchase value — filter → group → TakeOrdered. */
   def topPurchasers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.events(s, dir)
