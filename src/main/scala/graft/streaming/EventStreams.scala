@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Structured-Streaming entry points over the driver `events` table: the
+  * same logical plans the batch oracle checks (EventWindows), fed by
+  * `readStream` instead of `read`. Schema is taken from the batch reader
+  * (streaming parquet reads require an explicit schema) including the
+  * nanos→micros event-time normalization.
+  *
+  * Scale note: file-source streaming paces itself with
+  * `maxFilesPerTrigger`; watermarked window aggregations keep state
+  * O(open windows) per key and evict on watermark advance — the 100 TB
+  * streaming contract.
+  */
+object EventStreams {
+
+  /** Streaming view of `events` with the same `ts` normalization as the
+    * batch reader.
+    */
+  def readEvents(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source monitors a DIRECTORY; select the events
+    // table out of the shared sf dir with a glob filter
+    val raw = s.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    batchSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => raw
+    }
+  }
+
+  /** Streaming q20: watermarked hourly tumbling signup counts — identical
+    * aggregation to the batch/oracle version.
+    */
+  def tumblingSignups(s: SparkSession, dir: String,
+      watermark: String = "1 hour"): DataFrame =
+    readEvents(s, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(when(col("event_type") === "signup", 1)).as("signups"),
+        count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("signups"), col("n_events"))
+
+  /** Streaming exact dedup on a business key within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): state for a key is dropped once
+    * the watermark passes it — bounded state at unbounded input, the
+    * streaming counterpart of the batch `dropDuplicates` path (q33).
+    */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+      delay: String): DataFrame =
+    df.withWatermark("eventTime", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}
