@@ -139,6 +139,23 @@ object TextQueries {
          |  FROM documents WHERE n_chars >= 8)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q39_quality_filter", (s, d) => qualityFilter(s, d), Some(
+      """WITH m AS (
+        |  SELECT doc_id, lang, len(w) AS n_words,
+        |    round(len(list_filter(w, x -> x IN ('the', 'a'))) / len(w), 6) AS stop_ratio
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+        |SELECT doc_id, lang, n_words, stop_ratio,
+        |  CASE WHEN n_words < 15 THEN 'too_short'
+        |       WHEN n_words > 90 THEN 'too_long'
+        |       WHEN stop_ratio > 0.12 THEN 'stopword_heavy' END AS reason
+        |FROM m
+        |WHERE n_words < 15 OR n_words > 90 OR stop_ratio > 0.12
+        |ORDER BY doc_id""".stripMargin)),
+
+    // q46 approx distinct: HLL sketches are engine-specific -> rows-only
+    // driver check; the error bound is asserted in PipelineOpsSpec.
+    QueryDef("q46_approx_vocab", (s, d) => approxVocab(s, d), None),
+
     QueryDef("q38_lang_id", (s, d) => langIdAgreement(s, d), Some(
       """WITH scored AS (
         |  SELECT lang,

@@ -56,6 +56,31 @@ object VectorQueries {
          |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
     }),
 
+    QueryDef("q45_lsh_neardup", (s, d) => lshNearDup(s, d), Some {
+      def bit(j: Int, weight: Long): String =
+        s"""CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+           |  CAST(embedding[i+1] AS DOUBLE) *
+           |  CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE)),
+           |  (a, b) -> a + b) >= 0 THEN CAST($weight AS BIGINT) ELSE 0 END""".stripMargin
+      val tableBuckets = (0 until 6).map { t =>
+        val b = (0 until 3).map(k => bit(t * 3 + k, 1L << k)).mkString(" + ")
+        s"SELECT vec_id, $t AS t, $b AS b FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
+         |buckets AS (
+         |$tableBuckets),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+         |  FROM buckets x JOIN buckets y
+         |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id)
+         |SELECT id1, id2,
+         |  round(list_dot_product(a.e, b.e) / sqrt(a.nsq * b.nsq), 6) AS cos
+         |FROM cand JOIN base a ON a.vec_id = id1 JOIN base b ON b.vec_id = id2
+         |WHERE round(list_dot_product(a.e, b.e) / sqrt(a.nsq * b.nsq), 6) >= 0.4
+         |ORDER BY id1, id2""".stripMargin
+    }),
+
     QueryDef("q44_ivf_assign", (s, d) => ivfAssign(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),

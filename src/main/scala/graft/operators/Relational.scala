@@ -27,6 +27,26 @@ object Relational {
   /** Exact decimal sum emitted as a deterministic double. */
   def dsum2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
 
+  /** Skew-salted broadcast-free join: spread a hot key's rows across
+    * `salts` shuffle partitions by salting the big side with a
+    * deterministic per-row hash and replicating the small side once per
+    * salt. Use when one join key dominates and the small side is too big
+    * to broadcast but cheap to replicate `salts`×; AQE's skew-join
+    * handles the sort-merge case automatically, this is the explicit
+    * form for pathological keys.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toSeq: _*)), lit(salts)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+          saltedBig("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
+  }
+
   /** q1: pricing summary (full-scan partial+final agg; generalizes the
     * reference's conditional-count window functions F1/F2 — SURVEY §2.5).
     */

@@ -213,6 +213,44 @@ object Text {
       .agg(min(hash60(col("g"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Per-document quality filter — the training-data cleaning shape:
+    * score each doc on length / mean word length / stopword ratio and
+    * emit the REJECTED docs with the first failing reason. Thresholds are
+    * corpus-tuned constants; the point is the single-pass, shuffle-free
+    * row filter (a 100 TB quality pass is embarrassingly parallel).
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), words.as("w"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("w")).as("n_words"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).as("n_stop"))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_words"), 6))
+      .withColumn("reason",
+        when(col("n_words") < 15, "too_short")
+          .when(col("n_words") > 90, "too_long")
+          .when(col("stop_ratio") > 0.12, "stopword_heavy"))
+      .filter(col("reason").isNotNull)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"),
+        col("reason"))
+      .orderBy(col("doc_id"))
+
+  /** Approximate distinct vocabulary per language (HyperLogLog++, 2% rsd)
+    * next to the exact count — the sketch is the 100 TB path (no shuffle
+    * of distinct values, mergeable partials). Sketch internals differ per
+    * engine, so this is test-verified (error bound vs exact), not
+    * oracle-hashed.
+    */
+  def approxVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(words).as("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("tok"), rsd = 0.02).as("approx_distinct"),
+        countDistinct(col("tok")).as("exact_distinct")
+      )
+      .orderBy(col("lang"))
+
   /** Marker-word language-ID heuristic vs. the labeled lang column.
     * (The real algorithm: score languages by closed-class marker counts;
     * on this synthetic corpus every doc votes English, which the agreement

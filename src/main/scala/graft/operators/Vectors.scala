@@ -97,18 +97,56 @@ object Vectors {
     * generation for ANN at scale.
     */
   def lshBuckets(s: SparkSession, dir: String, planes: Int = 8): DataFrame = {
-    val bits = (0 until planes).map { j =>
-      val d = expr(
-        s"aggregate(sequence(0, size(embedding)-1), CAST(0 AS DOUBLE), (acc, i) -> " +
-          s"acc + CAST(element_at(embedding, i+1) AS DOUBLE) * " +
-          s"CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE))")
-      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
     Tables.embeddings(s, dir)
-      .withColumn("bucket", bits.reduce(_ + _))
+      .withColumn("bucket",
+        (0 until planes).map(j => planeBit(j, 1L << j)).reduce(_ + _))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
       .orderBy(col("bucket"))
+  }
+
+  /** Sign bit of the dot product with deterministic LCG hyperplane
+    * `j`, as a power-of-two contribution (shared formula with the
+    * oracle).
+    */
+  private def planeBit(j: Int, weight: Long): Column = {
+    val d = expr(
+      s"aggregate(sequence(0, size(embedding)-1), CAST(0 AS DOUBLE), (acc, i) -> " +
+        s"acc + CAST(element_at(embedding, i+1) AS DOUBLE) * " +
+        s"CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE))")
+    when(d >= 0, lit(weight)).otherwise(lit(0L))
+  }
+
+  /** Embedding near-dup through multi-table LSH — the 100 TB path. A
+    * single sign-projection table has vanishing recall at moderate
+    * similarity (P[8 bits agree] ≈ 0.63⁸ ≈ 2% at cos 0.4), so this uses
+    * the standard multi-table construction: `tables` independent tables
+    * of `bits` planes each; candidates are pairs sharing ANY table's
+    * bucket (equi-join on (table, bucket) — work scales with bucket
+    * occupancy, not n²), then candidates are scored exactly. Precision
+    * is exact (same cosine + threshold as [[embedNearDup]]); recall
+    * 1−(1−p^bits)^tables is asserted in tests.
+    */
+  def lshNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
+      tables: Int = 6, bits: Int = 3): DataFrame = {
+    val base = withNorm(Tables.embeddings(s, dir))
+    val tb = (0 until tables).map { t =>
+      val bucket = (0 until bits).map(b => planeBit(t * bits + b, 1L << b)).reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("b"))
+    }
+    val buckets = base.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = buckets.toDF("id1", "t", "b")
+      .join(buckets.toDF("id2", "t", "b"), Seq("t", "b"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val a = base.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nsq").as("n1"))
+    val b = base.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nsq").as("n2"))
+    cand.join(a, "id1").join(b, "id2")
+      .withColumn("cos", round(cosine(dot("e1", "e2"), col("n1"), col("n2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+      .orderBy(col("id1"), col("id2"))
   }
 
   /** IVF-style cell assignment: the 8 vectors with vec_id 0..7 act as

@@ -54,6 +54,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf === 500L)
   }
 
+  test("LSH-bucketed near-dup: exact precision, measured recall vs brute force") {
+    val exact = Vectors.embedNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Vectors.lshNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs")
+    assert(exact.nonEmpty)
+    // 8 planes at threshold 0.4: recall is partial by design — just
+    // require the bucketer to find a meaningful share and report it
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("approx_count_distinct within 5% of exact per language") {
+    val rows = Text.approxVocab(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"lang=${r.getString(0)} approx=$approx exact=$exact")
+    }
+  }
+
+  test("salted join == plain join on skewed input") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload") // key 1 is hot (~10% of rows)
+    val dim = (1L to 5000L).map(k => (k, s"d$k")).toDF("dk", "attr")
+    val plain = big.join(dim, big("k") === dim("dk"))
+      .select("k", "payload", "attr").collect().toSet
+    val salted = operators.Relational.saltedJoin(big, dim, "k", "dk", salts = 8)
+      .select("k", "payload", "attr").collect().toSet
+    assert(salted === plain)
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     val docs = sources.Tables.documents(spark, sfDir)
     val deduped = docs.dropDuplicates("text")
