@@ -81,6 +81,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows stream with watermark: final sessions == batch (append mode)") {
+    import spark.implicits._
+    val mem = MemoryStream[UserActivity](spark)
+    val df = mem.toDF().withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = StreamingWindows.userSessions(
+      StreamingWindows.watermarked(df, delay = "2 seconds"), gap = "5 seconds")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ev(u: String, sec: Int) =
+        UserActivity(u, "online", f"2025-08-03T13:00:$sec%02dZ")
+      // session a:[0,1] then a:[10]; b:[2]; watermark pushed past all ends
+      mem.addData(Seq(ev("a", 0), ev("a", 1), ev("b", 2)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev("a", 10)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev("a", 40)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev("a", 41)))
+      q.processAllAvailable()
+      val got = spark.table("stream_sessions")
+        .collect().map(r => (r.getString(0), r.getLong(3))).toSeq.sorted
+      assert(got === Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: per-micro-batch parquet writes land every row (K3 shape)") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val mem = MemoryStream[UserActivity](spark)
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserActivity], id: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .start()
+    try {
+      mem.addData(fixtureEvents.take(5)); q.processAllAvailable()
+      mem.addData(fixtureEvents.drop(5)); q.processAllAvailable()
+      assert(spark.read.parquet(s"$outDir/data").count() === 12)
+    } finally q.stop()
+  }
+
   test("keyed count-trigger keeps independent per-activity counters") {
     import spark.implicits._
     val ds = fixture.select(col("userId"), col("activity"), col("timestamp"))
