@@ -156,6 +156,24 @@ object TextQueries {
     // driver check; the error bound is asserted in PipelineOpsSpec.
     QueryDef("q46_approx_vocab", (s, d) => approxVocab(s, d), None),
 
+    QueryDef("q47_tfidf", (s, d) => tfidfTop(s, d), Some(
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |len AS (SELECT doc_id, COUNT(*) AS len FROM t GROUP BY 1),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round((cnt / len) * round(ln(n / df), 6), 6) AS tfidf
+        |  FROM tf JOIN len USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin)),
+
     QueryDef("q38_lang_id", (s, d) => langIdAgreement(s, d), Some(
       """WITH scored AS (
         |  SELECT lang,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -250,6 +251,32 @@ object Text {
         countDistinct(col("tok")).as("exact_distinct")
       )
       .orderBy(col("lang"))
+
+  /** TF-IDF top-3 terms per document. Fully declarative (corpus size
+    * joins in as a broadcast scalar — no driver-side count), one shuffle
+    * per aggregation. Determinism: tf and N/df are exact int-ratio
+    * doubles; ln() may differ in the last ulp across engines, so idf is
+    * rounded to 6 dp before the product and ordering uses the rounded
+    * score with the term as tie-break.
+    */
+  def tfidfTop(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val len = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(len, "doc_id").join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("cnt") / col("len")) * round(log(col("n") / col("df")), 6), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
 
   /** Marker-word language-ID heuristic vs. the labeled lang column.
     * (The real algorithm: score languages by closed-class marker counts;
