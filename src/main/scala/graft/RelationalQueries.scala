@@ -89,6 +89,20 @@ object RelationalQueries {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    QueryDef("q17_grouping_sets", (s, d) => groupingSetsReturns(s, d), Some(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    QueryDef("q18_percentiles", (s, d) => quantityPercentiles(s, d), Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("q12_distinct_counts", (s, d) => distinctParts(s, d), Some(
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

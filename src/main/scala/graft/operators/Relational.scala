@@ -207,6 +207,33 @@ object Relational {
     u.unionByName(i).unionByName(e).orderBy(col("op"), col("p_brand"))
   }
 
+  /** GROUPING SETS: chosen subtotal combinations (finer control than
+    * rollup/cube — here (flag,status), (flag), (status)).
+    */
+  def groupingSetsReturns(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("gs_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles per group (median + p95). Both
+    * engines sort exact doubles and interpolate linearly; outputs round
+    * to 6 dp.
+    */
+  def quantityPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("l_returnflag"))
+
   /** Monthly order volumes — date_trunc bucketing. */
   def ordersByMonth(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
