@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.time.Instant
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.{CountFire, UserActivity}
 
@@ -55,6 +55,48 @@ object CountTriggerStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Int, it: Iterator[UserActivity], st: GroupState[(Long, Long, Long)]) =>
           fold(every)(it, st))
+  }
+
+  /** The same operator on Spark 4's `transformWithState` API
+    * (StatefulProcessor + typed ValueState, RocksDB-backed): the
+    * modern replacement for flatMapGroupsWithState — explicit state
+    * handles, TTL support, timers. Semantics identical to [[fires]].
+    */
+  class CountTriggerProcessor(every: Int)
+      extends StatefulProcessor[Int, UserActivity, CountFire] {
+    @transient private var state: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("counter",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[UserActivity],
+        timerValues: TimerValues): Iterator[CountFire] = {
+      var (seen, regs, fires) =
+        if (state.exists()) state.get() else (0L, 0L, 0L)
+      val out = Seq.newBuilder[CountFire]
+      rows.toSeq.sortBy(a => Instant.parse(a.timestamp)).foreach { a =>
+        seen += 1
+        if (a.activity == "register") regs += 1
+        if (seen % every == 0) {
+          fires += 1
+          out += CountFire(fires, seen, regs)
+        }
+      }
+      state.update((seen, regs, fires))
+      out.result().iterator
+    }
+  }
+
+  /** [[fires]] via transformWithState (requires the RocksDB state store
+    * provider, bundled with Spark).
+    */
+  def firesTws(spark: SparkSession, ds: Dataset[UserActivity],
+      every: Int = 5): Dataset[CountFire] = {
+    import spark.implicits._
+    ds.groupByKey(_ => 0)
+      .transformWithState(new CountTriggerProcessor(every),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Keyed count-trigger: independent every-N counters per activity —

@@ -123,6 +123,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState count-trigger (RocksDB state) == flatMapGroupsWithState") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[UserActivity](spark)
+    val q = CountTriggerStream.firesTws(spark, mem.toDS())
+      .writeStream.format("memory").queryName("tws_fires")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = fixtureEvents.splitAt(7)
+      Seq(b1, b2).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val fires = spark.table("tws_fires").orderBy(col("fireSeq"))
+        .as[CountFire].collect().toSeq
+      assert(fires === Seq(CountFire(1, 5, 4), CountFire(2, 10, 6)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("keyed count-trigger keeps independent per-activity counters") {
     import spark.implicits._
     val ds = fixture.select(col("userId"), col("activity"), col("timestamp"))
