@@ -150,8 +150,10 @@ object Text {
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(s, dir)
     val shh = sh.withColumn("h", hash60(col("sh")) % P)
+    // one pass computes the 8 minhashes AND the shingle-set size
     val mhCols = (0 until 8).map(j =>
-      min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j"))
+      min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j")) :+
+      count(lit(1)).as("n_sh")
     val mh = shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     val bands = (0 until 4).map { bnd =>
       mh.select(col("doc_id"), lit(bnd).as("band"),
@@ -167,7 +169,7 @@ object Text {
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val shCand = sh.join(broadcast(candDocs), "doc_id")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sizes = mh.select(col("doc_id"), col("n_sh"))
     val inter = shCand.toDF("d1", "sh").join(shCand.toDF("d2", "sh"), "sh")
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
