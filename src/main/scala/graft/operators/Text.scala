@@ -35,14 +35,17 @@ object Text {
   private def words: Column = split(col("text"), " ")
 
   /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
         ))).as("sh"))
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
 
   /** Per-language corpus profile: volume, length, source spread. */
   def langStats(s: SparkSession, dir: String): DataFrame =
@@ -112,8 +115,11 @@ object Text {
     * sharing ≥1 shingle are materialized). The LSH variant below is the
     * 100 TB path; this exact form is the oracle-checkable ground truth.
     */
-  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(s, dir)
+  def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsOf(shingles(s, dir), threshold)
+
+  /** Same operator over an arbitrary (doc_id, sh) shingle set. */
+  def ngramJaccardPairsOf(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("d1", "sh")
     val b = sh.toDF("d2", "sh")
@@ -155,10 +161,14 @@ object Text {
       min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j")) :+
       count(lit(1)).as("n_sh")
     val mh = shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-    val bands = (0 until 4).map { bnd =>
-      mh.select(col("doc_id"), lit(bnd).as("band"),
+    // explode, not union: one pass over the minhash aggregate instead of
+    // re-evaluating its subtree once per band
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
         concat_ws("_", col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("sig"))
-    }.reduce(_ unionByName _)
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.toDF("d1", "band", "sig")
       .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
       .filter(col("d1") < col("d2"))

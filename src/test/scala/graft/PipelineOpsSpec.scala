@@ -19,6 +19,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall; missed ${exact -- lsh}")
   }
 
+  test("n-gram Jaccard golden: hand-computed pair scores") {
+    import spark.implicits._
+    // A,B share shingles {a b c, b c d} of 3 each -> J = 2/4 = 0.5
+    // C is disjoint from both
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),
+      (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val rows = Text.ngramJaccardPairsOf(Text.shinglesOf(docs), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.toSeq === Seq((1L, 2L, 0.5)))
+  }
+
   test("simhash: identical docs collide, hamming distance is edit-robust") {
     val sh = Text.simhash(spark, sfDir)
     assert(sh.count() === 500)
