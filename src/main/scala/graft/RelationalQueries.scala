@@ -103,6 +103,13 @@ object RelationalQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    QueryDef("q19_pivot", (s, d) => ordersPivot(s, d), Some(
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     QueryDef("q12_distinct_counts", (s, d) => distinctParts(s, d), Some(
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

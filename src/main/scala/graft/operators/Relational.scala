@@ -234,6 +234,18 @@ object Relational {
       )
       .orderBy(col("l_returnflag"))
 
+  /** Pivot: order counts by priority × status as columns (F/O/P). The
+    * pivot list is explicit — at scale an implicit pivot would first run
+    * a distinct scan to discover values.
+    */
+  def ordersPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
   /** Monthly order volumes — date_trunc bucketing. */
   def ordersByMonth(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

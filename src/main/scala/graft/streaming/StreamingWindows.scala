@@ -54,6 +54,25 @@ object StreamingWindows {
       .select(col("userId"), col("session_window.start").as("start"),
         col("session_window.end").as("end"), col("events"))
 
+  /** Stream-stream interval join: each follow-up event matched to the
+    * same user's registration within `horizon` after it. Both sides carry
+    * watermarks so Spark bounds the join state and evicts rows the
+    * interval can no longer match — the state-bounded streaming join
+    * design that survives unbounded inputs.
+    */
+  def registrationFollowups(registrations: DataFrame, followups: DataFrame,
+      horizon: String = "10 seconds", delay: String = "5 seconds"): DataFrame = {
+    val reg = registrations.withWatermark("eventTime", delay)
+      .select(col("userId").as("r_user"), col("eventTime").as("r_time"))
+    val fu = followups.withWatermark("eventTime", delay)
+      .select(col("userId").as("f_user"), col("eventTime").as("f_time"))
+    fu.join(reg,
+      col("f_user") === col("r_user") &&
+        col("f_time") > col("r_time") &&
+        col("f_time") <= col("r_time") + expr(s"INTERVAL $horizon"))
+      .select(col("f_user").as("userId"), col("r_time"), col("f_time"))
+  }
+
   /** R6: the reference's formatted report line
     * ("Window [start - end] Registration Count: n",
     * FlinkWindowLearning.scala:83) — formatting stays a presentation

@@ -147,6 +147,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join matches follow-ups to registrations") {
+    import spark.implicits._
+    val regMem = MemoryStream[UserActivity](spark)
+    val fuMem = MemoryStream[UserActivity](spark)
+    def withTime(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = StreamingWindows.registrationFollowups(
+      withTime(regMem.toDF()), withTime(fuMem.toDF()))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ev(u: String, sec: Int) =
+        UserActivity(u, "x", f"2025-08-03T13:00:$sec%02dZ")
+      regMem.addData(Seq(ev("a", 1), ev("b", 2)))
+      fuMem.addData(Seq(ev("a", 3), ev("a", 20), ev("b", 5), ev("c", 4)))
+      q.processAllAvailable()
+      // push watermarks far past the interval so all matches emit
+      regMem.addData(Seq(ev("z", 50))); fuMem.addData(Seq(ev("z", 50)))
+      q.processAllAvailable()
+      regMem.addData(Seq(ev("z2", 51))); fuMem.addData(Seq(ev("z2", 51)))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getString(0), r.getTimestamp(2).toInstant.getEpochSecond % 100))
+        .toSet
+      // a@3 within [1, 11] matches; a@20 outside; b@5 within [2, 12];
+      // c has no registration
+      assert(got === Set(("a", 3L), ("b", 5L)))
+    } finally q.stop()
+  }
+
   test("keyed count-trigger keeps independent per-activity counters") {
     import spark.implicits._
     val ds = fixture.select(col("userId"), col("activity"), col("timestamp"))
