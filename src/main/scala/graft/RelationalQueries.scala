@@ -49,6 +49,13 @@ object RelationalQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
+    QueryDef("q4_outer_join", (s, d) => customerOrderAudit(s, d), Some(
+      """SELECT
+        |  COUNT(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 END) AS matched,
+        |  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS customer_only,
+        |  COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS order_only
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin)),
+
     QueryDef("q6_semi_join", (s, d) => customersWithOrders(s, d), Some(
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

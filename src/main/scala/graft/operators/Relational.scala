@@ -126,6 +126,23 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Full outer join with presence accounting: every customer and every
+    * order key survives; counts classify matched / customer-only /
+    * order-only rows (order-only is empty on consistent data — the query
+    * doubles as a referential-integrity audit).
+    */
+  def customerOrderAudit(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .agg(
+        count(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1))
+          .as("matched"),
+        count(when(col("o_custkey").isNull, 1)).as("customer_only"),
+        count(when(col("c_custkey").isNull, 1)).as("order_only")
+      )
+  }
+
   /** Semi join: customers that placed at least one order (EXISTS). */
   def customersWithOrders(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))

@@ -177,6 +177,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: stateful query resumes counters after restart") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val mem = MemoryStream[UserActivity](spark)
+    def start() = CountTriggerStream.fires(spark, mem.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try {
+      mem.addData(fixtureEvents.take(7)); q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: state (7 seen, fires=1) must carry over
+    val q2 = start()
+    try {
+      mem.addData(fixtureEvents.drop(7)); q2.processAllAvailable()
+      val fires = spark.read.parquet(out).orderBy(col("fireSeq"))
+        .as[CountFire].collect().toSeq
+      assert(fires === Seq(CountFire(1, 5, 4), CountFire(2, 10, 6)))
+    } finally q2.stop()
+  }
+
   test("keyed count-trigger keeps independent per-activity counters") {
     import spark.implicits._
     val ds = fixture.select(col("userId"), col("activity"), col("timestamp"))
