@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-quality regression tests: the physical plans that make these
+  * queries viable at 100 TB are asserted, not just eyeballed — a change
+  * that silently drops a pushdown or broadcast fails CI.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q1: shipdate filter is pushed into the parquet scan; columns pruned") {
+    val plan = formatted("q1_pricing_summary")
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), "filter not pushed down")
+    assert(!plan.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q2/q5: dimension joins broadcast — no shuffle of the fact side for dims") {
+    assert(formatted("q2_revenue_by_segment").contains("BroadcastHashJoin"))
+    val q5 = formatted("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(q5).size >= 4,
+      "star-schema dims must broadcast")
+  }
+
+  test("q3: semi join on the broadcast filtered dimension") {
+    val plan = formatted("q3_top_orders")
+    assert(plan.contains("LeftSemi"))
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer scan")
+  }
+
+  test("q40 KNN: rank filter pushes partial top-k below the shuffle") {
+    assert(formatted("q40_knn_cosine").contains("WindowGroupLimit"))
+  }
+
+  test("q8 top-k: sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    assert(formatted("q8_top_customers").contains("TakeOrderedAndProject"))
+  }
+
+  test("q42 near-dup scoring runs the codegen'd float_dot, not interpreted HOFs") {
+    val plan = formatted("q42_embed_neardup")
+    assert(plan.contains("float_dot"))
+    assert(!plan.contains("aggregate(zip_with"),
+      "hot path must not fall back to higher-order functions")
+  }
+}
