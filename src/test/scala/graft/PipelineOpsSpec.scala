@@ -102,6 +102,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("multimodal byte histogram accounts for every payload byte") {
+    import graft.operators.Multimodal
+    val totalBytes = Multimodal.byteHistogram(spark, sfDir)
+      .agg(sum(col("n_bytes"))).collect().head.getLong(0)
+    val totalChars = sources.Tables.documents(spark, sfDir)
+      .agg(sum(col("n_chars"))).collect().head.getLong(0)
+    assert(totalBytes === totalChars, "ASCII corpus: bytes must equal chars")
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     val docs = sources.Tables.documents(spark, sfDir)
     val deduped = docs.dropDuplicates("text")
