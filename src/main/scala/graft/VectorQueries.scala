@@ -81,6 +81,33 @@ object VectorQueries {
          |ORDER BY id1, id2""".stripMargin
     }),
 
+    QueryDef("q48_ivf_knn", (s, d) => ivfKnn(s, d), Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |ascored AS (
+         |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
+         |  FROM base CROSS JOIN cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |    FROM ascored) WHERE rnk = 1),
+         |ext AS (SELECT base.vec_id, e, nsq, cid FROM base JOIN assign USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, e AS qe, nsq AS qn, cid FROM ext
+         |      WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT qid, c.vec_id AS neighbor_id,
+         |    list_dot_product(qe, c.e) / sqrt(qn * c.nsq) AS cos
+         |  FROM q JOIN ext c USING (cid) WHERE c.vec_id != qid),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id)
+         |      AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, neighbor_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
+
     QueryDef("q44_ivf_assign", (s, d) => ivfAssign(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),

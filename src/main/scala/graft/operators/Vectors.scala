@@ -155,17 +155,22 @@ object Vectors {
     * At 100 TB the centroid side stays broadcast and the argmax is the
     * same single aggregation — no extra shuffle of the big side.
     */
-  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, cid, cos): each vector's max-cosine coarse centroid. */
+  private def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
     val cent = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nsq").as("cn"))
     val scored = base.select(col("vec_id"), col("embedding"), col("nsq"))
       .join(broadcast(cent))
       .withColumn("cos", cosine(dot("embedding", "ce"), col("nsq"), col("cn")))
-    // argmax by (cos, -cid): max_by on a struct is order-defined and
-    // engine-portable via the same struct comparison in the oracle
+    // argmax by (cos desc, cid): deterministic and engine-portable
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"), col("cos"))
+  }
+
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    ivfAssignments(s, dir)
       .groupBy(col("cid"))
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -173,5 +178,30 @@ object Vectors {
           / count(lit(1)), 6).as("avg_cos")
       )
       .orderBy(col("cid"))
+  }
+
+  /** IVF-probed ANN: top-k neighbors searched ONLY within the query's
+    * coarse cell — the probe path that makes ANN sub-linear at scale
+    * (brute force runs per cell, never globally). Recall vs. global
+    * brute force depends on cell quality; precision is exact.
+    */
+  def ivfKnn(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val assign = ivfAssignments(s, dir).select(col("vec_id"), col("cid"))
+    val base = withNorm(Tables.embeddings(s, dir))
+      .join(assign, "vec_id")
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nsq").as("qn"), col("cid"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("nsq").as("cn"), col("cid"))
+    val scored = broadcast(q).join(c, Seq("cid"))
+      .filter(col("qid") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(dot("qe", "ce"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast(LongType).as("rnk"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
   }
 }
