@@ -81,6 +81,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("IVF-probed KNN recall vs global brute force") {
+    val brute = Vectors.knnBrute(spark, sfDir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Vectors.ivfKnn(spark, sfDir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // single-probe over 8 cells on quasi-uniform synthetic embeddings:
+    // random candidate selection would score ~0.125; the cells must
+    // meaningfully beat that (multi-probe raises recall at scale)
+    assert(recall >= 0.2, s"IVF recall $recall (8 coarse cells, probe=1)")
+  }
+
   test("approx_count_distinct within 5% of exact per language") {
     val rows = Text.approxVocab(spark, sfDir).collect()
     rows.foreach { r =>
