@@ -91,6 +91,17 @@ object EventQueries {
         |    AND e.ts <= s.ts + INTERVAL 30 MINUTE
         |GROUP BY 1, epoch_ms(s.ts) ORDER BY 1, 2""".stripMargin)),
 
+    QueryDef("q60_trailing_window", (s, d) => trailingUserActivity(s, d), Some(
+      """SELECT user_id, event_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 6)
+        |    AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_s, event_id""".stripMargin)),
+
     QueryDef("q27_top_purchasers", (s, d) => topPurchasers(s, d), Some(
       """SELECT user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total,

@@ -171,6 +171,25 @@ object EventWindows {
       .orderBy(col("user_id"), col("signup_ms"))
   }
 
+  /** Trailing event-time window: for every event, the count and value sum
+    * of the same user's events in the preceding hour (inclusive RANGE
+    * frame over epoch seconds — sliding analytics without materializing
+    * overlapping windows; state is one sort per user partition).
+    */
+  def trailingUserActivity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        Relational.dec2(col("value")).as("v"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+      .withColumn("sum_trailing_1h", sum(col("v")).over(w).cast(DoubleType))
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        col("n_trailing_1h"), round(col("sum_trailing_1h"), 6).as("sum_trailing_1h"))
+      .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+  }
+
   /** Top-k users by purchase value — filter → group → TakeOrdered. */
   def topPurchasers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.events(s, dir)
