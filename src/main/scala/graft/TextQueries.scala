@@ -115,6 +115,40 @@ object TextQueries {
          |ORDER BY cand.d1, cand.d2""".stripMargin
     }),
 
+    QueryDef("q49_edit_distance", (s, d) => editDistancePairs(s, d), Some {
+      val P = 1073741789L
+      val mins = (0 until 8).map(j =>
+        s"MIN((${operators.Text.mhA(j)} * h + ${operators.Text.mhB(j)}) % $P) AS mh$j")
+        .mkString(", ")
+      s"""WITH $SHINGLES,
+         |shh AS (SELECT doc_id, ${h60("sh")} % $P AS h FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS sig FROM mh
+         |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM mh
+         |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM mh
+         |  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM mh),
+         |cand0 AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |$SIZES,
+         |$INTER,
+         |cand AS (
+         |  SELECT cand0.d1, cand0.d2
+         |  FROM cand0
+         |  LEFT JOIN inter ON inter.d1 = cand0.d1 AND inter.d2 = cand0.d2
+         |  JOIN sizes s1 ON s1.doc_id = cand0.d1
+         |  JOIN sizes s2 ON s2.doc_id = cand0.d2
+         |  WHERE round(COALESCE(n_common, 0)
+         |    / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) >= 0.3)
+         |SELECT d1, d2,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |  CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+         |FROM cand JOIN documents a ON a.doc_id = d1 JOIN documents b ON b.doc_id = d2
+         |ORDER BY d1, d2""".stripMargin
+    }),
+
     QueryDef("q36_simhash", (s, d) => simhash(s, d), Some {
       val votes = (0 until 16).map(b =>
         s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")

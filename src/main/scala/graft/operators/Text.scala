@@ -194,6 +194,24 @@ object Text {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Edit-distance verification of near-dup candidates: Levenshtein
+    * distance computed ONLY for MinHash-LSH candidate pairs — the
+    * character-level confirmation pass of a fuzzy-dedup pipeline. The
+    * O(len²) DP never runs on the full pair space, only on candidates
+    * (at 100 TB: thousands, not quadrillions).
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val cand = minhashLshPairs(s, dir, threshold = 0.3).select(col("d1"), col("d2"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    cand
+      .join(docs.toDF("d1", "t1"), "d1")
+      .join(docs.toDF("d2", "t2"), "d2")
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).cast(LongType).as("edit_dist"),
+        greatest(length(col("t1")), length(col("t2"))).cast(LongType).as("max_len"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** 16-bit SimHash per document over word hashes with multiplicity:
     * bit b is set iff the (+1/−1) vote of all word-hash bits at position b
     * sums positive. Bucket-equal simhashes → near-dup candidates at scale.

@@ -57,10 +57,13 @@ object Tables {
     * parse failure → record dropped, never fails the job).
     * Adds `eventTime` parsed once at ingest (SURVEY §1.1).
     */
-  def userActivityJson(spark: SparkSession, path: String): DataFrame = {
+  def userActivityJson(spark: SparkSession, path: String,
+      multiLine: Boolean = true): DataFrame = {
     val withCorrupt = userActivitySchema.add("_corrupt", StringType)
     spark.read
-      .option("multiLine", "true") // file is a JSON array of objects
+      // multiLine=true for the reference's JSON-array shape; false for
+      // JSONL, where PERMISSIVE parks broken lines in _corrupt per line
+      .option("multiLine", multiLine.toString)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .schema(withCorrupt)

@@ -19,6 +19,14 @@ class UserActivityGoldenSpec extends SparkSpec {
     assert(fixture.filter(col("userId") === "u7").count() === 0)
   }
 
+  test("corrupt JSONL lines are skipped per-line, job never fails (S5 policy)") {
+    val path = getClass.getResource("/user_activity_corrupt.jsonl").getPath
+    val df = sources.Tables.userActivityJson(spark, path, multiLine = false)
+    assert(df.count() === 3)
+    assert(df.select("userId").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("u1", "u3", "u4"))
+  }
+
   test("A1 tumbling 3s registration counts = [1, 3, 2, 0]") {
     val rows = StreamingWindows.tumblingRegistrations(fixture)
       .orderBy(col("start")).collect()
