@@ -31,6 +31,15 @@ object MultimodalQueries {
         |WHERE (i - 1) // 64 < 4
         |ORDER BY doc_id, frame_no""".stripMargin)),
 
+    QueryDef("q53_resize", (s, d) => resize(s, d), Some(
+      """SELECT doc_id,
+        |  CAST(n_chars AS BIGINT) AS orig_bytes,
+        |  CAST((n_chars + 3) // 4 AS BIGINT) AS resized_bytes,
+        |  md5(array_to_string(list_transform(
+        |    generate_series(1, CAST(n_chars AS INT), 4),
+        |    i -> substr(text, i, 1)), '')) AS resized_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q52_byte_histogram", (s, d) => byteHistogram(s, d), Some(
       """SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_bytes
         |FROM (

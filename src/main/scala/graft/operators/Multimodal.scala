@@ -61,6 +61,31 @@ object Multimodal {
       .filter(col("frame_no") < 4)
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** Resize/resample: produce a reduced payload (every `factor`-th byte)
+    * with new metadata + content hash — the image-resize / audio-resample
+    * shape on binary columns. The byte-domain transform is the STUB (a
+    * real pipeline decodes, resamples, re-encodes); the plumbing —
+    * per-partition byte work, no shuffle of payloads, new checksum —
+    * is the production pattern.
+    */
+  def resize(s: SparkSession, dir: String, factor: Int = 4): DataFrame = {
+    import s.implicits._
+    val ds = blobs(s, dir)
+      .select(col("doc_id"), col("source"), col("payload")).as[DocBlob]
+    ds.mapPartitions { it =>
+      it.map { b =>
+        // STUB: real media resize happens here (decode -> scale -> encode)
+        val resized = b.payload.indices.collect {
+          case i if i % factor == 0 => b.payload(i)
+        }.toArray
+        (b.doc_id, b.payload.length.toLong, resized.length.toLong,
+          java.security.MessageDigest.getInstance("MD5").digest(resized)
+            .map("%02x".format(_)).mkString)
+      }
+    }.toDF("doc_id", "orig_bytes", "resized_bytes", "resized_md5")
+      .orderBy(col("doc_id"))
+  }
+
   /** Decode → feature-extract over typed blobs via `mapPartitions`.
     * The decode step is a STUB: a real pipeline would decode
     * image/audio bytes here (libs absent in this container); the
