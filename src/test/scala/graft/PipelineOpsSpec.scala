@@ -123,6 +123,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(totalBytes === totalChars, "ASCII corpus: bytes must equal chars")
   }
 
+  test("near-dup thresholds are monotone: pairs@0.7 is a subset of pairs@0.5") {
+    val loose = Text.minhashLshPairs(spark, sfDir, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strict = Text.minhashLshPairs(spark, sfDir, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(loose))
+  }
+
+  test("sessions conserve events: per-user session counts sum to event counts") {
+    import graft.operators.EventWindows
+    val perUserSessions = EventWindows.sessions(spark, sfDir)
+      .groupBy(col("user_id")).agg(sum(col("n_events")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perUserEvents = sources.Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUserSessions === perUserEvents)
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     val docs = sources.Tables.documents(spark, sfDir)
     val deduped = docs.dropDuplicates("text")

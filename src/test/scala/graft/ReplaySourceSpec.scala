@@ -35,6 +35,28 @@ class ReplaySourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replay pacing edge cases: batch larger than file, and one-by-one") {
+    val big = spark.readStream.format(fmt)
+      .option("path", fixturePath).option("eventsPerBatch", 1000).load()
+    val q1 = big.writeStream.format("memory").queryName("replay_big")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.table("replay_big").count() === 12)
+    } finally q1.stop()
+
+    val one = spark.readStream.format(fmt)
+      .option("path", fixturePath).option("eventsPerBatch", 1).load()
+    val q2 = one.writeStream.format("memory").queryName("replay_one")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("replay_one").count() === 12)
+      assert(q2.recentProgress.count(_.numInputRows > 0) >= 10,
+        "1-per-batch replay must take ~12 micro-batches")
+    } finally q2.stop()
+  }
+
   test("short-name registration resolves via DataSourceRegister") {
     val df = spark.read.format("user-activity-replay")
       .option("path", fixturePath).load()
