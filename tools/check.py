@@ -19,8 +19,10 @@ def canon(rows, cols):
         rr = []
         for i in idx:
             v = r[i]
+            # exact repr compare — round-1 established bit-exact parity,
+            # so any float drift is a real regression, not noise
             if isinstance(v, float):
-                v = round(v, 6) if not math.isnan(v) else 'nan'
+                v = repr(v) if not math.isnan(v) else 'nan'
             rr.append(str(v))
         out.append(tuple(rr))
     return sorted(out), [cols[i] for i in idx]
