@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-throughput benchmark: replays the `events` table through
+  * Structured Streaming (file source, watermarked tumbling aggregation —
+  * the reference's core workload shape) and reports end-to-end rows/sec.
+  * The reference's replay source emits ~10 events/s by design
+  * (FlinkWindowLearning.scala:40); this measures what the same logical
+  * pipeline sustains under Spark's micro-batch engine.
+  *
+  * Prints ONE JSON line: {"metric":"stream_rows_per_sec",...}.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val totalRows = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val stream = streaming.EventStreams.tumblingSignups(spark, sfDir,
+      watermark = "1 hour")
+    val t0 = System.nanoTime()
+    val q = stream.writeStream.format("memory").queryName("sb")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val windows = spark.table("sb").count()
+    q.stop()
+    println(s"""{"metric":"stream_rows_per_sec","value":${totalRows / secs},""" +
+      s""""unit":"rows/sec","rows":$totalRows,"wall_sec":$secs,""" +
+      s""""result_windows":$windows,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

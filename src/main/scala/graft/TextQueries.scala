@@ -208,6 +208,19 @@ object TextQueries {
         |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin)),
 
+    QueryDef("q61_unigram_logprob", (s, d) => unigramLogprob(s, d), Some(
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+        |tot AS (SELECT COUNT(*) AS total FROM t),
+        |logp AS (
+        |  SELECT term, CAST(round(ln(cnt / total), 6) AS DECIMAL(18,6)) AS logp
+        |  FROM freq CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |  round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |FROM t JOIN logp USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q38_lang_id", (s, d) => langIdAgreement(s, d), Some(
       """WITH scored AS (
         |  SELECT lang,

@@ -308,6 +308,27 @@ object Text {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Unigram language-model quality score: average log-probability of a
+    * doc's words under the corpus unigram distribution — the classic
+    * LM-based quality signal (gibberish and boilerplate score low).
+    * Determinism: probabilities are exact int-ratio doubles, each ln()
+    * rounds to 6 dp, and the per-doc sum accumulates DECIMALs.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+    val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    val logp = freq.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("cnt") / col("total")), 6).cast(DecimalType(18, 6)).as("logp"))
+    terms.join(broadcast(logp), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("logp")).cast(DoubleType) / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Marker-word language-ID heuristic vs. the labeled lang column.
     * (The real algorithm: score languages by closed-class marker counts;
     * on this synthetic corpus every doc votes English, which the agreement
