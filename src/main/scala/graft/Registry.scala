@@ -16,9 +16,14 @@ final case class QueryDef(
 
 /** Central inventory — SURVEY.md §2 surface + §7.6 pipeline extensions. */
 object Registry {
-  def all: Seq[QueryDef] =
-    RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
+  def all: Seq[QueryDef] = {
+    val defs = RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
       VectorQueries.defs ++ MultimodalQueries.defs
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate query names would silently drop entries: ${dups.mkString(", ")}")
+    defs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
