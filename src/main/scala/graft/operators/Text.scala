@@ -118,7 +118,11 @@ object Text {
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsOf(shingles(s, dir), threshold)
 
-  /** Same operator over an arbitrary (doc_id, sh) shingle set. */
+  /** Same operator over an arbitrary (doc_id, sh) shingle set.
+    * (A posting-list pair-expansion variant benchmarked identically —
+    * the cost is the quadratic pair aggregation itself, so the simpler
+    * codegen-friendly self-join stays.)
+    */
   def ngramJaccardPairsOf(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("d1", "sh")
