@@ -200,6 +200,27 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("update mode re-emits only changed windows per micro-batch") {
+    import spark.implicits._
+    val mem = MemoryStream[UserActivity](spark)
+    val df = mem.toDF().withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = StreamingWindows.tumblingRegistrations(df)
+      .writeStream.format("memory").queryName("upd_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def ev(sec: Int) = UserActivity("u", "register", f"2025-08-03T13:00:$sec%02dZ")
+      mem.addData(Seq(ev(1))); q.processAllAvailable()
+      val afterB1 = spark.table("upd_stream").count()
+      // second batch touches the SAME window -> exactly one more update row
+      mem.addData(Seq(ev(2))); q.processAllAvailable()
+      val rows = spark.table("upd_stream").collect()
+        .map(r => (r.getTimestamp(0).toInstant.getEpochSecond % 60, r.getLong(2)))
+      assert(afterB1 === 1L)
+      assert(rows.length === 2, "update mode appends one changed-window row per batch")
+      assert(rows.toSet === Set((0L, 1L), (0L, 2L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("keyed count-trigger keeps independent per-activity counters") {
     import spark.implicits._
     val ds = fixture.select(col("userId"), col("activity"), col("timestamp"))
