@@ -199,13 +199,13 @@ object TextQueries {
         |n AS (SELECT COUNT(*) AS n FROM documents),
         |s AS (
         |  SELECT tf.doc_id, tf.term,
-        |    round((cnt / len) * round(ln(n / df), 6), 6) AS tfidf
+        |    (cnt * CAST(round(ln(n / df) * 1000000) AS BIGINT)) // len AS tfidf_micro
         |  FROM tf JOIN len USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
         |r AS (
         |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |    PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS BIGINT) AS rnk
         |  FROM s)
-        |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+        |SELECT doc_id, rnk, term, tfidf_micro FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin)),
 
     QueryDef("q61_unigram_logprob", (s, d) => unigramLogprob(s, d), Some(
@@ -214,10 +214,12 @@ object TextQueries {
         |freq AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
         |tot AS (SELECT COUNT(*) AS total FROM t),
         |logp AS (
-        |  SELECT term, CAST(round(ln(cnt / total), 6) AS DECIMAL(18,6)) AS logp
+        |  SELECT term,
+        |    CAST(round(-ln(cnt / total) * 1000000) AS BIGINT) AS surprisal_micro
         |  FROM freq CROSS JOIN tot)
         |SELECT doc_id, COUNT(*) AS n_words,
-        |  round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |  CAST(SUM(surprisal_micro) AS BIGINT) AS sum_surprisal_micro,
+        |  CAST(SUM(surprisal_micro) AS BIGINT) // COUNT(*) AS avg_surprisal_micro
         |FROM t JOIN logp USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 

@@ -300,15 +300,20 @@ object Text {
     val len = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
     val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    // integer micro-units: Spark rounds doubles through exact BigDecimal
+    // while DuckDB rounds through float math — near a 6dp boundary they
+    // can disagree by 1 ulp (observed at sf0.1). idf in micro-nats and a
+    // floor-divided product keep every step exact 64-bit integer math.
     val scored = tf.join(len, "doc_id").join(broadcast(df), "term")
       .crossJoin(broadcast(n))
-      .withColumn("tfidf",
-        round((col("cnt") / col("len")) * round(log(col("n") / col("df")), 6), 6))
+      .withColumn("idf_micro",
+        round(log(col("n") / col("df")) * 1e6).cast(LongType))
+      .withColumn("tfidf_micro", expr("(cnt * idf_micro) div len"))
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
+      .orderBy(col("tfidf_micro").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf_micro"))
       .orderBy(col("doc_id"), col("rnk"))
   }
 
@@ -323,13 +328,19 @@ object Text {
       .select(col("doc_id"), explode(words).as("term"))
     val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = terms.agg(count(lit(1)).as("total"))
+    // surprisal in integer micro-nats (−ln p ≥ 0): per-term rounding is
+    // the only float step; sums and the floor-divided mean stay exact
+    // 64-bit integers on any engine (see tfidfTop for why)
     val logp = freq.crossJoin(broadcast(total))
       .select(col("term"),
-        round(log(col("cnt") / col("total")), 6).cast(DecimalType(18, 6)).as("logp"))
+        round(-log(col("cnt") / col("total")) * 1e6).cast(LongType)
+          .as("surprisal_micro"))
     terms.join(broadcast(logp), "term")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
-        round(sum(col("logp")).cast(DoubleType) / count(lit(1)), 6).as("avg_logprob"))
+        sum(col("surprisal_micro")).as("sum_surprisal_micro"))
+      .withColumn("avg_surprisal_micro",
+        expr("sum_surprisal_micro div n_words"))
       .orderBy(col("doc_id"))
   }
 
