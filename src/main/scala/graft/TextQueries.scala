@@ -223,6 +223,11 @@ object TextQueries {
         |FROM t JOIN logp USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q62_hash_sample", (s, d) => hashSample(s, d), Some(
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN ${h60("text")} % 100 < 10 THEN 1 ELSE 0 END) AS n_sampled
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("q38_lang_id", (s, d) => langIdAgreement(s, d), Some(
       """WITH scored AS (
         |  SELECT lang,

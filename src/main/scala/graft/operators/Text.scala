@@ -344,6 +344,19 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic stratified sampling by content hash: keep docs whose
+    * 60-bit text hash falls under `pct`% — reproducible on any engine,
+    * any partitioning, any run (unlike RNG-based sampling), and stable
+    * under re-ingestion because the key is content, not position.
+    * Reports per-language kept/total so sampling skew is visible.
+    */
+  def hashSample(s: SparkSession, dir: String, pct: Int = 10): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("kept", (hash60(col("text")) % 100 < pct).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_sampled"))
+      .orderBy(col("lang"))
+
   /** Marker-word language-ID heuristic vs. the labeled lang column.
     * (The real algorithm: score languages by closed-class marker counts;
     * on this synthetic corpus every doc votes English, which the agreement
