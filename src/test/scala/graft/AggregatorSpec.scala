@@ -30,6 +30,14 @@ class AggregatorSpec extends SparkSpec {
     assert(typed("u1") === 1L)
   }
 
+  test("GraftExtensions registers float_dot as a SQL-callable function") {
+    val v = spark.sql(
+      "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))")
+      .collect().head.getDouble(0)
+    assert(v === 9.0)
+  }
+
   test("udaf participates in partial aggregation (multi-partition input)") {
     import spark.implicits._
     val big = (1 to 1000).map(i =>
