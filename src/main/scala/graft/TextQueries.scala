@@ -223,6 +223,25 @@ object TextQueries {
         |FROM t JOIN logp USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("q63_incremental_dedup", (s, d) => incrementalDedup(s, d), Some(
+      s"""WITH fp AS (
+         |  SELECT doc_id, MIN(${h60("g")}) AS fpr
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(text)-7), i -> substr(text, i, 8))) AS g
+         |    FROM documents WHERE n_chars >= 8)
+         |  GROUP BY doc_id),
+         |corpus_h AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE source = 'src0'),
+         |corpus_fp AS (
+         |  SELECT DISTINCT fpr FROM documents JOIN fp USING (doc_id)
+         |  WHERE source = 'src0')
+         |SELECT source, COUNT(*) AS n_new
+         |FROM documents d JOIN fp USING (doc_id)
+         |WHERE source != 'src0'
+         |  AND md5(text) NOT IN (SELECT h FROM corpus_h)
+         |  AND fpr NOT IN (SELECT fpr FROM corpus_fp)
+         |GROUP BY source ORDER BY source""".stripMargin)),
+
     QueryDef("q62_hash_sample", (s, d) => hashSample(s, d), Some(
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  SUM(CASE WHEN ${h60("text")} % 100 < 10 THEN 1 ELSE 0 END) AS n_sampled

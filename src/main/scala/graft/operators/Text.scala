@@ -344,6 +344,29 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup: new arrivals (all sources but src0) checked
+    * against the existing corpus (src0) — survivors are docs whose exact
+    * content hash AND whose min-sampling fingerprint are both unseen.
+    * The anti-joins are the daily-ingest dedup shape: the corpus side is
+    * a hash/fingerprint index, never the full text.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("h", md5(col("text").cast(BinaryType)))
+    val corpus = docs.filter(col("source") === "src0")
+    val arrivals = docs.filter(col("source") =!= "src0")
+    val fp = fingerprint(s, dir).withColumnRenamed("fingerprint", "fpr")
+    val corpusFp = corpus.select(col("doc_id")).join(fp, "doc_id")
+      .select(col("fpr")).distinct()
+    val survivors = arrivals
+      .join(corpus.select(col("h")).distinct(), Seq("h"), "left_anti")
+      .join(fp, "doc_id")
+      .join(broadcast(corpusFp), Seq("fpr"), "left_anti")
+    survivors.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic stratified sampling by content hash: keep docs whose
     * 60-bit text hash falls under `pct`% — reproducible on any engine,
     * any partitioning, any run (unlike RNG-based sampling), and stable
