@@ -242,6 +242,27 @@ object TextQueries {
          |  AND fpr NOT IN (SELECT fpr FROM corpus_fp)
          |GROUP BY source ORDER BY source""".stripMargin)),
 
+    QueryDef("q64_bm25", (s, d) => bm25Top(s, d), Some(
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |len AS (SELECT doc_id, COUNT(*) AS len FROM t GROUP BY 1),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS ndocs,
+        |         (SELECT COUNT(*) FROM t) AS total),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (CAST(round(ln(ndocs / df) * 1000000) AS BIGINT) * 22 * cnt * total)
+        |      // (10 * total * cnt + 3 * total + 9 * len * ndocs) AS bm25_micro
+        |  FROM tf JOIN len USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY bm25_micro DESC, term) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk, term, bm25_micro FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin)),
+
     QueryDef("q62_hash_sample", (s, d) => hashSample(s, d), Some(
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  SUM(CASE WHEN ${h60("text")} % 100 < 10 THEN 1 ELSE 0 END) AS n_sampled

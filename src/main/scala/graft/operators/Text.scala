@@ -380,6 +380,35 @@ object Text {
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_sampled"))
       .orderBy(col("lang"))
 
+  /** BM25 top-3 terms per document (k1=1.2, b=0.75). All arithmetic is
+    * exact 64-bit integer rationals: the constants clear to integers by
+    * scaling numerator and denominator by 10·total_tokens, and idf uses
+    * the micro-nat trick — no cross-engine float drift anywhere.
+    *   score = idf · tf(k1+1) / (tf + k1(1−b+b·len/avglen))
+    *         = idf_micro · 22·tf·total // (10·total·tf + 3·total + 9·len·N)
+    */
+  def bm25Top(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val len = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("ndocs")).crossJoin(terms.agg(count(lit(1)).as("total")))
+    val scored = tf.join(len, "doc_id").join(broadcast(df), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_micro",
+        round(log(col("ndocs") / col("df")) * 1e6).cast(LongType))
+      .withColumn("bm25_micro", expr(
+        "(idf_micro * 22 * cnt * total) div (10 * total * cnt + 3 * total + 9 * len * ndocs)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bm25_micro").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("bm25_micro"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Marker-word language-ID heuristic vs. the labeled lang column.
     * (The real algorithm: score languages by closed-class marker counts;
     * on this synthetic corpus every doc votes English, which the agreement
