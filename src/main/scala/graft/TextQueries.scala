@@ -32,7 +32,7 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q30_lang_stats", (s, d) => langStats(s, d), Some(
       """SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  round(SUM(n_chars) / COUNT(*), 6) AS avg_chars,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
@@ -43,7 +43,7 @@ object TextQueries {
         |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
         |  FROM (SELECT lang, n_chars, string_split(text, ' ') AS w FROM documents))
         |SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(n_words) AS total_words,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
         |  round(SUM(n_words) / COUNT(*), 6) AS avg_words,
         |  round((SUM(n_chars) - (SUM(n_words) - COUNT(*))) / SUM(n_words), 6) AS avg_word_len,
         |  round(SUM(n_stop) / SUM(n_words), 6) AS stopword_ratio
@@ -56,7 +56,8 @@ object TextQueries {
         |    len(list_filter(string_split_regex(text, '[^a-z]+'), x -> x != '')) AS n_re
         |  FROM documents),
         |counts AS (
-        |  SELECT lang, SUM(n_ws) AS n_tokens_ws, SUM(n_re) AS n_tokens_re
+        |  SELECT lang, CAST(SUM(n_ws) AS BIGINT) AS n_tokens_ws,
+        |    CAST(SUM(n_re) AS BIGINT) AS n_tokens_re
         |  FROM per_doc GROUP BY lang),
         |vocab AS (
         |  SELECT lang, COUNT(DISTINCT tok) AS n_distinct_tokens
@@ -265,7 +266,7 @@ object TextQueries {
 
     QueryDef("q62_hash_sample", (s, d) => hashSample(s, d), Some(
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(CASE WHEN ${h60("text")} % 100 < 10 THEN 1 ELSE 0 END) AS n_sampled
+         |  CAST(SUM(CASE WHEN ${h60("text")} % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef("q38_lang_id", (s, d) => langIdAgreement(s, d), Some(

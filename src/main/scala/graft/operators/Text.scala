@@ -266,7 +266,8 @@ object Text {
           .when(col("n_words") > 90, "too_long")
           .when(col("stop_ratio") > 0.12, "stopword_heavy"))
       .filter(col("reason").isNotNull)
-      .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"),
+      .select(col("doc_id"), col("lang"),
+        col("n_words").cast("long").as("n_words"), col("stop_ratio"),
         col("reason"))
       .orderBy(col("doc_id"))
 
