@@ -12,11 +12,14 @@ object VectorQueries {
 
   private val NSQ = "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
 
+  /** Fixed KNN query-id set — mirrors [[graft.operators.Vectors.KnnQueryIds]]. */
+  private val QIDS = graft.operators.Vectors.KnnQueryIds.mkString("(", ", ", ")")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", (s, d) => knnBrute(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
-         |q AS (SELECT vec_id AS qid, e AS qe, nsq AS qn FROM base WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS qid, e AS qe, nsq AS qn FROM base WHERE vec_id IN $QIDS),
          |scored AS (
          |  SELECT qid, vec_id AS neighbor_id,
          |    list_dot_product(qe, e) / sqrt(qn * nsq) AS cos
@@ -95,7 +98,7 @@ object VectorQueries {
          |    FROM ascored) WHERE rnk = 1),
          |ext AS (SELECT base.vec_id, e, nsq, cid FROM base JOIN assign USING (vec_id)),
          |q AS (SELECT vec_id AS qid, e AS qe, nsq AS qn, cid FROM ext
-         |      WHERE vec_id % 50 = 0),
+         |      WHERE vec_id IN $QIDS),
          |scored AS (
          |  SELECT qid, c.vec_id AS neighbor_id,
          |    list_dot_product(qe, c.e) / sqrt(qn * c.nsq) AS cos

@@ -39,13 +39,21 @@ object Vectors {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nsq", dot("embedding", "embedding"))
 
-  /** Brute-force cosine top-k for every 50th vector as a query point:
-    * broadcast the (small) query side, score all candidates, keep the
-    * top-k per query via rank over (cosine desc, id).
+  /** The declared KNN query set: a FIXED list of ids, so the scored-pair
+    * count is O(|Q|·N) with |Q| constant at any corpus scale (a query side
+    * defined as a fraction of the corpus — e.g. `vec_id % 50 == 0` —
+    * degrades to O(N²/50) at 100 TB). [[ivfKnn]] probes the same set, so
+    * the brute form doubles as its recall oracle.
+    */
+  val KnnQueryIds: Seq[Long] = (0L until 1000L by 50L).toSeq // |Q| = 20
+
+  /** Brute-force cosine top-k over a fixed query-id set: broadcast the
+    * (constant-size) query side, score all candidates, keep the top-k per
+    * query via rank over (cosine desc, id).
     */
   def knnBrute(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
-    val q = base.filter(col("vec_id") % 50 === 0)
+    val q = base.filter(col("vec_id").isin(KnnQueryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
     val c = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       col("nsq").as("cn"))
@@ -75,15 +83,82 @@ object Vectors {
       )
       .orderBy(col("label"))
 
-  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold; 0.4 captures the top pair tail of this corpus). Brute-force
-    * self-join scores all pairs once (id1 < id2); at scale the identical
-    * plan runs per-LSH-bucket (see [[lshBuckets]]) instead of globally.
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold; 0.4 captures
+    * the top pair tail of this corpus), EXACT — provably the same output
+    * as a brute-force all-pairs scan — but planned as equi-joins with a
+    * cell-pair pruning bound instead of a nested-loop cross join:
+    *
+    *  1. assign every vector to its nearest of `cells` coarse centroids
+    *     (vec_id < cells, broadcast), keeping the angle θ(x, cell(x));
+    *  2. per-cell radius rᵢ = max θ — O(cells) metadata;
+    *  3. a pair from cells (i,j) can only reach angle ≤ θ_t if
+    *     θ(cᵢ,cⱼ) ≤ θ_t + rᵢ + rⱼ (spherical triangle inequality), so
+    *     only those cell pairs are joined — an exact bound: no pair at
+    *     the threshold can be lost, whatever the data layout;
+    *  4. candidate ids join back to embeddings (hash joins on high-
+    *     cardinality ids) for the exact cosine + threshold verify.
+    *
+    * On clustered corpora (the 100 TB near-dup case) the bound prunes
+    * most of the cells² pair space; on isotropic data it degrades to
+    * all cell pairs — the same total work as brute force but distributed
+    * as a hash join on (cell, block) keys rather than a single
+    * BroadcastNestedLoopJoin. `blocks` sub-salts the join key so
+    * parallelism is cells·blocks, not cells.
     */
-  def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
+      cells: Int = 8, blocks: Int = 8): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
+    // round(cos,6) >= t keeps raw cos >= t - 5e-7; acos is then padded
+    // against double rounding — slack only ever ADMITS extra candidates
+    val thetaT = math.acos(threshold - 1e-6) + 1e-6
+
+    val cent = base.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nsq").as("cn"))
+
+    // nearest-centroid assignment; the bound in step 3 is valid for
+    // WHATEVER cell a vector lands in, so argmax ties are output-safe
+    val assign = base.select(col("vec_id"), col("embedding"), col("nsq"))
+      .join(broadcast(cent))
+      .withColumn("ccos", cosine(dot("embedding", "ce"), col("nsq"), col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("ccos")), col("ccos")).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        acos(least(greatest(col("m.ccos"), lit(-1.0)), lit(1.0))).as("theta"))
+
+    val radii = assign.groupBy(col("cid")).agg(max(col("theta")).as("r"))
+
+    // cells × cells literal grid; every join against it is O(cells²)
+    // broadcast metadata — no O(N) work and no driver-side collect
+    val grid = s.range(1).select(explode(array(
+      (for { i <- 0 until cells; j <- 0 until cells }
+        yield struct(lit(i.toLong).as("ci"), lit(j.toLong).as("cj"))): _*)).as("p"))
+      .select(col("p.ci").as("ci"), col("p.cj").as("cj"))
+    val compat = grid
+      .join(broadcast(cent.select(col("cid").as("ci"), col("ce").as("cei"),
+        col("cn").as("cni"))), "ci")
+      .join(broadcast(cent.select(col("cid").as("cj"), col("ce").as("cej"),
+        col("cn").as("cnj"))), "cj")
+      .withColumn("theta_c", acos(least(greatest(
+        cosine(dot("cei", "cej"), col("cni"), col("cnj")), lit(-1.0)), lit(1.0))))
+      .join(broadcast(radii.select(col("cid").as("ci"), col("r").as("ri"))), "ci")
+      .join(broadcast(radii.select(col("cid").as("cj"), col("r").as("rj"))), "cj")
+      .filter(col("theta_c") <= lit(thetaT) + col("ri") + col("rj") + lit(1e-6))
+      .select(col("ci"), col("cj"))
+
+    // candidate pairs: slim (id, cell) rows equi-joined on (cell, block)
+    val left = assign.select(col("vec_id").as("id1"), col("cid").as("ci"))
+      .join(broadcast(compat), "ci")
+      .withColumn("blk", explode(array((0 until blocks).map(b => lit(b.toLong)): _*)))
+      .select(col("id1"), col("cj"), col("blk"))
+    val right = assign.select(col("vec_id").as("id2"), col("cid").as("cj"),
+      pmod(col("vec_id"), lit(blocks.toLong)).as("blk"))
+    val pairs = left.join(right, Seq("cj", "blk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+
     val a = base.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nsq").as("n1"))
     val b = base.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nsq").as("n2"))
-    a.join(b, col("id1") < col("id2"))
+    pairs.join(a, "id1").join(b, "id2")
       .withColumn("cos", round(cosine(dot("e1", "e2"), col("n1"), col("n2")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
@@ -105,15 +180,24 @@ object Vectors {
       .orderBy(col("bucket"))
   }
 
-  /** Sign bit of the dot product with deterministic LCG hyperplane
-    * `j`, as a power-of-two contribution (shared formula with the
-    * oracle).
+  /** Deterministic LCG hyperplane `j` materialized as a 64-float literal
+    * array (components are integers in [-1000, 1000], exact in float).
+    */
+  private def planeVec(j: Int): Column =
+    array((0 until 64).map { i =>
+      lit(((1103515245L * (j * 64 + i) + 12345) % 2001 - 1000).toFloat)
+    }: _*)
+
+  /** Sign bit of the dot product with deterministic LCG hyperplane `j`,
+    * as a power-of-two contribution (shared formula with the oracle).
+    * Evaluated through the codegen'd `float_dot` — the plane is a literal
+    * column, so the projection stays inside whole-stage codegen instead
+    * of running one interpreted higher-order lambda per plane per row.
+    * Bit-parity with the oracle's fold: each float widens to double
+    * exactly and both reduce left-to-right.
     */
   private def planeBit(j: Int, weight: Long): Column = {
-    val d = expr(
-      s"aggregate(sequence(0, size(embedding)-1), CAST(0 AS DOUBLE), (acc, i) -> " +
-        s"acc + CAST(element_at(embedding, i+1) AS DOUBLE) * " +
-        s"CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE))")
+    val d = call_function("float_dot", col("embedding"), planeVec(j))
     when(d >= 0, lit(weight)).otherwise(lit(0L))
   }
 
@@ -189,7 +273,7 @@ object Vectors {
     val assign = ivfAssignments(s, dir).select(col("vec_id"), col("cid"))
     val base = withNorm(Tables.embeddings(s, dir))
       .join(assign, "vec_id")
-    val q = base.filter(col("vec_id") % 50 === 0)
+    val q = base.filter(col("vec_id").isin(KnnQueryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nsq").as("qn"), col("cid"))
     val c = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),

@@ -68,6 +68,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf === 500L)
   }
 
+  test("cell-pair-pruned near-dup output == brute-force all-pairs, bitwise") {
+    val pruned = Vectors.embedNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = sources.Tables.embeddings(spark, sfDir)
+      .withColumn("nsq", Vectors.dot("embedding", "embedding"))
+    val a = base.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("nsq").as("n1"))
+    val b = base.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("nsq").as("n2"))
+    val brute = a.join(b, col("id1") < col("id2"))
+      .withColumn("cos",
+        round(Vectors.dot("e1", "e2") / sqrt(col("n1") * col("n2")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("id1"), col("id2"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture corpus must contain near-dup pairs")
+    assert(pruned === brute,
+      s"missed=${(brute -- pruned).take(5)} invented=${(pruned -- brute).take(5)}")
+  }
+
   test("LSH-bucketed near-dup: exact precision, measured recall vs brute force") {
     val exact = Vectors.embedNearDup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -46,4 +46,27 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("aggregate(zip_with"),
       "hot path must not fall back to higher-order functions")
   }
+
+  test("q42: pair generation is an equi-join, never an N×N nested loop") {
+    val plan = formatted("q42_embed_neardup")
+    assert(!plan.contains("CartesianProduct"))
+    // The only nested-loop joins allowed are the deliberate O(cells)
+    // centroid expansions (unconditioned, broadcast side = `vec_id < 8`
+    // rows). The round-1 antipattern — BNLJ with an id inequality as the
+    // join condition, i.e. an N×N pair loop — must not reappear.
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(bnlj.forall(l => !l.contains("<")),
+      s"N×N nested-loop pair join found: $bnlj")
+    assert(plan.contains("Join") && plan.contains("hashpartitioning"),
+      "candidate pairs must come from a shuffled equi-join")
+  }
+
+  test("q43/q45 plane projections stay in codegen (no interpreted lambdas)") {
+    Seq("q43_lsh_buckets", "q45_lsh_neardup").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("float_dot"), s"$q must use float_dot planes")
+      assert(!plan.contains("aggregate(sequence"),
+        s"$q must not evaluate interpreted per-plane lambdas")
+    }
+  }
 }
