@@ -86,22 +86,40 @@ object EventWindows {
     * sample). Batch equivalent: order events globally, emit the running
     * signup count at every 5th row.
     *
-    * Scale note: a single global count-trigger is inherently sequential
-    * (parallelism-1 in Flink's windowAll too). The analytic-window form
-    * below is the honest batch expression; the streaming form
-    * (flatMapGroupsWithState) processes per-key at scale.
+    * The global running count is a distributed two-pass prefix sum, NOT a
+    * single-partition Window sort (which moves every event to one task):
+    *  1. events land in hour buckets — monotone in the global sort key
+    *     (ts, event_id), so per-bucket order + bucket offsets == global
+    *     order. Running counts within a bucket are an ordinary
+    *     partitioned Window;
+    *  2. per-bucket totals (one row per hour) get exclusive prefix sums
+    *     via an unpartitioned Window over O(hours) rows — bounded by the
+    *     corpus time span, never by event count — and broadcast back.
+    * (Flink's windowAll is parallelism-1; this form is what it can't do.)
     */
   def countTrigger(s: SparkSession, dir: String, every: Int = 5): DataFrame = {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("ts"), col("event_id"), col("event_type"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cum_signups",
-        sum(when(col("event_type") === "signup", 1L).otherwise(0L))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("event_id"),
+        when(col("event_type") === "signup", 1L).otherwise(0L).as("is_signup"))
+      .withColumn("bkt", expr("unix_millis(ts) div 3600000"))
+    // tiny side: one row per hour bucket, exclusive running offsets
+    val wb = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n"), sum(col("is_signup")).as("sg"))
+      .select(col("bkt"),
+        coalesce(sum(col("n")).over(wb), lit(0L)).as("row_off"),
+        coalesce(sum(col("sg")).over(wb), lit(0L)).as("sig_off"))
+    // big side: running counts inside each bucket, then add the offsets
+    val wi = Window.partitionBy(col("bkt")).orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("rn_in", row_number().over(wi))
+      .withColumn("cum_in",
+        sum(col("is_signup")).over(wi.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("rn", col("row_off") + col("rn_in"))
       .filter(col("rn") % every === 0)
       .select((col("rn") / every).cast(LongType).as("fire_seq"),
-        col("cum_signups"))
+        (col("sig_off") + col("cum_in")).as("cum_signups"))
       .orderBy(col("fire_seq"))
   }
 

@@ -118,18 +118,48 @@ object Text {
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsOf(shingles(s, dir), threshold)
 
-  /** Same operator over an arbitrary (doc_id, sh) shingle set.
-    * (A posting-list pair-expansion variant benchmarked identically —
-    * the cost is the quadratic pair aggregation itself, so the simpler
-    * codegen-friendly self-join stays.)
+  /** Same operator over an arbitrary (doc_id, sh) shingle set, with the
+    * similarity-join-literature PREFIX FILTER (Chaudhuri SSJoin /
+    * Bayardo all-pairs / Xiao ppjoin) pruning the pair space without
+    * changing the result:
+    *
+    * Order every doc's shingles by one global total order (ascending
+    * corpus frequency, shingle text as tie-break — rarest first). If
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and by the prefix-filter lemma the
+    * first |A|−⌈t·|A|⌉+1 shingles of A and the first |B|−⌈t·|B|⌉+1 of B
+    * must share an element. So the candidate join runs over per-doc
+    * PREFIXES only — provably no lost pairs — and because hot
+    * (boilerplate) shingles sort last they drop out of prefixes, which
+    * both prunes candidates and bounds the hot-shingle quadratic skew at
+    * 100 TB. Exact verification then counts common shingles for
+    * candidate pairs alone.
+    *
+    * The prefix length uses exact integer arithmetic in micro-units
+    * (⌈t'·n⌉ = (t'·10⁶·n + 10⁶−1) div 10⁶ with t' = t−10⁻⁶, generous for
+    * the 6-dp rounded verify) — no float-boundary risk.
     */
   def ngramJaccardPairsOf(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("d1", "sh")
-    val b = sh.toDF("d2", "sh")
-    val inter = a.join(b, "sh").filter(col("d1") < col("d2"))
+    val tMicro = math.round(threshold * 1e6) - 1
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
+    val pref = sh.join(freq, "sh")
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <=
+        expr(s"n_sh - (($tMicro * n_sh + 999999) div 1000000) + 1"))
+      .select(col("doc_id"), col("sh"))
+    val cand = pref.toDF("d1", "sh").join(pref.toDF("d2", "sh"), "sh")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    // exact-Jaccard verify touches only candidate docs' shingles
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), "doc_id")
+    val inter = shCand.toDF("d1", "sh").join(shCand.toDF("d2", "sh"), "sh")
+      .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
-    inter
+    cand.join(inter, Seq("d1", "d2"))
       .join(sizes.toDF("d1", "s1"), "d1")
       .join(sizes.toDF("d2", "s2"), "d2")
       .withColumn("jaccard",
@@ -237,15 +267,16 @@ object Text {
 
   /** Min-sampling document fingerprint: minimum [[hash60]] over all
     * 8-char rolling character shingles (winnowing-style content id that
-    * survives small edits, unlike a whole-document hash).
+    * survives small edits, unlike a whole-document hash). Computed by the
+    * codegen'd one-pass `min_gram_hash60` expression — zero row
+    * expansion, no shuffle (the explode+groupBy form blows each doc into
+    * n_chars rows first; see [[graft.functions.MinGramHash60]]).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .filter(col("n_chars") >= 8)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, length(text)-8), i -> substring(text, i+1, 8))")).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(min(hash60(col("g"))).as("fingerprint"))
+        call_function("min_gram_hash60", col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   /** Per-document quality filter — the training-data cleaning shape:

@@ -61,6 +61,16 @@ class PlanAssertionsSpec extends SparkSpec {
       "candidate pairs must come from a shuffled equi-join")
   }
 
+  test("q24 count-trigger: running count over events is bucket-partitioned") {
+    val plan = formatted("q24_count_trigger")
+    // the O(N) windows must be partitioned by the hour bucket; the only
+    // unpartitioned window runs over the O(hours) bucket summary
+    assert("windowspecdefinition\\(bkt#\\d+L?,".r.findFirstIn(plan).isDefined,
+      "event-side running counts must partition by bkt")
+    assert("windowspecdefinition\\(ts#\\d+".r.findFirstIn(plan).isEmpty,
+      "global single-partition sort over raw events must not reappear")
+  }
+
   test("q43/q45 plane projections stay in codegen (no interpreted lambdas)") {
     Seq("q43_lsh_buckets", "q45_lsh_neardup").foreach { q =>
       val plan = formatted(q)
