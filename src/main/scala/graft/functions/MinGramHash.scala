@@ -65,21 +65,41 @@ object MinGramHash60 {
     val n = s.numChars()
     if (n < GramLen) return Long.MaxValue
     val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](16)
     var best = Long.MaxValue
-    var i = 0
-    while (i <= n - GramLen) {
-      // code-point substring — same semantics as Spark's substring()
-      val d = md.digest(s.substring(i, i + GramLen).getBytes)
-      // first 15 hex chars of md5 = bytes 0..6 plus the high nibble of
-      // byte 7 — exactly conv(substr(md5_hex,1,15),16,10)
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xFF); b += 1 }
-      v = (v << 4) | ((d(7) & 0xFF) >>> 4)
-      if (v < best) best = v
-      md.reset()
-      i += 1
+    if (s.numBytes() == n) {
+      // ASCII fast path (bytes == code points): window over the raw byte
+      // array with zero per-gram allocation — the scan-stage hot loop
+      val bytes = s.getBytes
+      var i = 0
+      while (i <= n - GramLen) {
+        md.update(bytes, i, GramLen)
+        md.digest(out, 0, 16)
+        val v = fold60(out)
+        if (v < best) best = v
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i <= n - GramLen) {
+        // code-point substring — same semantics as Spark's substring()
+        val d = md.digest(s.substring(i, i + GramLen).getBytes)
+        val v = fold60(d)
+        if (v < best) best = v
+        md.reset()
+        i += 1
+      }
     }
     best
+  }
+
+  /** First 15 hex chars of md5 = bytes 0..6 plus the high nibble of
+    * byte 7 — exactly conv(substr(md5_hex,1,15),16,10).
+    */
+  private def fold60(d: Array[Byte]): Long = {
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xFF); b += 1 }
+    (v << 4) | ((d(7) & 0xFF) >>> 4)
   }
 }

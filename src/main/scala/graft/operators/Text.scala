@@ -118,27 +118,54 @@ object Text {
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     ngramJaccardPairsOf(shingles(s, dir), threshold)
 
-  /** Same operator over an arbitrary (doc_id, sh) shingle set, with the
-    * similarity-join-literature PREFIX FILTER (Chaudhuri SSJoin /
-    * Bayardo all-pairs / Xiao ppjoin) pruning the pair space without
-    * changing the result:
+  /** Same operator over an arbitrary (doc_id, sh) shingle set.
     *
-    * Order every doc's shingles by one global total order (ascending
-    * corpus frequency, shingle text as tie-break — rarest first). If
-    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and by the prefix-filter lemma the
-    * first |A|−⌈t·|A|⌉+1 shingles of A and the first |B|−⌈t·|B|⌉+1 of B
-    * must share an element. So the candidate join runs over per-doc
-    * PREFIXES only — provably no lost pairs — and because hot
-    * (boilerplate) shingles sort last they drop out of prefixes, which
-    * both prunes candidates and bounds the hot-shingle quadratic skew at
-    * 100 TB. Exact verification then counts common shingles for
-    * candidate pairs alone.
-    *
-    * The prefix length uses exact integer arithmetic in micro-units
-    * (⌈t'·n⌉ = (t'·10⁶·n + 10⁶−1) div 10⁶ with t' = t−10⁻⁶, generous for
-    * the 6-dp rounded verify) — no float-boundary risk.
+    * The pair join is hinted SHUFFLE_HASH: sort-merge on ~25-char string
+    * keys spends its time sorting strings (measured 5.3 s vs 2.1 s at
+    * sf0.1 for identical output); hashing them is strictly cheaper, and
+    * the per-partition build side is one shingle posting list — bounded,
+    * never the corpus. (Two pruning variants were measured and rejected
+    * on this corpus: posting-list pair expansion — r1, no gain — and the
+    * SSJoin/ppjoin prefix filter, kept as [[ngramJaccardPairsPrefix]],
+    * which left 409 k of 600 k pairs as candidates here and doubled the
+    * runtime. Hot-shingle skew at scale is handled by AQE skew-join
+    * splitting; a boilerplate-heavy corpus would flip the decision back
+    * to the prefix filter.)
     */
   def ngramJaccardPairsOf(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("d1", "sh").hint("SHUFFLE_HASH")
+    val b = sh.toDF("d2", "sh").hint("SHUFFLE_HASH")
+    val inter = a.join(b, "sh").filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("d1", "s1"), "d1")
+      .join(sizes.toDF("d2", "s2"), "d2")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** PREFIX-FILTERED variant (Chaudhuri SSJoin / Bayardo all-pairs /
+    * Xiao ppjoin): order every doc's shingles by one global total order
+    * (ascending corpus frequency, shingle as tie-break — rarest first);
+    * if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so by the prefix-filter lemma
+    * the first |A|−⌈t·|A|⌉+1 shingles of A and first |B|−⌈t·|B|⌉+1 of B
+    * must intersect, and the candidate join can run over prefixes alone
+    * — provably no lost pairs (spec-asserted equal to
+    * [[ngramJaccardPairsOf]]). Prefix lengths use exact integer
+    * micro-unit arithmetic (no float-boundary risk).
+    *
+    * This is the right shape when boilerplate shingles create quadratic
+    * hot keys (they sort last and fall out of prefixes). On THIS corpus
+    * it was measured 2× slower than the direct join — shared shingles
+    * are spread evenly, so 409 k of 600 k pairs stayed candidates while
+    * the frequency join + per-doc window added two extra shuffles —
+    * which is why the declared q34 uses the direct form.
+    */
+  def ngramJaccardPairsPrefix(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val tMicro = math.round(threshold * 1e6) - 1
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
@@ -214,7 +241,10 @@ object Text {
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     val shCand = sh.join(broadcast(candDocs), "doc_id")
     val sizes = mh.select(col("doc_id"), col("n_sh"))
-    val inter = shCand.toDF("d1", "sh").join(shCand.toDF("d2", "sh"), "sh")
+    // SHUFFLE_HASH: hash the string shingle keys instead of sorting them
+    // (same rationale + measurement as ngramJaccardPairsOf)
+    val inter = shCand.toDF("d1", "sh").hint("SHUFFLE_HASH")
+      .join(shCand.toDF("d2", "sh").hint("SHUFFLE_HASH"), "sh")
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
     cand.join(inter, Seq("d1", "d2"), "left")

@@ -38,6 +38,12 @@ object Tables {
       case _        => raw
     }
   }
+  // NOTE: the driver testdata ships each table as ONE parquet row group,
+  // so scan stages run as a single task locally. A conditional
+  // repartition-to-cores after these reads was measured at sf0.1 and
+  // REGRESSED the bench ~30% (exchange + task-scheduling overhead beats
+  // the parallelism win at this data size) — don't re-add it; at real
+  // scale the scan has row-group splits and parallelism comes for free.
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -111,17 +111,35 @@ class UserActivityReplayTable(path: String, eventsPerBatch: Int)
         ReplayReaderFactory
 
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MicroBatchStream {
+        new MicroBatchStream with SupportsAdmissionControl {
           override def initialOffset(): Offset = ReplayOffset(0L)
 
-          /** Replay pacing: the available range grows by `eventsPerBatch`
-            * per trigger until the file is exhausted.
+          /** Replay pacing via admission control, the DSv2 rate-limit
+            * surface (what Kafka's maxOffsetsPerTrigger uses): each
+            * trigger the engine hands in the restored/committed start
+            * offset and the read limit, and the stream admits the next
+            * `eventsPerBatch` events after it. Stateless — a plain
+            * `latestOffset()` pace counter starts at 0 on checkpoint
+            * restart and regresses below the committed offset (observed:
+            * a (10, 5) batch re-delivering rows 5-10 under a new batch
+            * id), which admission control makes impossible by
+            * construction.
             */
-          private var reported = 0L
-          override def latestOffset(): Offset = {
-            reported = math.min(events.length.toLong, reported + eventsPerBatch)
-            ReplayOffset(reported)
+          override def getDefaultReadLimit: ReadLimit =
+            ReadLimit.maxRows(eventsPerBatch.toLong)
+
+          override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+            val s = start.asInstanceOf[ReplayOffset].index
+            val step = limit match {
+              case m: ReadMaxRows => m.maxRows()
+              case _              => events.length.toLong // allAvailable
+            }
+            ReplayOffset(math.min(events.length.toLong, s + step))
           }
+
+          override def latestOffset(): Offset =
+            throw new UnsupportedOperationException(
+              "paced replay uses latestOffset(start, limit)")
 
           override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
             val s = start.asInstanceOf[ReplayOffset].index.toInt

@@ -38,7 +38,8 @@ class PipelineOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "abcdefgh"),
-      (3L, "short")
+      (3L, "short"),
+      (4L, "café résumé naïve über") // non-ASCII: code-point path
     ).toDF("doc_id", "text")
     val fast = docs
       .select(col("doc_id"), call_function("min_gram_hash60", col("text")).as("fp"))
@@ -51,26 +52,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fast(1L) === Some(slow(1L)))
     assert(fast(2L) === Some(slow(2L)))
     assert(fast(3L) === None, "texts under 8 chars must fingerprint to null")
+    assert(fast(4L) === Some(slow(4L)), "non-ASCII code-point path must match")
   }
 
-  test("prefix-filtered Jaccard join == unfiltered inverted-index join") {
-    val filtered = Text.ngramJaccardPairs(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+  test("prefix-filtered Jaccard variant == direct inverted-index join") {
     val sh = Text.shinglesOf(sources.Tables.documents(spark, sfDir))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val brute = sh.toDF("d1", "sh").join(sh.toDF("d2", "sh"), "sh")
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
-      .join(sizes.toDF("d1", "s1"), "d1")
-      .join(sizes.toDF("d2", "s2"), "d2")
-      .withColumn("jaccard",
-        round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    assert(brute.nonEmpty)
-    assert(filtered === brute,
-      s"missed=${(brute -- filtered).take(5)} invented=${(filtered -- brute).take(5)}")
+    val direct = Text.ngramJaccardPairsOf(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val prefixed = Text.ngramJaccardPairsPrefix(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(direct.nonEmpty)
+    assert(prefixed === direct,
+      s"missed=${(direct -- prefixed).take(5)} invented=${(prefixed -- direct).take(5)}")
   }
 
   test("simhash: identical docs collide, hamming distance is edit-robust") {

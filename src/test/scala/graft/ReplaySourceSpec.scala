@@ -57,6 +57,38 @@ class ReplaySourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("checkpoint restart: delivers exactly-once, no stall or duplicates") {
+    // Stop a paced replay mid-stream, then restart from the checkpoint.
+    // A stateful pace counter would restart at 0 and regress latestOffset
+    // below the committed offset, re-planning already-committed ranges
+    // (duplicates) or stalling on empty batches; admission control paces
+    // from the engine-supplied start offset, so restart is seamless.
+    val out = java.nio.file.Files.createTempDirectory("replay_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("replay_restart_ckpt").toString
+    def start() = spark.readStream.format(fmt)
+      .option("path", fixturePath).option("eventsPerBatch", 5).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      // wait until at least one non-empty batch is committed, then stop
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      assert(q1.recentProgress.count(_.numInputRows > 0) >= 1)
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() === 12, "restart must deliver all 12 events exactly once")
+      assert(rows.distinct().count() === 12)
+    } finally q2.stop()
+  }
+
   test("short-name registration resolves via DataSourceRegister") {
     val df = spark.read.format("user-activity-replay")
       .option("path", fixturePath).load()
