@@ -187,9 +187,23 @@ object TextQueries {
         |WHERE n_words < 15 OR n_words > 90 OR stop_ratio > 0.12
         |ORDER BY doc_id""".stripMargin)),
 
-    // q46 approx distinct: HLL sketches are engine-specific -> rows-only
-    // driver check; the error bound is asserted in PipelineOpsSpec.
-    QueryDef("q46_approx_vocab", (s, d) => approxVocab(s, d), None),
+    // q46 approx distinct: the HLL sketch value itself is engine-specific,
+    // so the declared columns are the exact count (oracle-computable) plus
+    // approx_ok — |approx−exact| within the 3σ bound for rsd=0.02 — which
+    // the oracle asserts as literal TRUE. The gate thus verifies both the
+    // exact vocabulary AND the sketch's error bound; the raw sketch value
+    // stays visible via Text.approxVocab and its PipelineOpsSpec test.
+    QueryDef("q46_approx_vocab", (s, d) => {
+      import org.apache.spark.sql.functions._
+      approxVocab(s, d).select(
+        col("lang"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          greatest(lit(1L), ceil(col("exact_distinct") * 0.06).cast("long")))
+          .as("approx_ok"))
+    }, Some(
+      """SELECT lang, COUNT(DISTINCT tok) AS exact_distinct, TRUE AS approx_ok
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef("q47_tfidf", (s, d) => tfidfTop(s, d), Some(
       """WITH t AS (

@@ -12,3 +12,9 @@ final case class UserActivity(userId: String, activity: String, timestamp: Strin
   * elements seen so far (Flink CountTrigger FIREs without purging).
   */
 final case class CountFire(fireSeq: Long, totalEvents: Long, registrations: Long)
+
+/** One closed inactivity session from the timer-driven
+  * `transformWithState` operator (streaming.SessionTimers): emitted when
+  * the event-time watermark passes `lastMs + gap`.
+  */
+final case class SessionClose(userId: String, events: Long, firstMs: Long, lastMs: Long)
