@@ -124,13 +124,16 @@ object Text {
     * keys spends its time sorting strings (measured 5.3 s vs 2.1 s at
     * sf0.1 for identical output); hashing them is strictly cheaper, and
     * the per-partition build side is one shingle posting list — bounded,
-    * never the corpus. (Two pruning variants were measured and rejected
-    * on this corpus: posting-list pair expansion — r1, no gain — and the
-    * SSJoin/ppjoin prefix filter, kept as [[ngramJaccardPairsPrefix]],
-    * which left 409 k of 600 k pairs as candidates here and doubled the
-    * runtime. Hot-shingle skew at scale is handled by AQE skew-join
-    * splitting; a boilerplate-heavy corpus would flip the decision back
-    * to the prefix filter.)
+    * never the corpus. (Three pruning/key variants were measured and
+    * rejected on this corpus: posting-list pair expansion — r1, no
+    * gain; the SSJoin/ppjoin prefix filter, kept as
+    * [[ngramJaccardPairsPrefix]], which left 409 k of 600 k pairs as
+    * candidates here and doubled the runtime; and joining on
+    * [[hash60]]-hashed shingles instead of the strings — r2, ~25%
+    * SLOWER across q34/q35/q49 because the per-shingle md5 costs more
+    * than the narrower shuffle saves at this scale. Hot-shingle skew at
+    * scale is handled by AQE skew-join splitting; a boilerplate-heavy
+    * corpus would flip the decision back to the prefix filter.)
     */
   def ngramJaccardPairsOf(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
