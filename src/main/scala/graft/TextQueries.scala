@@ -283,6 +283,36 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN ${h60("text")} % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    QueryDef("q65_repetition", (s, d) => repetitionStats(s, d), Some(
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+        |    i -> concat_ws(' ', w[i], w[i+1]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+        |        COUNT(*) AS n_distinct, MAX(c) AS top_count
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_2grams, n_distinct, top_count,
+        |  round((n_2grams - n_distinct) / n_2grams, 6) AS dup_frac,
+        |  round(top_count / n_2grams, 6) AS top_frac
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q66_source_mix", (s, d) => sourceMix(s, d), Some(
+      s"""WITH d AS (SELECT source, ${h60("text")} % 1000000 AS u FROM documents),
+         |b AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |        CAST(FLOOR(SQRT(n_docs) * 1000000) AS BIGINT) AS w_micro FROM b),
+         |t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS sum_w FROM w),
+         |r AS (SELECT source, n_docs, w_micro,
+         |        (w_micro * 1000000) // sum_w AS rate_micro FROM w CROSS JOIN t),
+         |k AS (SELECT source, COUNT(*) AS n_kept
+         |      FROM d JOIN r USING (source) WHERE u < rate_micro GROUP BY source)
+         |SELECT r.source, n_docs, w_micro, rate_micro,
+         |  COALESCE(n_kept, 0) AS n_kept
+         |FROM r LEFT JOIN k ON k.source = r.source
+         |ORDER BY r.source""".stripMargin)),
+
     QueryDef("q38_lang_id", (s, d) => langIdAgreement(s, d), Some(
       """WITH scored AS (
         |  SELECT lang,

@@ -445,6 +445,58 @@ object Text {
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_sampled"))
       .orderBy(col("lang"))
 
+  /** Repetition quality signals per document (the Gopher/C4 family of
+    * boilerplate filters): fraction of duplicate word 2-grams and the
+    * share of the single most frequent 2-gram. High values flag
+    * auto-generated / looping text that dedup misses because each doc is
+    * globally unique. Two keyed aggregations, no joins — one shuffle per
+    * agg, fully partial-aggregated, scales linearly in corpus size.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+    g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_2grams"), col("n_distinct"), col("top_count"),
+        round((col("n_2grams") - col("n_distinct")) / col("n_2grams"), 6).as("dup_frac"),
+        round(col("top_count") / col("n_2grams"), 6).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-weighted source mixing (alpha = 0.5): the pretraining
+    * data-mix move that up-samples small sources and down-samples large
+    * ones. Per-source weight w = √n in exact integer micro-units
+    * (floor(√n·10⁶) — floor of one IEEE double op, deterministic on any
+    * engine, unlike round's decimal-vs-float divergence), mixing rate
+    * r = w·10⁶ div Σw by exact integer division, and the sample itself
+    * is the deterministic content-hash rule of [[hashSample]]:
+    * keep iff hash60(text) mod 10⁶ < r. Source stats are a tiny
+    * broadcast; the corpus is touched by exactly one scan + one
+    * aggregation, so the plan is the same at 100 TB.
+    */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), (hash60(col("text")) % 1000000L).as("u"))
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro", floor(sqrt(col("n_docs")) * 1e6))
+    val sumW = bySrc.agg(sum(col("w_micro")).as("sum_w"))
+    val rates = bySrc.crossJoin(broadcast(sumW))
+      .withColumn("rate_micro", expr("(w_micro * 1000000) div sum_w"))
+      .select(col("source"), col("n_docs"), col("w_micro"), col("rate_micro"))
+    val kept = docs.join(broadcast(rates.select(col("source"), col("rate_micro"))), "source")
+      .filter(col("u") < col("rate_micro"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** BM25 top-3 terms per document (k1=1.2, b=0.75). All arithmetic is
     * exact 64-bit integer rationals: the constants clear to integers by
     * scaling numerator and denominator by 10·total_tokens, and idf uses

@@ -201,4 +201,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(deduped.count() === docs.select(col("text")).distinct().count())
     assert(deduped.dropDuplicates("text").count() === deduped.count())
   }
+
+  test("repetition signals: looping text scores high, unique text low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // 7 grams, 2 distinct
+      (2L, "one two three four five six seven"),   // all grams unique
+      (3L, "solo")                                 // <2 words: excluded
+    ).toDF("doc_id", "text")
+    // operator is registered over Tables.documents; drive its body over a
+    // fixture by temp-view substitution of the same plan shape
+    val g = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+    val rows = g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"), max(col("c")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) === ((7L, 2L, 4L)), "spam/ham loop: 7 grams, 2 distinct, top=4")
+    assert(rows(2L) === ((6L, 6L, 1L)), "unique text: no duplicate grams")
+    assert(!rows.contains(3L))
+    // and the declared operator over the corpus: bounded fractions
+    val corpus = Text.repetitionStats(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (dup, top) = (r.getDouble(4), r.getDouble(5))
+      assert(dup >= 0.0 && dup < 1.0 && top > 0.0 && top <= 1.0)
+    }
+  }
+
+  test("source mix: rates follow sqrt-temperature weighting, sample is deterministic") {
+    val rows = Text.sourceMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // rates sum to <= 1e6 (floor division) and within one unit per source
+    val rateSum = rows.map(_._4).sum
+    assert(rateSum <= 1000000L && rateSum > 1000000L - rows.length,
+      s"rates must partition the unit interval up to floor loss; got $rateSum")
+    // sqrt temperature: weight ratios are sub-linear in count ratios
+    for (Array(a, b) <- rows.sortBy(_._2).sliding(2) if a._2 < b._2) {
+      assert(a._4 <= b._4, "larger sources never get a smaller rate")
+      assert(b._4.toDouble / a._4 <= b._2.toDouble / a._2 + 1e-6,
+        "sqrt damping: rate ratio must not exceed count ratio")
+    }
+    rows.foreach { case (_, n, _, _, kept) => assert(kept <= n) }
+    // content-hash sampling is reproducible
+    val again = Text.sourceMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === again.toSeq)
+  }
 }
