@@ -79,4 +79,19 @@ class PlanAssertionsSpec extends SparkSpec {
         s"$q must not evaluate interpreted per-plane lambdas")
     }
   }
+
+  test("q65 repetition: both aggregations partial-aggregate before the shuffle") {
+    val plan = formatted("q65_repetition")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "each keyed agg must have a partial (map-side) and final stage")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "repetition signals are join-free")
+  }
+
+  test("q66 source mix: per-source rates broadcast to the corpus scan side") {
+    val plan = formatted("q66_source_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the tiny rate table must broadcast — the corpus never shuffles for it")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
