@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, TextStreams}
 
 /** The driver `events` table through Structured Streaming: same plans,
   * same final answers as the batch/oracle path; streaming dedup keeps one
@@ -46,6 +46,37 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1)))
       assert(rows.length === rows.distinct.length)
       assert(rows.map(_._1).sorted.toSeq === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("streaming ingest pipeline: quality-gates, dedups, and fingerprints docs") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val df = mem.toDF().toDF("doc_id", "text", "eventTime")
+    val q = TextStreams.ingestPipeline(df)
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(sec: Int) =
+        java.sql.Timestamp.from(java.time.Instant.parse(f"2025-08-03T13:00:$sec%02dZ"))
+      val good = (1 to 20).map(i => s"word$i").mkString(" ") // 20 words, 0 stopwords
+      val short = "too short"
+      val stopHeavy = (1 to 20).map(_ => "the").mkString(" ") // ratio 1.0
+      mem.addData(Seq((1L, good, ts(0)), (2L, short, ts(1)), (3L, stopHeavy, ts(2))))
+      q.processAllAvailable()
+      // duplicate content in a later batch, inside the watermark: dropped
+      mem.addData(Seq((4L, good, ts(5)), (5L, good + " tail", ts(6))))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_stream")
+        .select(col("doc_id"), col("n_words"), col("fingerprint")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._1).sorted.toSeq === Seq(1L, 5L),
+        s"quality gate drops 2/3, dedup drops 4; got ${rows.toSeq}")
+      assert(rows.forall(_._2 >= 15L))
+      // fingerprint matches the batch operator's value for the same text
+      val batchFp = Seq((1L, good)).toDF("doc_id", "text")
+        .select(call_function("min_gram_hash60", col("text"))).head().getLong(0)
+      assert(rows.find(_._1 == 1L).get._3 === batchFp)
     } finally q.stop()
   }
 }
