@@ -26,21 +26,29 @@ final case class DocBlob(doc_id: Long, source: String, payload: Array[Byte])
   */
 object Multimodal {
 
-  /** Documents as media blobs: BINARY payload + metadata columns. */
+  /** Documents as media blobs: BINARY payload + a typed `meta` STRUCT
+    * column (mime, n_bytes, checksum) — metadata travels as one nested
+    * column that pruning can drop wholesale, and adding a field never
+    * widens the top-level schema. Declared query outputs stay flat
+    * (`meta.*`) for the oracle gate.
+    */
   def blobs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
-        lit("text/plain").as("mime"),
         encode(col("text"), "UTF-8").as("payload"))
-      .withColumn("n_bytes", length(col("payload")).cast(LongType))
+      .withColumn("meta", struct(
+        lit("text/plain").as("mime"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        md5(col("payload")).as("checksum")))
 
   /** Per-blob metadata + content addressing: byte length, md5 checksum,
     * head-8-bytes hex, and a sparse "every 64th byte" sample string.
     */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
     blobs(s, dir)
-      .select(col("doc_id"), col("mime"), col("n_bytes"),
-        md5(col("payload")).as("checksum"),
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.checksum").as("checksum"),
         hex(substring(col("payload"), 1, 8)).as("head_hex"),
         expr("concat_ws('', transform(sequence(1, CAST(length(payload) AS INT), 64), " +
           "i -> hex(substring(payload, i, 1))))").as("sample_hex"))
