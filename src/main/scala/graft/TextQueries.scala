@@ -283,6 +283,49 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN ${h60("text")} % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // q67: connected components over the verified LSH pair graph. The
+    // oracle walks the same graph with a recursive CTE (UNION-distinct
+    // termination); min-reachable-doc_id is an engine-independent
+    // fixpoint, so the iterative Spark labels and the recursive SQL
+    // labels agree exactly.
+    QueryDef("q67_neardup_clusters", (s, d) => neardupClusters(s, d), Some {
+      val P = 1073741789L
+      val mins = (0 until 8).map(j =>
+        s"MIN((${operators.Text.mhA(j)} * h + ${operators.Text.mhB(j)}) % $P) AS mh$j")
+        .mkString(", ")
+      s"""WITH RECURSIVE $SHINGLES,
+         |shh AS (SELECT doc_id, ${h60("sh")} % $P AS h FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS sig FROM mh
+         |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM mh
+         |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM mh
+         |  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM mh),
+         |cand0 AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |$SIZES,
+         |$INTER,
+         |pairs AS (
+         |  SELECT cand0.d1, cand0.d2
+         |  FROM cand0
+         |  LEFT JOIN inter ON inter.d1 = cand0.d1 AND inter.d2 = cand0.d2
+         |  JOIN sizes s1 ON s1.doc_id = cand0.d1
+         |  JOIN sizes s2 ON s2.doc_id = cand0.d2
+         |  WHERE round(COALESCE(n_common, 0)
+         |    / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) >= 0.5),
+         |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |        UNION ALL SELECT d2, d1 FROM pairs),
+         |r AS (
+         |  SELECT a AS doc, a AS lab FROM (SELECT DISTINCT a FROM und)
+         |  UNION
+         |  SELECT u.b AS doc, r.lab FROM r JOIN und u ON u.a = r.doc)
+         |SELECT doc AS doc_id, MIN(lab) AS cluster_id,
+         |  doc = MIN(lab) AS is_canonical
+         |FROM r GROUP BY doc ORDER BY doc_id""".stripMargin
+    }),
+
     QueryDef("q65_repetition", (s, d) => repetitionStats(s, d), Some(
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),

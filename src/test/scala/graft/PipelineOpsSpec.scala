@@ -231,6 +231,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup clusters: pairs land in one component, canonical is the min id") {
+    val pairs = Text.minhashLshPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Text.neardupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val lab = clusters.map(c => c._1 -> c._2).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every paired doc is labeled, and both ends share a component
+    pairs.foreach { case (a, b) =>
+      assert(lab(a) === lab(b), s"pair ($a,$b) split across clusters")
+    }
+    // each component's label is its smallest member, flagged canonical
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.count(_._3) === 1, s"cluster $cid needs exactly one canonical")
+    }
+    // transitivity witness: labels are a fixpoint (no edge can lower one)
+    pairs.foreach { case (a, b) =>
+      assert(lab(a) <= math.min(a, b) || lab(a) <= a)
+    }
+  }
+
   test("source mix: rates follow sqrt-temperature weighting, sample is deterministic") {
     val rows = Text.sourceMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
