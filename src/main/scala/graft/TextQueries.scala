@@ -166,6 +166,33 @@ object TextQueries {
          |FROM votes ORDER BY doc_id""".stripMargin
     }),
 
+    // q68: same simhash construction as q36, then the pigeonhole chunk
+    // join — hamming ≤ 2 pairs must share one of three 5/5/6-bit chunks.
+    QueryDef("q68_simhash_neardup", (s, d) => simhashNeardup(s, d), Some {
+      val votes = (0 until 16).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
+      val assemble = (0 until 16).map(b =>
+        s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+      s"""WITH wh AS (
+         |  SELECT doc_id, ${h60("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM wh GROUP BY doc_id),
+         |sim AS (SELECT doc_id, $assemble AS s FROM votes),
+         |ch AS (
+         |  SELECT doc_id, s, 0 AS j, s & 31 AS c FROM sim
+         |  UNION ALL SELECT doc_id, s, 1, (s >> 5) & 31 FROM sim
+         |  UNION ALL SELECT doc_id, s, 2, (s >> 10) & 63 FROM sim),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.s AS s1, b.s AS s2
+         |  FROM ch a JOIN ch b ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 2
+         |ORDER BY d1, d2""".stripMargin
+    }),
+
     QueryDef("q37_fingerprint", (s, d) => fingerprint(s, d), Some(
       s"""SELECT doc_id, MIN(${h60("g")}) AS fingerprint
          |FROM (

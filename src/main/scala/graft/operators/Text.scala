@@ -349,6 +349,35 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs at Hamming distance ≤ 2 via the PIGEONHOLE
+    * chunk join (the simhash dedup construction of Manku-Jain-Sarma,
+    * WWW'07): split the 16-bit signature into 3 chunks (5+5+6 bits);
+    * two signatures within Hamming 2 differ in at most 2 chunks, so
+    * they MUST agree exactly on at least one — candidate generation is
+    * 3 equi-joins on (chunk_id, chunk_value), recall exactly 1.0, never
+    * an all-pairs scan. Verification is one `bit_count(xor)` per
+    * candidate. At 100 TB the same plan runs a 64-bit simhash split
+    * into k+1 16-bit chunks — only the literals change.
+    */
+  def simhashNeardup(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+    val sim = simhash(s, dir)
+    val ch = sim.select(col("doc_id"), col("simhash16"), explode(array(
+        struct(lit(0).as("j"), col("simhash16").bitwiseAND(31).as("c")),
+        struct(lit(1).as("j"), shiftright(col("simhash16"), 5).bitwiseAND(31).as("c")),
+        struct(lit(2).as("j"), shiftright(col("simhash16"), 10).bitwiseAND(63).as("c"))))
+        .as("b"))
+      .select(col("doc_id"), col("simhash16"), col("b.j").as("j"), col("b.c").as("c"))
+    val cand = ch.toDF("d1", "s1", "j", "c")
+      .join(ch.toDF("d2", "s2", "j", "c"), Seq("j", "c"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2")).distinct()
+    cand
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Min-sampling document fingerprint: minimum [[hash60]] over all
     * 8-char rolling character shingles (winnowing-style content id that
     * survives small edits, unlike a whole-document hash). Computed by the

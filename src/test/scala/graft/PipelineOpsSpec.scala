@@ -231,6 +231,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash pigeonhole join == brute-force hamming<=2 pairs (recall 1.0)") {
+    val sim = Text.simhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, s1) <- sim; (d2, s2) <- sim
+      if d1 < d2 && java.lang.Long.bitCount(s1 ^ s2) <= 2
+    } yield (d1, d2, java.lang.Long.bitCount(s1 ^ s2).toLong)).toSet
+    val joined = Text.simhashNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "fixture corpus plants exact dups (hamming 0)")
+    assert(joined === brute,
+      s"missed=${(brute -- joined).take(5)} invented=${(joined -- brute).take(5)}")
+  }
+
   test("near-dup clusters: pairs land in one component, canonical is the min id") {
     val pairs = Text.minhashLshPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
