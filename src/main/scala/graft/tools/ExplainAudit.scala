@@ -12,7 +12,9 @@ object ExplainAudit {
     val interesting = Seq("q1_pricing_summary", "q2_revenue_by_segment",
       "q3_top_orders", "q5_region_revenue", "q8_top_customers",
       "q20_win_tumbling", "q34_ngram_jaccard", "q35_minhash_lsh",
-      "q40_knn_cosine", "q45_lsh_neardup", "q48_ivf_knn", "q60_trailing_window")
+      "q40_knn_cosine", "q45_lsh_neardup", "q48_ivf_knn", "q60_trailing_window",
+      "q65_repetition", "q66_source_mix", "q67_neardup_clusters",
+      "q68_simhash_neardup")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
