@@ -360,7 +360,12 @@ object Text {
     * into k+1 16-bit chunks — only the literals change.
     */
   def simhashNeardup(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
-    val sim = simhash(s, dir)
+    // materialize the signature table once: the self-join would otherwise
+    // scan + aggregate the corpus twice (no exchange reuse across the
+    // join sides). Costs ~0.25 s of checkpoint overhead at sf0.1 where
+    // the corpus is tiny; at 100 TB it halves corpus I/O — the signature
+    // table (~16 bytes/doc) is the artifact you'd persist and reuse.
+    val sim = simhash(s, dir).localCheckpoint(true)
     val ch = sim.select(col("doc_id"), col("simhash16"), explode(array(
         struct(lit(0).as("j"), col("simhash16").bitwiseAND(31).as("c")),
         struct(lit(1).as("j"), shiftright(col("simhash16"), 5).bitwiseAND(31).as("c")),
