@@ -267,50 +267,12 @@ object Text {
     * dedup pipeline keeps. Pairs say "these two match"; retention needs
     * the transitive closure (A≈B, B≈C ⇒ keep one of {A,B,C}).
     *
-    * Implementation is min-label propagation, the standard distributed
-    * connected-components: each round every node takes the min of its own
-    * and its neighbors' labels (one equi-join + one keyed min per round);
-    * rounds needed = component diameter (near-dup components are
-    * near-cliques, so 2-3). The driver checks only a scalar convergence
-    * count per round — no data is collected; the edge set is cached so
-    * the LSH pipeline runs once, not once per round.
+    * Clustering runs on the shared [[Graph.connectedComponents]]
+    * min-label propagation (see its notes for the scale story).
     */
-  def neardupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // materialize the pair list ONCE before mirroring it: both union
-    // branches would otherwise replay the whole LSH pipeline (measured
-    // 2x its cost), and the loop below re-reads edges every round
-    val pairs = minhashLshPairs(s, dir, threshold)
-      .select(col("d1"), col("d2")).localCheckpoint(true)
-    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lab", col("doc")).cache()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val next = labels
-        .union(edges.join(labels, col("src") === col("doc"))
-          .select(col("dst").as("doc"), col("lab")))
-        .groupBy(col("doc")).agg(min(col("lab")).as("lab")).cache()
-      converged = next.join(labels.withColumnRenamed("lab", "old"), "doc")
-        .filter(col("lab") < col("old")).isEmpty
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    require(converged, s"label propagation did not converge in $rounds rounds")
-    // truncate the per-round join lineage (the standard checkpoint step
-    // of iterative algorithms): downstream actions read the materialized
-    // labels instead of replaying LSH + every round, and the loop caches
-    // can be freed
-    val result = labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"),
-      (col("doc") === col("lab")).as("is_canonical"))
-      .orderBy(col("doc_id"))
-      .localCheckpoint(true)
-    edges.unpersist()
-    labels.unpersist()
-    result
-  }
+  def neardupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    Graph.connectedComponents(
+      minhashLshPairs(s, dir, threshold).select(col("d1"), col("d2")), "doc_id")
 
   /** Edit-distance verification of near-dup candidates: Levenshtein
     * distance computed ONLY for MinHash-LSH candidate pairs — the

@@ -233,6 +233,15 @@ object Vectors {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Embedding near-dup CLUSTERING: connected components over the
+    * multi-table LSH pair graph ([[lshNearDup]] at cosine ≥ 0.4) via the
+    * shared [[Graph.connectedComponents]] min-label propagation — the
+    * same retention step as text q67, over the vector modality.
+    */
+  def embedClusters(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
+    Graph.connectedComponents(
+      lshNearDup(s, dir, threshold).select(col("id1"), col("id2")), "vec_id")
+
   /** IVF-style cell assignment: the 8 vectors with vec_id 0..7 act as
     * fixed coarse centroids; each vector joins its max-cosine centroid.
     * Per-cell occupancy + mean similarity (decimal-exact accumulation).

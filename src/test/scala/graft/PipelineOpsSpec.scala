@@ -267,6 +267,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding clusters agree with the q45 pair graph") {
+    val pairs = Vectors.lshNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Vectors.embedClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val lab = clusters.map(c => c._1 -> c._2).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    pairs.foreach { case (a, b) => assert(lab(a) === lab(b)) }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.count(_._3) === 1)
+    }
+  }
+
   test("source mix: rates follow sqrt-temperature weighting, sample is deterministic") {
     val rows = Text.sourceMix(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
