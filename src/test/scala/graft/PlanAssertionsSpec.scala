@@ -88,6 +88,14 @@ class PlanAssertionsSpec extends SparkSpec {
       "repetition signals are join-free")
   }
 
+  test("q68 simhash hamming: candidates come from equi-joins, never all-pairs") {
+    val plan = formatted("q68_simhash_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pigeonhole chunk join must plan as an equi-join")
+    assert(plan.contains("bit_count"), "verification is codegen'd bit_count(xor)")
+  }
+
   test("q66 source mix: per-source rates broadcast to the corpus scan side") {
     val plan = formatted("q66_source_mix")
     assert(plan.contains("BroadcastHashJoin"),
