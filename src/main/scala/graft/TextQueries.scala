@@ -29,6 +29,45 @@ object TextQueries {
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** q67/q70 shared chain: MinHash-LSH verified pairs at 0.5, then the
+    * recursive reachability walk `r` (UNION-distinct termination) whose
+    * per-doc MIN(lab) equals Spark's min-label-propagation fixpoint.
+    */
+  private def CLUSTER_CTES: String = {
+    val P = 1073741789L
+    val mins = (0 until 8).map(j =>
+      s"MIN((${operators.Text.mhA(j)} * h + ${operators.Text.mhB(j)}) % $P) AS mh$j")
+      .mkString(", ")
+    s"""$SHINGLES,
+       |shh AS (SELECT doc_id, ${h60("sh")} % $P AS h FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS sig FROM mh
+       |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM mh
+       |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM mh
+       |  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM mh),
+       |cand0 AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |$SIZES,
+       |$INTER,
+       |pairs AS (
+       |  SELECT cand0.d1, cand0.d2
+       |  FROM cand0
+       |  LEFT JOIN inter ON inter.d1 = cand0.d1 AND inter.d2 = cand0.d2
+       |  JOIN sizes s1 ON s1.doc_id = cand0.d1
+       |  JOIN sizes s2 ON s2.doc_id = cand0.d2
+       |  WHERE round(COALESCE(n_common, 0)
+       |    / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) >= 0.5),
+       |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |        UNION ALL SELECT d2, d1 FROM pairs),
+       |r AS (
+       |  SELECT a AS doc, a AS lab FROM (SELECT DISTINCT a FROM und)
+       |  UNION
+       |  SELECT u.b AS doc, r.lab FROM r JOIN und u ON u.a = r.doc)""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q30_lang_stats", (s, d) => langStats(s, d), Some(
       """SELECT lang, COUNT(*) AS n_docs,
@@ -315,43 +354,22 @@ object TextQueries {
     // termination); min-reachable-doc_id is an engine-independent
     // fixpoint, so the iterative Spark labels and the recursive SQL
     // labels agree exactly.
-    QueryDef("q67_neardup_clusters", (s, d) => neardupClusters(s, d), Some {
-      val P = 1073741789L
-      val mins = (0 until 8).map(j =>
-        s"MIN((${operators.Text.mhA(j)} * h + ${operators.Text.mhB(j)}) % $P) AS mh$j")
-        .mkString(", ")
-      s"""WITH RECURSIVE $SHINGLES,
-         |shh AS (SELECT doc_id, ${h60("sh")} % $P AS h FROM sh),
-         |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS sig FROM mh
-         |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM mh
-         |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM mh
-         |  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM mh),
-         |cand0 AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |$SIZES,
-         |$INTER,
-         |pairs AS (
-         |  SELECT cand0.d1, cand0.d2
-         |  FROM cand0
-         |  LEFT JOIN inter ON inter.d1 = cand0.d1 AND inter.d2 = cand0.d2
-         |  JOIN sizes s1 ON s1.doc_id = cand0.d1
-         |  JOIN sizes s2 ON s2.doc_id = cand0.d2
-         |  WHERE round(COALESCE(n_common, 0)
-         |    / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) >= 0.5),
-         |und AS (SELECT d1 AS a, d2 AS b FROM pairs
-         |        UNION ALL SELECT d2, d1 FROM pairs),
-         |r AS (
-         |  SELECT a AS doc, a AS lab FROM (SELECT DISTINCT a FROM und)
-         |  UNION
-         |  SELECT u.b AS doc, r.lab FROM r JOIN und u ON u.a = r.doc)
+    QueryDef("q67_neardup_clusters", (s, d) => neardupClusters(s, d), Some(
+      s"""WITH RECURSIVE $CLUSTER_CTES
          |SELECT doc AS doc_id, MIN(lab) AS cluster_id,
          |  doc = MIN(lab) AS is_canonical
-         |FROM r GROUP BY doc ORDER BY doc_id""".stripMargin
-    }),
+         |FROM r GROUP BY doc ORDER BY doc_id""".stripMargin)),
+
+    // q70: the retention decision — per language, docs surviving when
+    // only each cluster's canonical (min-id) member is kept.
+    QueryDef("q70_retention_manifest", (s, d) => retentionManifest(s, d), Some(
+      s"""WITH RECURSIVE $CLUSTER_CTES,
+         |labels AS (SELECT doc, MIN(lab) AS lab FROM r GROUP BY doc)
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN labels.doc IS NULL OR labels.doc = labels.lab
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d LEFT JOIN labels ON labels.doc = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
     QueryDef("q65_repetition", (s, d) => repetitionStats(s, d), Some(
       """WITH g AS (

@@ -274,6 +274,25 @@ object Text {
     Graph.connectedComponents(
       minhashLshPairs(s, dir, threshold).select(col("d1"), col("d2")), "doc_id")
 
+  /** Retention manifest — the decision a dedup pipeline actually ships:
+    * per language, how many docs survive near-dup clustering when only
+    * each cluster's canonical member is kept. Unclustered docs always
+    * survive; clustered non-canonicals drop. One broadcast-sized join
+    * against the cluster labels (clusters ≪ corpus at any scale) and one
+    * keyed aggregation.
+    */
+  def retentionManifest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = neardupClusters(s, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("is_canonical"), lit(true)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Edit-distance verification of near-dup candidates: Levenshtein
     * distance computed ONLY for MinHash-LSH candidate pairs — the
     * character-level confirmation pass of a fuzzy-dedup pipeline. The
