@@ -79,4 +79,33 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows.find(_._1 == 1L).get._3 === batchFp)
     } finally q.stop()
   }
+
+  test("ingest dedup state survives a checkpoint restart") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ingest_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_restart_ckpt").toString
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    def start() = TextStreams.ingestPipeline(
+      mem.toDF().toDF("doc_id", "text", "eventTime"), delay = "1 hour")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    def ts(sec: Int) =
+      java.sql.Timestamp.from(java.time.Instant.parse(f"2025-08-03T13:00:$sec%02dZ"))
+    val good = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val q1 = start()
+    try { mem.addData(Seq((1L, good, ts(0)))); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the checkpoint: the content-hash dedup state must be
+    // restored, so the same text arriving again (within the watermark
+    // horizon) is dropped, not re-emitted
+    val q2 = start()
+    try {
+      mem.addData(Seq((2L, good, ts(30)), (3L, good + " fresh", ts(31))))
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 3L),
+        s"doc 2 duplicates doc 1 across the restart and must be dropped; got $ids")
+    } finally q2.stop()
+  }
 }
