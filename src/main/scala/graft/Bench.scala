@@ -19,27 +19,38 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // best-of-2 per query: single-JVM local mode shows one-off GC spikes
-    // (observed 4x on a random query per run); the min of two runs is the
-    // steady-state number the 100 TB comparison cares about. A query that
-    // throws is reported as -1, never as a fast timing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val (t1, ok1) = once()
-      if (!ok1) name -> -1.0
-      else { val (t2, ok2) = once(); name -> (if (ok2) math.min(t1, t2) else -1.0) }
+    // best-of-2 per query, with the two timing passes INTERLEAVED (run
+    // every query once, then every query again) rather than back-to-back:
+    // single-JVM local mode shows one-off GC spikes, and the machine can
+    // carry transient external load (a lingering JVM from an earlier
+    // stage). Back-to-back runs of the same query both land inside such a
+    // spike; spacing them a full pass (~40 s) apart means the min of the
+    // two sees the quiet machine. A query that throws is reported as -1,
+    // never as a fast timing.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val pass1 = names.map(n => n -> once(n)).toMap
+    val pass2 = names.map(n => n -> once(n)).toMap
+    val results = names.map { n =>
+      val (t1, t2) = (pass1(n), pass2(n))
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val nOk = results.count(_._2 >= 0)
+    // With errors, the sum covers an unequal query set and totals would
+    // be incomparable across runs — report null so nobody compares them;
+    // n_ok says how much of the set the run covered either way.
+    val total =
+      if (nOk == results.size) results.map(_._2).sum.toString else "null"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_queries":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

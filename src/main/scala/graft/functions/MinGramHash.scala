@@ -58,13 +58,21 @@ object MinGramHash60 {
 
   private val GramLen = 8
 
+  /** One MessageDigest per thread, reused across rows: `digest()` resets
+    * the instance, and `getInstance` per row is provider-lookup overhead
+    * in the scan-stage hot loop on short-text corpora.
+    */
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Long.MaxValue signals "no gram" (text shorter than 8 code points);
     * real hashes are < 2^60 so the sentinel can never collide.
     */
   def compute(s: UTF8String): Long = {
     val n = s.numChars()
     if (n < GramLen) return Long.MaxValue
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val out = new Array[Byte](16)
     var best = Long.MaxValue
     if (s.numBytes() == n) {

@@ -277,15 +277,18 @@ object Text {
   /** Retention manifest — the decision a dedup pipeline actually ships:
     * per language, how many docs survive near-dup clustering when only
     * each cluster's canonical member is kept. Unclustered docs always
-    * survive; clustered non-canonicals drop. One broadcast-sized join
-    * against the cluster labels (clusters ≪ corpus at any scale) and one
-    * keyed aggregation.
+    * survive; clustered non-canonicals drop. One join against the
+    * cluster labels and one keyed aggregation. The label table is
+    * O(docs appearing in any near-dup pair), which a high-duplication
+    * corpus (the realistic 100 TB dedup case) does NOT bound — so no
+    * forced broadcast hint: AQE broadcasts when the labels measure
+    * small and falls back to a shuffle join when they don't.
     */
   def retentionManifest(s: SparkSession, dir: String): DataFrame = {
     val clusters = neardupClusters(s, dir)
       .select(col("doc_id"), col("is_canonical"))
     Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .withColumn("keep", coalesce(col("is_canonical"), lit(true)))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -130,11 +130,24 @@ class UserActivityReplayTable(path: String, eventsPerBatch: Int)
 
           override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
             val s = start.asInstanceOf[ReplayOffset].index
-            val step = limit match {
-              case m: ReadMaxRows => m.maxRows()
-              case _              => events.length.toLong // allAvailable
+            // Only the limits this source can honor are matched; anything
+            // else (a future engine-side limit kind) fails loudly instead
+            // of silently reading all-available.
+            def step(l: ReadLimit): Long = l match {
+              case m: ReadMaxRows      => m.maxRows()
+              case _: ReadAllAvailable => events.length.toLong
+              case c: CompositeReadLimit =>
+                // honor the tightest component we understand; a composite
+                // of only min-rows-style limits means "no cap"
+                val steps = c.getReadLimits.toSeq.collect {
+                  case m: ReadMaxRows => m.maxRows()
+                }
+                if (steps.nonEmpty) steps.min else events.length.toLong
+              case other =>
+                throw new UnsupportedOperationException(
+                  s"user-activity-replay does not support read limit $other")
             }
-            ReplayOffset(math.min(events.length.toLong, s + step))
+            ReplayOffset(math.min(events.length.toLong, s + step(limit)))
           }
 
           override def latestOffset(): Offset =

@@ -86,7 +86,10 @@ class SessionTimersSpec extends SparkSpec {
     import spark.implicits._
     withRocksDb {
       val mem = MemoryStream[(String, Long)](spark)
-      val q = SessionTimers.ttlCounts(spark, mem.toDS(), Duration.ofSeconds(2))
+      // TTL is wide (10 s) relative to the pre-expiry steps so a GC/CI
+      // pause between addData and its micro-batch can't lapse the TTL
+      // early and flip the within-TTL continuation to a restart.
+      val q = SessionTimers.ttlCounts(spark, mem.toDS(), Duration.ofSeconds(10))
         .writeStream.format("memory").queryName("ttl_counts")
         // pace the no-data batches a processing-time-mode query runs
         // continuously (they only exist to age state out)
@@ -108,7 +111,7 @@ class SessionTimersSpec extends SparkSpec {
         // within TTL: counter continues (2 -> 3)
         mem.addData(Seq(("k", 3L)))
         awaitRows(2)
-        Thread.sleep(4500) // let the 2 s TTL lapse
+        Thread.sleep(12500) // let the 10 s TTL lapse
         mem.addData(Seq(("k", 4L)))
         awaitRows(3)
         val counts = spark.table("ttl_counts").as[(String, Long)].collect()
