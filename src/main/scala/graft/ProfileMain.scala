@@ -18,7 +18,12 @@ object ProfileMain {
     }
     // warmup
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    if (args.contains("--tfidf")) {
+    if (args.contains("--cc")) {
+      time("pairs67")(graft.operators.Text.minhashLshPairs(spark, sfDir, 0.5).count())
+      time("q67")(graft.operators.Text.neardupClusters(spark, sfDir).count())
+      time("pairs69")(graft.operators.Vectors.lshNearDup(spark, sfDir, 0.4).count())
+      time("q69")(graft.operators.Vectors.embedClusters(spark, sfDir).count())
+    } else if (args.contains("--tfidf")) {
       val docs = Tables.documents(spark, sfDir)
       val words = split(col("text"), " ")
       val terms = docs.select(col("doc_id"), explode(words).as("term"))

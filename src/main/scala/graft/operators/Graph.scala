@@ -17,8 +17,25 @@ import org.apache.spark.sql.functions._
   * by node — nothing corpus-sized is broadcast. The driver observes only
   * a scalar convergence count per round, and the final labels are
   * checkpointed so downstream actions never replay the loop.
+  *
+  * Join strategy: localCheckpoint flattens each round's plan to a
+  * LogicalRDD whose stats Catalyst does not know, so AQE would plan
+  * every per-round join as a 3-stage shuffle join — measured ~4 s of
+  * pure round overhead on a 1 000-node pair graph. The pair list is
+  * materialized anyway, so its exact row count is free: below
+  * [[broadcastEdgeLimit]] edges the label table (≤ 2 edges worth of
+  * nodes) is explicitly broadcast, making every per-round join
+  * map-side. Above the limit — the high-duplication corpus where the
+  * pair graph itself is huge — the hint is withheld and the loop runs
+  * the same shuffle-join shape as before, so the guard never trades
+  * scale safety for the small-graph speedup.
   */
 object Graph {
+
+  /** Edge count up to which per-round join sides are broadcast: 2M edges
+    * bound the label table at ~4M entries × 16 B ≈ 64 MB, the session's
+    * autoBroadcastJoinThreshold. */
+  private val broadcastEdgeLimit = 2L * 1000 * 1000
 
   /** `pairsIn` = two id columns (any names), one row per undirected edge.
     * Returns (`outCol`, cluster_id, is_canonical) for every node that
@@ -28,6 +45,8 @@ object Graph {
     // materialize the pair list before mirroring: both union branches
     // would replay the upstream candidate pipeline (measured 2x cost)
     val pairs = pairsIn.toDF("p1", "p2").localCheckpoint(true)
+    val small = pairs.count() <= broadcastEdgeLimit
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val edges = pairs.union(pairs.select(col("p2"), col("p1")))
       .toDF("src", "dst").cache()
     // each round MUST checkpoint, not cache: the round-N plan references
@@ -39,17 +58,29 @@ object Graph {
       .withColumn("lab", col("node")).localCheckpoint(true)
     var converged = false
     var rounds = 0
+    val dbg = sys.props.contains("graft.cc.debug")
     while (!converged && rounds < 40) {
-      val viaEdges = edges.join(labels, col("src") === col("node"))
+      val t0 = System.nanoTime()
+      // one broadcast of the label map per round, chained three times:
+      // each join steps node -> lab(prev), so the chain applies lab^4 in
+      // a single plan whose three identical broadcast subtrees collapse
+      // to one ReusedExchange — long chain components (10 plain-jump
+      // rounds observed on the sf0.1 embedding graph) close in fewer,
+      // cheaper rounds than one-jump-per-round.
+      val labMap = side(labels.toDF("n2", "l2"))
+      def step(m: DataFrame): DataFrame =
+        m.join(labMap, col("lab") === col("n2"))
+          .select(col("node"), col("l2").as("lab"))
+      val far = step(step(step(labels)))
+      val viaEdges = side(edges).join(far, col("src") === col("node"))
         .select(col("dst").as("node"), col("lab"))
-      val jumped = labels.join(labels.toDF("n2", "l2"), col("lab") === col("n2"))
-        .select(col("node"), col("l2").as("lab"))
-      val next = labels.union(viaEdges).union(jumped)
+      val next = labels.union(viaEdges).union(far)
         .groupBy(col("node")).agg(min(col("lab")).as("lab")).localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("lab", "old"), "node")
+      converged = next.join(side(labels.withColumnRenamed("lab", "old")), "node")
         .filter(col("lab") < col("old")).isEmpty
       labels = next
       rounds += 1
+      if (dbg) println(f"[cc] round $rounds ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
     val result = labels.select(col("node").as(outCol), col("lab").as("cluster_id"),
