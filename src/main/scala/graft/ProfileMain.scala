@@ -18,7 +18,14 @@ object ProfileMain {
     }
     // warmup
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    if (args.contains("--cc")) {
+    if (args.contains("--mh")) {
+      import graft.operators.Text
+      val docs = Tables.documents(spark, sfDir)
+      time("shingles")(Text.shinglesOf(docs).count())
+      time("shingles2")(Text.shinglesOf(docs).count())
+      time("pairs_full")(Text.minhashLshPairs(spark, sfDir, 0.5).count())
+      time("pairs_full2")(Text.minhashLshPairs(spark, sfDir, 0.5).count())
+    } else if (args.contains("--cc")) {
       time("pairs67")(graft.operators.Text.minhashLshPairs(spark, sfDir, 0.5).count())
       time("q67")(graft.operators.Text.neardupClusters(spark, sfDir).count())
       time("pairs69")(graft.operators.Vectors.lshNearDup(spark, sfDir, 0.4).count())

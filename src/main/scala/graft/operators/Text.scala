@@ -224,7 +224,16 @@ object Text {
     val mhCols = (0 until 8).map(j =>
       min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j")) :+
       count(lit(1)).as("n_sh")
+    // the minhash table feeds THREE consumers (bands, sizes s1, sizes
+    // s2) and the candidate table three more — without materialization
+    // each consumer replays the shingle explode + hash + aggregate
+    // (measured ~0.6 s/pass at sf0.1, the bulk of the pipeline's cost).
+    // Both tables are one row per doc / per candidate pair — never
+    // corpus-sized — so eager local checkpoints are scale-safe; the
+    // corpus-sized shingle stream itself stays lazy (recomputed once for
+    // the candidate-only verify, not persisted).
     val mh = shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      .localCheckpoint(true)
     // explode, not union: one pass over the minhash aggregate instead of
     // re-evaluating its subtree once per band
     val bandStructs = (0 until 4).map { bnd =>
@@ -236,13 +245,13 @@ object Text {
     val cand = bands.toDF("d1", "band", "sig")
       .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+      .select(col("d1"), col("d2")).distinct().localCheckpoint(true)
     // exact-Jaccard verification touches ONLY candidate docs' shingles —
     // at scale the candidate set is tiny vs. the corpus, so the verify
     // join stays proportional to true near-dups, not to corpus size
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candDocs), "doc_id")
+    val shCand = sh.join(broadcast(candDocs), "doc_id").localCheckpoint(true)
     val sizes = mh.select(col("doc_id"), col("n_sh"))
     // SHUFFLE_HASH: hash the string shingle keys instead of sorting them
     // (same rationale + measurement as ngramJaccardPairsOf)
