@@ -65,8 +65,10 @@ object Graph {
       // each join steps node -> lab(prev), so the chain applies lab^4 in
       // a single plan whose three identical broadcast subtrees collapse
       // to one ReusedExchange — long chain components (10 plain-jump
-      // rounds observed on the sf0.1 embedding graph) close in fewer,
-      // cheaper rounds than one-jump-per-round.
+      // rounds observed on the sf0.1 embedding graph) close in 8 cheaper
+      // rounds. Deeper chains don't pay: edge propagation (1 hop/round)
+      // rate-limits discovery, and a 7-deep chain was measured to
+      // destabilize codegen (a 28 s round on a 1 000-node graph).
       val labMap = side(labels.toDF("n2", "l2"))
       def step(m: DataFrame): DataFrame =
         m.join(labMap, col("lab") === col("n2"))

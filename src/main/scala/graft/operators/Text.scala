@@ -365,12 +365,22 @@ object Text {
         struct(lit(2).as("j"), shiftright(col("simhash16"), 10).bitwiseAND(63).as("c"))))
         .as("b"))
       .select(col("doc_id"), col("simhash16"), col("b.j").as("j"), col("b.c").as("c"))
-    val cand = ch.toDF("d1", "s1", "j", "c")
+    // dedupe WITHOUT a shuffle: a pair agreeing on several chunks would
+    // come out of several joins, but it is emitted only at its FIRST
+    // agreeing chunk — the filter keeps chunk-j matches whose earlier
+    // chunks all differ, so each pair survives exactly once and the
+    // distinct() over the candidate stream (~1M rows here, the largest
+    // intermediate of the query) disappears.
+    val xor = col("s1").bitwiseXOR(col("s2"))
+    val firstAgree =
+      (col("j") === 0) or
+        (col("j") === 1 and xor.bitwiseAND(31) =!= 0) or
+        (col("j") === 2 and xor.bitwiseAND(31) =!= 0 and
+          shiftright(xor, 5).bitwiseAND(31) =!= 0)
+    ch.toDF("d1", "s1", "j", "c")
       .join(ch.toDF("d2", "s2", "j", "c"), Seq("j", "c"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("s1"), col("s2")).distinct()
-    cand
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast(LongType))
+      .filter(col("d1") < col("d2") and firstAgree)
+      .withColumn("hamming", bit_count(xor).cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
