@@ -386,6 +386,26 @@ object TextQueries {
         |  round(top_count / n_2grams, 6) AS top_frac
         |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // q71: cross-doc repeated spans (C4-style boilerplate dictionary) —
+    // per-doc coverage by word 10-grams shared across >= 3 documents.
+    QueryDef("q71_boilerplate", (s, d) => boilerplateStats(s, d), Some(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-9),
+        |    i -> array_to_string(w[i:i+9], ' '))) AS gram
+        |  FROM w WHERE len(w) >= 10),
+        |hot AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 3),
+        |per AS (SELECT doc_id, COUNT(*) AS n_spans FROM g GROUP BY doc_id),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_boiler
+        |         FROM g JOIN hot USING (gram) GROUP BY doc_id)
+        |SELECT per.doc_id, n_spans,
+        |  CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  (CAST(COALESCE(n_boiler, 0) AS BIGINT) * 1000000) // n_spans
+        |    AS boiler_micro
+        |FROM per LEFT JOIN hits USING (doc_id)
+        |ORDER BY per.doc_id""".stripMargin)),
+
     QueryDef("q66_source_mix", (s, d) => sourceMix(s, d), Some(
       s"""WITH d AS (SELECT source, ${h60("text")} % 1000000 AS u FROM documents),
          |b AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),

@@ -557,6 +557,42 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document repeated-span statistics — the C4/RefinedWeb
+    * boilerplate-removal signal that PER-DOC repetition ([[repetitionStats]])
+    * and WHOLE-DOC dedup (q33–q37) both miss: a word 10-gram occurring in
+    * ≥ `minDocs` distinct documents is a shared span (header, footer,
+    * license block, template), and a document largely covered by shared
+    * spans is boilerplate even if globally unique as a whole.
+    *
+    * Shape at 100 TB: one positional n-gram explode (row factor ≈ word
+    * count, same class as the shingle pipelines), one aggregation to find
+    * hot spans, one equi-join back on the span text — all
+    * hash-partitioned; the hot-span table is corpus-frequency-bounded
+    * (only spans repeated across ≥ minDocs docs survive), exactly the
+    * side a real pipeline would persist as its boilerplate dictionary.
+    */
+  def boilerplateStats(s: SparkSession, dir: String, n: Int = 10,
+                       minDocs: Int = 3): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"
+      )).as("gram"))
+    val hot = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gram"))
+    val per = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val hits = grams.join(hot, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    per.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .withColumn("boiler_micro", expr("(n_boiler * 1000000) div n_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_boiler"), col("boiler_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-weighted source mixing (alpha = 0.5): the pretraining
     * data-mix move that up-samples small sources and down-samples large
     * ones. Per-source weight w = √n in exact integer micro-units
