@@ -96,6 +96,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("bit_count"), "verification is codegen'd bit_count(xor)")
   }
 
+  test("q71 boilerplate: dictionary membership is an equi-join on the span") {
+    val plan = formatted("q71_boilerplate")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "hot-span membership must plan as an equi-join")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "span counts must partial-aggregate before their shuffles")
+  }
+
   test("q66 source mix: per-source rates broadcast to the corpus scan side") {
     val plan = formatted("q66_source_mix")
     assert(plan.contains("BroadcastHashJoin"),
