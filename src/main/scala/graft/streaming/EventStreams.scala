@@ -50,6 +50,32 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("signups"), col("n_events"))
 
+  /** Stream-static enrichment: every micro-batch joins the CURRENT
+    * dimension snapshot (static side re-planned per batch, so a reloaded
+    * dim table is picked up without restarting the query). The dimension
+    * is broadcast — the unbounded stream side never shuffles for the
+    * join, which is the only sustainable shape when the stream is the
+    * 100 TB/day side.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
+  /** Union of two independently-watermarked streams feeding one tumbling
+    * aggregate. Spark finalizes a window on the MIN of the inputs'
+    * watermarks (default `multipleWatermarkPolicy`): a fast source can
+    * never close a window while a lagging source may still deliver rows
+    * for it — the multi-input correctness contract, asserted in
+    * EventStreamsSpec.
+    */
+  def unionedTumbling(a: DataFrame, b: DataFrame,
+      delay: String = "2 seconds"): DataFrame =
+    a.withWatermark("eventTime", delay)
+      .unionByName(b.withWatermark("eventTime", delay))
+      .groupBy(window(col("eventTime"), "3 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("start"), col("n"))
+
   /** Streaming exact dedup on a business key within the watermark horizon
     * (`dropDuplicatesWithinWatermark`): state for a key is dropped once
     * the watermark passes it — bounded state at unbounded input, the

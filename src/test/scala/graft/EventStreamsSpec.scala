@@ -49,6 +49,60 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim; stream side never shuffles") {
+    import spark.implicits._
+    val dim = Seq(("register", "acquisition"), ("online", "engagement"))
+      .toDF("activity", "category")
+    val mem = MemoryStream[UserActivity](spark)
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim, Seq("activity"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq(UserActivity("a", "register", "2025-08-03T13:00:01Z"),
+        UserActivity("b", "online", "2025-08-03T13:00:02Z")))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select(col("userId"), col("category")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set(("a", "acquisition"), ("b", "engagement")))
+    } finally q.stop()
+    // same logical plan on the batch side must broadcast the dim
+    val batchPlan = EventStreams
+      .enrichWithDim(fixture, dim, Seq("activity"))
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"),
+      s"dim join must broadcast:\n$batchPlan")
+  }
+
+  test("unioned streams finalize windows on the MIN of the input watermarks") {
+    import spark.implicits._
+    def ev(sec: Int) = UserActivity("u", "online", f"2025-08-03T13:00:$sec%02dZ")
+    val fast = MemoryStream[UserActivity](spark)
+    val slow = MemoryStream[UserActivity](spark)
+    def withTime(m: MemoryStream[UserActivity]) =
+      m.toDF().withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = EventStreams.unionedTumbling(withTime(fast), withTime(slow))
+      .writeStream.format("memory").queryName("union_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // both sources put a row in window [0,3); only FAST races ahead
+      fast.addData(Seq(ev(1), ev(30)))
+      slow.addData(Seq(ev(2)))
+      q.processAllAvailable()
+      // fast's watermark (:28) is past the window, slow's (:00) is not —
+      // the global minimum must hold the window open
+      assert(spark.table("union_wm").isEmpty,
+        "window closed while a lagging source could still deliver")
+      // once the slow source catches up, the window emits rows from BOTH
+      slow.addData(Seq(ev(31)))
+      q.processAllAvailable()
+      val got = spark.table("union_wm").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val w0 = java.time.Instant.parse("2025-08-03T13:00:00Z").getEpochSecond
+      assert(got.get(w0) === Some(2L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming ingest pipeline: quality-gates, dedups, and fingerprints docs") {
     import spark.implicits._
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
