@@ -147,6 +147,29 @@ object VectorQueries {
          |SELECT qid, rnk, neighbor_id, round(cos, 6) AS cos
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
 
+    // q72: product-quantization codes — the ANN memory-compression path;
+    // same d2 expansion and fold order on both engines, ties on c.
+    QueryDef("q72_pq_assign", (s, d) => pqAssign(s, d), Some(
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sub AS (SELECT vec_id, s, list_slice(e, s*16+1, s*16+16) AS v
+        |        FROM base, UNNEST(generate_series(0, 3)) AS u(s)),
+        |cent AS (SELECT vec_id AS c, s, v AS cv FROM sub WHERE vec_id < 8),
+        |d AS (SELECT sub.vec_id, sub.s, c,
+        |        list_dot_product(cv, cv) + list_dot_product(v, v)
+        |          - 2 * list_dot_product(v, cv) AS d2
+        |      FROM sub JOIN cent ON sub.s = cent.s),
+        |r AS (SELECT vec_id, s, c, d2,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
+        |      FROM d),
+        |m AS (SELECT vec_id, s, c, d2 FROM r WHERE rk = 1)
+        |SELECT vec_id,
+        |  CAST(SUM(c * (CASE s WHEN 0 THEN 1 WHEN 1 THEN 8
+        |                       WHEN 2 THEN 64 ELSE 512 END)) AS BIGINT)
+        |    AS pq_code,
+        |  round(CAST(SUM(CAST(round(d2, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS qerr
+        |FROM m GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     QueryDef("q44_ivf_assign", (s, d) => ivfAssign(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),

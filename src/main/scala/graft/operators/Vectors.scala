@@ -273,6 +273,49 @@ object Vectors {
       .orderBy(col("cid"))
   }
 
+  /** Product-quantization code assignment — the memory side of ANN at
+    * 100 TB (an IVF cell bounds WHERE to scan; PQ bounds what each
+    * scanned vector COSTS: 64 floats compress to one code). The vector
+    * splits into 4 subspaces of 16 dims; per subspace the 8 fixed coarse
+    * vectors (vec_id < 8, the q44 convention) act as the codebook and
+    * each subvector takes its argmin-L2 centroid; the 4 codes pack into
+    * one integer. Codebooks broadcast; the corpus is touched by one
+    * scan + one subspace explode — no shuffle of the embedding side
+    * before the tiny argmin window.
+    *
+    * Determinism: d2 expands to nsq_c + nsq_v − 2·dot, every term a
+    * left-to-right [[graft.functions.FloatDot]] fold (bit-identical to
+    * DuckDB `list_dot_product`); argmin ties break on centroid id;
+    * per-vector quantization error accumulates rounded DECIMALs.
+    */
+  def pqAssign(s: SparkSession, dir: String, subspaces: Int = 4,
+               nCentroids: Int = 8): DataFrame = {
+    val subLen = 64 / subspaces
+    val base = Tables.embeddings(s, dir)
+    val subStructs = (0 until subspaces).map { ss =>
+      struct(lit(ss).as("s"),
+        expr(s"slice(embedding, ${ss * subLen + 1}, $subLen)").as("v"))
+    }
+    val sub = base.select(col("vec_id"), explode(array(subStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.s").as("s"), col("b.v").as("v"))
+    val cent = sub.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c"), col("s"), col("v").as("cv"))
+    val d = sub.join(broadcast(cent), Seq("s"))
+      .withColumn("d2",
+        expr("float_dot(cv, cv) + float_dot(v, v) - 2 * float_dot(v, cv)"))
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2"), col("c"))
+    d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(col("c") * expr(
+          "CASE s WHEN 0 THEN 1 WHEN 1 THEN 8 WHEN 2 THEN 64 ELSE 512 END"))
+          .cast(LongType).as("pq_code"),
+        round(sum(round(col("d2"), 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType), 6).as("qerr"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-probed ANN: top-k neighbors searched ONLY within the query's
     * coarse cell — the probe path that makes ANN sub-linear at scale
     * (brute force runs per cell, never globally). Recall vs. global

@@ -105,6 +105,15 @@ class PlanAssertionsSpec extends SparkSpec {
       "span counts must partial-aggregate before their shuffles")
   }
 
+  test("q72 PQ assign: codebooks broadcast; distances stay in codegen float_dot") {
+    val plan = formatted("q72_pq_assign")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 32-row codebook must broadcast — the corpus never shuffles for it")
+    assert(plan.contains("float_dot") && !plan.contains("aggregate(zip_with"),
+      "d2 terms must run the codegen'd float_dot")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q66 source mix: per-source rates broadcast to the corpus scan side") {
     val plan = formatted("q66_source_mix")
     assert(plan.contains("BroadcastHashJoin"),
