@@ -406,6 +406,26 @@ object TextQueries {
         |FROM per LEFT JOIN hits USING (doc_id)
         |ORDER BY per.doc_id""".stripMargin)),
 
+    // q73: benchmark decontamination — flag training docs sharing any
+    // word 8-gram with the held-out slice doc_id % 97 == 0.
+    QueryDef("q73_decontaminate", (s, d) => decontaminate(s, d), Some(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+        |    i -> array_to_string(w[i:i+7], ' '))) AS gram
+        |  FROM w WHERE len(w) >= 8)),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |t AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+        |per AS (SELECT doc_id, COUNT(*) AS n_grams FROM t GROUP BY doc_id),
+        |h AS (SELECT doc_id, COUNT(*) AS n_hit
+        |      FROM t JOIN e USING (gram) GROUP BY doc_id)
+        |SELECT per.doc_id, n_grams,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN COALESCE(n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM per LEFT JOIN h USING (doc_id)
+        |ORDER BY per.doc_id""".stripMargin)),
+
     QueryDef("q66_source_mix", (s, d) => sourceMix(s, d), Some(
       s"""WITH d AS (SELECT source, ${h60("text")} % 1000000 AS u FROM documents),
          |b AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),

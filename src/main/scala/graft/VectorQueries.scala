@@ -170,6 +170,52 @@ object VectorQueries {
         |    AS qerr
         |FROM m GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
+    // q74: IVF-PQ ADC search — probe the query's coarse cell (q44/q48
+    // convention), score candidates from PQ codes alone (q72 convention)
+    // via the per-query lookup table; rank by the exact DECIMAL ADC sum.
+    QueryDef("q74_pq_search", (s, d) => pqSearch(s, d), Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
+         |cent0 AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |ascored AS (
+         |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
+         |  FROM base CROSS JOIN cent0),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |    FROM ascored) WHERE rnk = 1),
+         |sub AS (SELECT vec_id, s, list_slice(e, s*16+1, s*16+16) AS v
+         |        FROM base, UNNEST(generate_series(0, 3)) AS u(s)),
+         |centS AS (SELECT vec_id AS c, s, v AS cv FROM sub WHERE vec_id < 8),
+         |d AS (SELECT sub.vec_id, sub.s, c,
+         |        list_dot_product(cv, cv) + list_dot_product(v, v)
+         |          - 2 * list_dot_product(v, cv) AS d2
+         |      FROM sub JOIN centS ON sub.s = centS.s),
+         |code AS (SELECT vec_id, s, c FROM (
+         |  SELECT vec_id, s, c,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
+         |  FROM d) WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id IN $QIDS),
+         |lut AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id IN $QIDS),
+         |cand AS (SELECT qid, a.vec_id AS neighbor_id
+         |         FROM q JOIN assign a USING (cid) WHERE a.vec_id != qid),
+         |adc AS (
+         |  SELECT cand.qid, neighbor_id,
+         |    SUM(CAST(round(l.d2, 6) AS DECIMAL(18,6))) AS adc_dec
+         |  FROM cand
+         |  JOIN code ON code.vec_id = neighbor_id
+         |  JOIN lut l ON l.qid = cand.qid AND l.s = code.s AND l.c = code.c
+         |  GROUP BY cand.qid, neighbor_id),
+         |ranked AS (
+         |  SELECT qid, neighbor_id, adc_dec,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dec, neighbor_id)
+         |      AS BIGINT) AS rnk
+         |  FROM adc)
+         |SELECT qid, rnk, neighbor_id,
+         |  round(CAST(adc_dec AS DOUBLE), 6) AS adc
+         |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
+
     QueryDef("q44_ivf_assign", (s, d) => ivfAssign(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),

@@ -593,6 +593,41 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — the eval-overlap scrub every pretraining
+    * pipeline runs before training: any training document sharing a word
+    * `n`-gram with a held-out evaluation document is flagged (the
+    * GPT-3/PaLM-style n-gram collision rule). Here the held-out set is
+    * the deterministic slice doc_id ≡ 0 (mod `evalMod`); a real pipeline
+    * would load its benchmark suites instead — the shape is identical.
+    *
+    * Shape at 100 TB: the eval side is tiny and fixed (benchmarks are
+    * MBs, the corpus is TBs), so its distinct-gram dictionary BROADCASTs
+    * and the corpus is touched by exactly one scan + n-gram explode +
+    * map-side hash-join + per-doc aggregation — no shuffle of the corpus
+    * by gram, no join whose build side grows with corpus size.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 8,
+                    evalMod: Int = 97): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"
+      ))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("gram")).distinct()
+    val train = grams.filter(col("doc_id") % evalMod =!= 0)
+    val hits = train.join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("contaminated",
+        when(col("n_hit") > 0, lit(1L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-weighted source mixing (alpha = 0.5): the pretraining
     * data-mix move that up-samples small sources and down-samples large
     * ones. Per-source weight w = √n in exact integer micro-units

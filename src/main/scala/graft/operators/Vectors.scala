@@ -288,8 +288,13 @@ object Vectors {
     * DuckDB `list_dot_product`); argmin ties break on centroid id;
     * per-vector quantization error accumulates rounded DECIMALs.
     */
-  def pqAssign(s: SparkSession, dir: String, subspaces: Int = 4,
-               nCentroids: Int = 8): DataFrame = {
+  /** (vec_id, s, c, d2): squared L2 from every vector's subvector `s` to
+    * every subspace codeword `c` — the shared stage under [[pqAssign]]
+    * (argmin per (vec, s) = the code) and [[pqSearch]] (rows at query ids
+    * = the ADC lookup table).
+    */
+  private def pqDistances(s: SparkSession, dir: String, subspaces: Int,
+                          nCentroids: Int): DataFrame = {
     val subLen = 64 / subspaces
     val base = Tables.embeddings(s, dir)
     val subStructs = (0 until subspaces).map { ss =>
@@ -300,12 +305,25 @@ object Vectors {
       .select(col("vec_id"), col("b.s").as("s"), col("b.v").as("v"))
     val cent = sub.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c"), col("s"), col("v").as("cv"))
-    val d = sub.join(broadcast(cent), Seq("s"))
+    sub.join(broadcast(cent), Seq("s"))
       .withColumn("d2",
         expr("float_dot(cv, cv) + float_dot(v, v) - 2 * float_dot(v, cv)"))
+      .select(col("vec_id"), col("s"), col("c"), col("d2"))
+  }
+
+  /** (vec_id, s, c, d2): each subvector's argmin-L2 codeword. */
+  private def pqCodes(s: SparkSession, dir: String, subspaces: Int,
+                      nCentroids: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("d2"), col("c"))
-    d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    pqDistances(s, dir, subspaces, nCentroids)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("c"), col("d2"))
+  }
+
+  def pqAssign(s: SparkSession, dir: String, subspaces: Int = 4,
+               nCentroids: Int = 8): DataFrame = {
+    pqCodes(s, dir, subspaces, nCentroids)
       .groupBy(col("vec_id"))
       .agg(
         sum(col("c") * expr(
@@ -314,6 +332,48 @@ object Vectors {
         round(sum(round(col("d2"), 6).cast(DecimalType(18, 6)))
           .cast(DoubleType), 6).as("qerr"))
       .orderBy(col("vec_id"))
+  }
+
+  /** IVF-PQ ADC search — the two halves of the ANN index composed the way
+    * a production vector store runs them: the IVF cell ([[ivfAssignments]])
+    * bounds WHERE to scan, and each scanned vector is scored from its PQ
+    * code alone via Asymmetric Distance Computation — approx d²(q, x) =
+    * Σ_s d²(q_s, codeword(code_s(x))) — so the scan touches one packed
+    * code per candidate, never the raw floats.
+    *
+    * Shape at 100 TB: the ADC lookup table is |Q|·subspaces·nCentroids
+    * rows (constant, broadcast); the code table is the compressed corpus
+    * (largest side, one scan, map-side joins); the only shuffle is the
+    * per-query top-k aggregation over in-cell candidates. Determinism:
+    * every d² term is a [[graft.functions.FloatDot]] fold (bit-identical
+    * to the oracle), the 4-term ADC sum accumulates rounded DECIMALs
+    * (order-free), and ranking orders by the exact DECIMAL with id
+    * tiebreak before the final double rounding.
+    */
+  def pqSearch(s: SparkSession, dir: String, k: Int = 3, subspaces: Int = 4,
+               nCentroids: Int = 8): DataFrame = {
+    val assign = ivfAssignments(s, dir).select(col("vec_id"), col("cid"))
+    val q = assign.filter(col("vec_id").isin(KnnQueryIds: _*))
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = broadcast(q).join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    val lut = pqDistances(s, dir, subspaces, nCentroids)
+      .filter(col("vec_id").isin(KnnQueryIds: _*))
+      .select(col("vec_id").as("qid"), col("s"), col("c"), col("d2"))
+    val codes = pqCodes(s, dir, subspaces, nCentroids)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
+    val adc = cand.join(codes, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("qid", "s", "c"))
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sum(round(col("d2"), 6).cast(DecimalType(18, 6))).as("adc_dec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dec"), col("neighbor_id"))
+    adc.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("neighbor_id"),
+        round(col("adc_dec").cast(DoubleType), 6).as("adc"))
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** IVF-probed ANN: top-k neighbors searched ONLY within the query's

@@ -146,6 +146,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall (8 coarse cells, probe=1)")
   }
 
+  test("decontamination flags exactly the docs sharing an 8-gram with the eval slice") {
+    val out = Text.decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(!out.keySet.exists(_ % 97 == 0), "eval docs must not be scored")
+    // independent recomputation through a different plan: per-doc distinct
+    // gram SETS intersected driver-side (500-doc fixture corpus)
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(w)-8), i -> concat_ws(' ', slice(w, i+1, 8))))"
+      ).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val evalGrams = docs.filter(_._1 % 97 == 0).flatMap(_._2).toSet
+    assert(evalGrams.nonEmpty, "eval slice must contribute grams")
+    docs.filter(_._1 % 97 != 0).foreach { case (id, g) =>
+      val hits = (g & evalGrams).size.toLong
+      assert(out(id) === ((hits, if (hits > 0) 1L else 0L)),
+        s"doc $id: got ${out(id)}, brute-force says $hits")
+    }
+    assert(out.values.exists(_._2 == 1L),
+      "fixture corpus must contain at least one contaminated doc")
+  }
+
+  test("IVF-PQ ADC search: k per query, no self, ADC ascending, deterministic") {
+    def run() = Vectors.pqSearch(spark, sfDir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rows = run()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 3, s"query $q returned ${rs.length} rows")
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+      val adcs = rs.sortBy(_._2).map(_._4)
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        s"query $q ADC not ascending: ${adcs.toSeq}")
+    }
+    // DECIMAL accumulation + id tiebreaks: re-running must be bit-identical
+    assert(run().toSeq === rows.toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact per language") {
     val rows = Text.approxVocab(spark, sfDir).collect()
     rows.foreach { r =>

@@ -114,6 +114,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q73 decontaminate: the eval-gram dictionary broadcasts to the corpus side") {
+    val plan = formatted("q73_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the benchmark n-gram dictionary is MB-scale — it must broadcast, " +
+        "the corpus must never shuffle by gram for the membership probe")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q74 IVF-PQ search: LUT broadcasts; distances stay in codegen float_dot") {
+    val plan = formatted("q74_pq_search")
+    assert(plan.contains("float_dot") && !plan.contains("aggregate(zip_with"),
+      "ADC d2 terms must run the codegen'd float_dot")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-query lookup table and codebook must broadcast")
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(bnlj.forall(l => !l.contains("<")),
+      s"N×N nested-loop pair join found: $bnlj")
+  }
+
   test("q66 source mix: per-source rates broadcast to the corpus scan side") {
     val plan = formatted("q66_source_mix")
     assert(plan.contains("BroadcastHashJoin"),
