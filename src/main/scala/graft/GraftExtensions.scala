@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, MinGramHash60}
+import graft.functions.{FloatDot, LongL2, MinGramHash60}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`,
   * wired in GraftSession.configure): registers the engine's native
@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[Expression]) => FloatDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("long_l2"),
+      new ExpressionInfo(classOf[LongL2].getName, "long_l2"),
+      (children: Seq[Expression]) => LongL2(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("min_gram_hash60"),
       new ExpressionInfo(classOf[MinGramHash60].getName, "min_gram_hash60"),

@@ -216,6 +216,43 @@ object VectorQueries {
          |  round(CAST(adc_dec AS DOUBLE), 6) AS adc
          |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
 
+    // q75: k-means training (Lloyd) — assignment/update/assignment in
+    // exact integer micro-space: floor(x*1e6) components, integer argmin
+    // distances, exact integer centroid means (OFF-shifted division so
+    // floor- and truncating-division agree), integer inertia.
+    QueryDef("q75_kmeans_train", (s, d) => kmeansTrain(s, d), Some {
+      val OFF = 1L << 31
+      s"""WITH xm AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS xm
+         |  FROM embeddings),
+         |x AS (SELECT vec_id, d, xm[d] AS v
+         |      FROM xm, UNNEST(generate_series(1, len(xm))) AS u(d)),
+         |c0 AS (SELECT vec_id AS cid, d, v AS cv FROM x WHERE vec_id < 8),
+         |d1 AS (SELECT x.vec_id, cid, SUM((v - cv) * (v - cv)) AS d2
+         |       FROM x JOIN c0 USING (d) GROUP BY 1, 2),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |  FROM d1) WHERE rk = 1),
+         |c1 AS (SELECT cid, d,
+         |         CAST((SUM(v) + COUNT(*) * $OFF) // COUNT(*) - $OFF AS BIGINT) AS cv
+         |       FROM x JOIN a1 USING (vec_id) GROUP BY cid, d),
+         |dd2 AS (SELECT x.vec_id, cid, SUM((v - cv) * (v - cv)) AS d2
+         |        FROM x JOIN c1 USING (d) GROUP BY 1, 2),
+         |a2 AS (SELECT vec_id, cid, d2 FROM (
+         |  SELECT vec_id, cid, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |  FROM dd2) WHERE rk = 1),
+         |stats AS (SELECT cid, COUNT(*) AS n_vecs,
+         |            CAST(SUM(d2 // 1000000) AS BIGINT) AS inertia_mu
+         |          FROM a2 GROUP BY cid),
+         |l1 AS (SELECT cid, CAST(SUM(abs(cv)) AS BIGINT) AS cent_l1_mu
+         |       FROM c1 GROUP BY cid)
+         |SELECT cid, n_vecs, inertia_mu, cent_l1_mu
+         |FROM stats JOIN l1 USING (cid) ORDER BY cid""".stripMargin
+    }),
+
     QueryDef("q44_ivf_assign", (s, d) => ivfAssign(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),

@@ -376,6 +376,67 @@ object Vectors {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Distributed k-means TRAINING (Lloyd's algorithm) — the step that
+    * produces the coarse centroids the IVF/PQ queries (q44/q48/q72/q74)
+    * consume as given. Two assignment passes with one centroid update
+    * between them, all in exact integer micro-space so every argmin and
+    * every learned centroid is bit-identical on any engine:
+    *
+    *   - components quantize once to xm[d] = floor(x[d]·10⁶) (one IEEE
+    *     multiply + floor — exact, no round-half ambiguity);
+    *   - assignment = argmin Σ(xm−cm)², the codegen'd
+    *     [[graft.functions.LongL2]], ties on lower cid;
+    *   - the updated centroid is the exact integer mean
+    *     (Σ xm + n·OFF) div n − OFF per dimension (the OFF shift keeps
+    *     the dividend non-negative, where floor- and truncating-division
+    *     semantics agree across engines);
+    *   - inertia reports Σ d² div 10⁶ per cluster (micro²→micro keeps
+    *     the 100 TB sum inside a long).
+    *
+    * Shape at 100 TB: per pass, the corpus is touched by ONE scan; the
+    * k-row centroid table broadcasts to the assignment (map-side, no
+    * shuffle of the big side) and the update is one explode +
+    * hash-partitioned aggregation per dimension — the classic scalable
+    * k-means loop (k·dims partial aggregates per task, then one shuffle
+    * of k·dims rows per reducer). Iteration count is a fixed small
+    * constant; each extra Lloyd pass is the same two stages again.
+    */
+  def kmeansTrain(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0D))"
+    ).as("xm"))
+
+    def assign(cent: DataFrame): DataFrame =
+      vecs.join(broadcast(cent))
+        .withColumn("d2", expr("long_l2(xm, cm)"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("d2")),
+          struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+
+    val cent0 = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("xm").as("cm"))
+    val a1 = assign(cent0)
+    // exact integer per-dimension mean; OFF = 2^31 dwarfs any |Σ xm|/n
+    val cent1 = vecs.join(a1.select(col("vec_id"), col("cid")), "vec_id")
+      .select(col("cid"), posexplode(col("xm")).as(Seq("d", "v")))
+      .groupBy(col("cid"), col("d"))
+      .agg(expr(s"(sum(v) + count(1) * ${1L << 31}L) div count(1) - ${1L << 31}L")
+        .as("cv"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, cv))), p -> p.cv)")
+        .as("cm"))
+    val a2 = assign(cent1)
+    a2.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("d2 div 1000000")).cast(LongType).as("inertia_mu"))
+      .join(cent1.select(col("cid"), expr(
+        "aggregate(cm, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").as("cent_l1_mu")),
+        "cid")
+      .select(col("cid"), col("n_vecs"), col("inertia_mu"), col("cent_l1_mu"))
+      .orderBy(col("cid"))
+  }
+
   /** IVF-probed ANN: top-k neighbors searched ONLY within the query's
     * coarse cell — the probe path that makes ANN sub-linear at scale
     * (brute force runs per cell, never globally). Recall vs. global

@@ -187,6 +187,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run().toSeq === rows.toSeq)
   }
 
+  test("k-means training matches an in-memory reference run of the same algorithm") {
+    val OFF = 1L << 31
+    val vecs = sources.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cent: Map[Long, Array[Long]]): Map[Long, (Long, Long)] =
+      vecs.map { case (id, x) =>
+        val (c, d) = cent.toSeq.map { case (c, cm) => (c, d2(x, cm)) }
+          .minBy { case (c, d) => (d, c) }
+        id -> (c, d)
+      }.toMap
+    val cent0 = vecs.filter(_._1 < 8).toMap
+    val a1 = assign(cent0)
+    val byC = vecs.groupBy { case (id, _) => a1(id)._1 }
+    val cent1 = byC.map { case (c, members) =>
+      val n = members.length
+      c -> (0 until 64).map { d =>
+        val s = members.map(_._2(d)).sum
+        (s + n * OFF) / n - OFF
+      }.toArray
+    }
+    val a2 = assign(cent1)
+    val expected = a2.values.groupBy(_._1).map { case (c, ds) =>
+      c -> (ds.size.toLong, ds.map(_._2 / 1000000L).sum,
+        cent1(c).map(math.abs).sum)
+    }
+    val got = Vectors.kmeansTrain(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+  }
+
   test("approx_count_distinct within 5% of exact per language") {
     val rows = Text.approxVocab(spark, sfDir).collect()
     rows.foreach { r =>

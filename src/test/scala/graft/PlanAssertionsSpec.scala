@@ -134,6 +134,16 @@ class PlanAssertionsSpec extends SparkSpec {
       s"N×N nested-loop pair join found: $bnlj")
   }
 
+  test("q75 k-means: assignment runs codegen long_l2 against broadcast centroids") {
+    val plan = formatted("q75_kmeans_train")
+    assert(plan.contains("long_l2"),
+      "integer distances must run the codegen'd long_l2, not interpreted HOFs")
+    assert(!plan.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(bnlj.forall(l => !l.contains("<")),
+      s"only the k-row centroid broadcasts may nested-loop: $bnlj")
+  }
+
   test("q66 source mix: per-source rates broadcast to the corpus scan side") {
     val plan = formatted("q66_source_mix")
     assert(plan.contains("BroadcastHashJoin"),
