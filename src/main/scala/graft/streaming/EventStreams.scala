@@ -76,6 +76,32 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("start"), col("n"))
 
+  /** Stream-stream INTERVAL join — the click-attribution shape: each
+    * click joins the impressions of the same user that happened in the
+    * preceding `horizon`. Both sides are watermarked and the join
+    * condition bounds the event-time gap, so each side's buffered state
+    * evicts as the watermark passes the interval — bounded state at
+    * unbounded input, the only viable stream-stream join at 100 TB/day
+    * (an unbounded-condition stream join would buffer both streams
+    * forever).
+    *
+    * Expects `impressions(impUser, adId, impTime)` and
+    * `clicks(clickUser, clickTime)`. `joinType = "leftOuter"` emits
+    * never-clicked impressions with null click columns once the
+    * watermark proves no click can still arrive — Spark only supports
+    * outer stream-stream joins when the condition is time-bounded like
+    * this, which the spec pins.
+    */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+      delay: String = "10 seconds", horizon: String = "30 seconds",
+      joinType: String = "inner"): DataFrame =
+    impressions.withWatermark("impTime", delay).join(
+      clicks.withWatermark("clickTime", delay),
+      expr(s"""impUser = clickUser AND
+               clickTime >= impTime AND
+               clickTime <= impTime + interval $horizon"""),
+      joinType)
+
   /** Streaming exact dedup on a business key within the watermark horizon
     * (`dropDuplicatesWithinWatermark`): state for a key is dropped once
     * the watermark passes it — bounded state at unbounded input, the

@@ -103,6 +103,62 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the horizon only") {
+    import spark.implicits._
+    def t(sec: Int) =
+      java.sql.Timestamp.from(java.time.Instant.parse(f"2025-08-03T13:${sec / 60}%02d:${sec % 60}%02dZ"))
+    val imps = MemoryStream[(String, String, java.sql.Timestamp)](spark)
+    val clicks = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val q = EventStreams.clickAttribution(
+      imps.toDF().toDF("impUser", "adId", "impTime"),
+      clicks.toDF().toDF("clickUser", "clickTime"))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData(Seq(("a", "ad1", t(0)), ("b", "ad2", t(1))))
+      // a clicks inside the 30 s horizon; b clicks 100 s later (outside);
+      // c clicks with no impression at all
+      clicks.addData(Seq(("a", t(10)), ("b", t(101)), ("c", t(11))))
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select(col("impUser"), col("adId")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === Set(("a", "ad1")),
+        s"only a's in-horizon click may attribute; got $got")
+    } finally q.stop()
+  }
+
+  test("outer interval join emits unmatched impressions after the watermark closes them") {
+    import spark.implicits._
+    def t(sec: Int) =
+      java.sql.Timestamp.from(java.time.Instant.parse(f"2025-08-03T13:${sec / 60}%02d:${sec % 60}%02dZ"))
+    val imps = MemoryStream[(String, String, java.sql.Timestamp)](spark)
+    val clicks = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val q = EventStreams.clickAttribution(
+      imps.toDF().toDF("impUser", "adId", "impTime"),
+      clicks.toDF().toDF("clickUser", "clickTime"),
+      delay = "5 seconds", horizon = "10 seconds", joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attributed_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData(Seq(("a", "ad1", t(0)), ("b", "ad2", t(1))))
+      clicks.addData(Seq(("a", t(5))))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past imp + horizon + delay so the
+      // unmatched impression for b provably can't match anymore
+      imps.addData(Seq(("z", "adz", t(120))))
+      clicks.addData(Seq(("z", t(121))))
+      q.processAllAvailable()
+      val got = spark.table("attributed_outer")
+        .select(col("impUser"), col("adId"), col("clickUser")).collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+        .toSet
+      assert(got.contains(("a", "ad1", Some("a"))), s"matched click lost: $got")
+      assert(got.contains(("b", "ad2", None)),
+        s"never-clicked impression must emit with null click side: $got")
+    } finally q.stop()
+  }
+
   test("streaming ingest pipeline: quality-gates, dedups, and fingerprints docs") {
     import spark.implicits._
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
