@@ -441,6 +441,37 @@ object TextQueries {
          |FROM r LEFT JOIN k ON k.source = r.source
          |ORDER BY r.source""".stripMargin)),
 
+    // q76: token-budget sampling — equal per-source share of a fixed
+    // token budget, quality-first then content-hash priority, kept iff
+    // the running token total still fits.
+    QueryDef("q76_token_budget", (s, d) => tokenBudget(s, d), Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, ${h60("text")} % 1000000 AS u,
+         |    len(w) AS n_words,
+         |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop
+         |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |b AS (
+         |  SELECT doc_id, source, u, CAST(n_words AS BIGINT) AS n_tokens,
+         |    CASE WHEN n_words < 15 OR n_words > 90
+         |              OR n_stop * 100 > n_words * 12
+         |         THEN 1 ELSE 0 END AS bad
+         |  FROM d),
+         |ns AS (SELECT COUNT(DISTINCT source) AS ns FROM b),
+         |c AS (
+         |  SELECT source, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY bad, u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      <= 10000 // ns AS kept,
+         |    1 AS one
+         |  FROM b CROSS JOIN ns)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tok_kept
+         |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
     QueryDef("q38_lang_id", (s, d) => langIdAgreement(s, d), Some(
       """WITH scored AS (
         |  SELECT lang,

@@ -656,6 +656,51 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Token-budget-constrained sampling — "fill a fixed training-token
+    * budget" rather than "keep a fixed fraction" ([[sourceMix]]): each
+    * source gets an equal integer share of `budget` tokens, documents
+    * queue quality-first (the q39 gate rules, integer-exact) then in
+    * deterministic content-hash order, and a doc is kept iff its running
+    * token total still fits the source's share. Reports per-source
+    * totals vs kept.
+    *
+    * Shape at scale: one scan + one window (cumulative sum partitioned
+    * by source) + one aggregation. The per-source window is the honest
+    * cost: a source with N docs sorts N rows in its partition — at
+    * extreme skew (one source = half the corpus) the production variant
+    * replaces the full sort with a quantile-estimated priority threshold
+    * (keep everything below it, top up at the boundary), the same
+    * two-phase trick as distributed top-k; semantics here are the exact
+    * form the oracle can check.
+    */
+  def tokenBudget(s: SparkSession, dir: String, budget: Long = 10000L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (hash60(col("text")) % 1000000L).as("u"), words.as("w"))
+      .select(col("doc_id"), col("source"), col("u"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).as("n_stop"),
+        size(col("w")).as("n_words"))
+      // q39's gate, in exact integers: short, long, or stopword-heavy
+      .withColumn("bad",
+        when(col("n_words") < 15 || col("n_words") > 90 ||
+          col("n_stop") * 100 > col("n_words") * 12, 1L).otherwise(0L))
+    val ns = docs.agg(countDistinct(col("source")).as("ns"))
+    val wq = Window.partitionBy(col("source"))
+      .orderBy(col("bad"), col("u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = docs.crossJoin(broadcast(ns))
+      .withColumn("cum", sum(col("n_tokens")).over(wq))
+      .withColumn("kept", col("cum") <= expr(s"$budget div ns"))
+    cum.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("tok_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).cast(LongType)
+          .as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
   /** BM25 top-3 terms per document (k1=1.2, b=0.75). All arithmetic is
     * exact 64-bit integer rationals: the constants clear to integers by
     * scaling numerator and denominator by 10·total_tokens, and idf uses

@@ -221,6 +221,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("token budget: kept tokens fit the share, and the kept set is prefix-greedy") {
+    val rows = Text.tokenBudget(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val share = 10000L / rows.length
+    rows.foreach { case (src, _, _, _, tokKept) =>
+      assert(tokKept <= share, s"$src kept $tokKept > share $share")
+    }
+    assert(rows.exists(_._4 > 0), "some source must keep docs")
+    assert(rows.exists(r => r._4 < r._2), "the budget must bind somewhere")
+    // greedy prefix property: a source's kept token total plus its NEXT
+    // queued doc must overflow the share (else the sampler under-filled)
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("source"), split(col("text"), " ").as("w"),
+        (Text.hash60(col("text")) % 1000000L).as("u"), col("doc_id"))
+      .select(col("source"), size(col("w")).cast("long").as("n"),
+        size(expr("filter(w, x -> x IN ('the', 'a'))")).as("ns"),
+        size(col("w")).as("nw"), col("u"), col("doc_id"))
+      .withColumn("bad", when(col("nw") < 15 || col("nw") > 90 ||
+        col("ns") * 100 > col("nw") * 12, 1L).otherwise(0L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(6), r.getLong(4), r.getLong(5)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val queue = ds.sortBy(d => (d._3, d._4, d._5)).map(_._2)
+      val (_, _, _, nKept, tokKept) = rows.find(_._1 == src).get
+      if (nKept < queue.length)
+        assert(tokKept + queue(nKept.toInt) > share,
+          s"$src under-filled: kept=$tokKept next=${queue(nKept.toInt)} share=$share")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact per language") {
     val rows = Text.approxVocab(spark, sfDir).collect()
     rows.foreach { r =>
