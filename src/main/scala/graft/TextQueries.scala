@@ -483,6 +483,81 @@ object TextQueries {
         |       WHEN es_votes > en_votes THEN 'es'
         |       ELSE 'und' END AS predicted,
         |  COUNT(*) AS n
-        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q77: concat-and-chunk sequence packing — per-source packing
+    // efficiency when docs are laid out in content-hash order and cut
+    // into 512-token training sequences.
+    QueryDef("q77_seq_pack", (s, d) => seqPack(s, d), Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, ${h60("text")} % 1000000 AS u,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM d)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  (MAX(cum) + 511) // 512 AS n_seqs,
+         |  CAST(SUM(CASE WHEN (cum - 1) // 512 > (cum - n_tokens) // 512
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+         |  (1000000 * (MAX(cum) - ((MAX(cum) - 1) // 512) * 512)) // 512
+         |    AS tail_fill_micro
+         |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q78: Zipf coverage — distinct terms covering 90% of tokens per
+    // language, and the share carried by the top-100 terms.
+    QueryDef("q78_zipf_coverage", (s, d) => zipfCoverage(s, d), Some(
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |f AS (SELECT lang, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |          COUNT(*) AS n_terms FROM f GROUP BY lang),
+        |r AS (SELECT lang, cnt, term,
+        |    CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term)
+        |      AS BIGINT) AS rnk
+        |  FROM f)
+        |SELECT r.lang, MAX(n_terms) AS n_terms, MAX(total_tokens) AS total_tokens,
+        |  MIN(CASE WHEN cum * 10 >= total_tokens * 9 THEN rnk END) AS terms_90,
+        |  (1000000 * MAX(CASE WHEN rnk <= 100 THEN cum END)) // MAX(total_tokens)
+        |    AS top100_cov_micro
+        |FROM r JOIN tot USING (lang)
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin)),
+
+    // q79: leakage-proof split manifest — content-hash 90/5/5 split, so
+    // byte-identical duplicates always share a split.
+    QueryDef("q79_split_manifest", (s, d) => splitManifest(s, d), Some(
+      s"""WITH d AS (
+         |  SELECT source, ${h60("text")} % 100 AS b, md5(text) AS text_md5,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+         |  COUNT(DISTINCT text_md5) AS n_distinct
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q80: per-source KL(source ‖ corpus) over the unigram distribution,
+    // un-normalized micro-nat sum (the q61 integer-surprisal trick).
+    QueryDef("q80_source_kl", (s, d) => sourceKl(s, d), Some(
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |st AS (SELECT source, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |           COUNT(*) AS n_terms FROM st GROUP BY source),
+        |ct AS (SELECT term, COUNT(*) AS ccnt FROM t GROUP BY term),
+        |ctot AS (SELECT COUNT(*) AS ctotal FROM t)
+        |SELECT source, MAX(n_terms) AS n_terms, MAX(n_tokens) AS n_tokens,
+        |  CAST(SUM(cnt * (
+        |    CAST(round(-ln(ccnt / ctotal) * 1000000) AS BIGINT) -
+        |    CAST(round(-ln(cnt / n_tokens) * 1000000) AS BIGINT))) AS BIGINT)
+        |    AS kl_sum_micro
+        |FROM st JOIN stot USING (source) JOIN ct USING (term) CROSS JOIN ctot
+        |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -267,6 +267,28 @@ object VectorQueries {
          |SELECT cid, COUNT(*) AS n_vecs,
          |  round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
          |    AS avg_cos
-         |FROM best WHERE rnk = 1 GROUP BY cid ORDER BY cid""".stripMargin))
+         |FROM best WHERE rnk = 1 GROUP BY cid ORDER BY cid""".stripMargin)),
+
+    // q81: int8 scalar quantization (SQ8) reconstruction-error audit —
+    // exact integer micro-space, so both engines agree bit-for-bit.
+    QueryDef("q81_sq8_error", (s, d) => sq8Error(s, d), Some(
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT label, v, list_min(v) AS vmin,
+        |        list_max(v) - list_min(v) AS rng FROM v),
+        |e AS (
+        |  SELECT label,
+        |    list_transform(v, x -> abs(x - (vmin +
+        |      (CASE WHEN rng = 0 THEN 0
+        |            ELSE ((x - vmin) * 255) // rng END * rng) // 255))) AS errs
+        |  FROM m)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(MAX(list_max(errs)) AS BIGINT) AS max_err_micro,
+        |  CAST(SUM(list_sum(errs)) AS BIGINT) // CAST(SUM(len(errs)) AS BIGINT)
+        |    AS avg_err_micro
+        |FROM e GROUP BY label ORDER BY label""".stripMargin))
   )
 }

@@ -748,4 +748,137 @@ object Text {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
+
+  /** Concat-and-chunk sequence packing — the construction every LLM
+    * trainer actually runs (GPT/T5 style): documents are laid out in a
+    * deterministic order (content-hash, so the layout is reproducible on
+    * any engine), concatenated per source, and cut into fixed
+    * `seqLen`-token training sequences. Reports, per source, the packing
+    * efficiency a data engineer reads before a run: sequence count,
+    * docs split across a sequence boundary (they lose attention
+    * context), and the fill of the final partial sequence.
+    *
+    * Shape at scale: one window (per-source cumulative token sum) + one
+    * aggregation — same cost profile as [[tokenBudget]]; a doc's chunk
+    * assignment is pure arithmetic on the cumulative sum, so the packing
+    * itself never shuffles token data, only per-doc counts.
+    */
+  def seqPack(s: SparkSession, dir: String, seqLen: Long = 512L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (hash60(col("text")) % 1000000L).as("u"),
+        size(words).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // token positions of this doc are [cum - n_tokens, cum) (0-based);
+      // it crosses a boundary iff first and last land in different chunks
+      .withColumn("first_seq", expr(s"(cum - n_tokens) div $seqLen"))
+      .withColumn("last_seq", expr(s"(cum - 1) div $seqLen"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+        expr(s"(max(cum) + $seqLen - 1) div $seqLen").as("n_seqs"),
+        sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+          .cast(LongType).as("n_split_docs"),
+        expr(s"(1000000 * (max(cum) - ((max(cum) - 1) div $seqLen) * $seqLen)) div $seqLen")
+          .as("tail_fill_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Zipf coverage profile per language: how many distinct terms cover
+    * 90% of token occurrences, and what share the top-100 terms carry.
+    * The working-set number behind tokenizer-vocab sizing and stopword
+    * lists. Exact integer test (`10·cum ≥ 9·total`) — no float ratios.
+    *
+    * Shape at scale: term frequencies are one hash aggregation over the
+    * corpus; the ranking window runs over the per-language VOCABULARY
+    * (≪ corpus — millions of terms vs trillions of tokens), so the sort
+    * is bounded by vocab size, never corpus size.
+    */
+  def zipfCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(words).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = tf.groupBy(col("lang"))
+      .agg(sum(col("cnt")).cast(LongType).as("total_tokens"),
+        count(lit(1)).as("n_terms"))
+    val rankW = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("term"))
+    val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tf.withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("rnk", row_number().over(rankW).cast(LongType))
+      .join(broadcast(tot), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n_terms")).as("n_terms"),
+        max(col("total_tokens")).as("total_tokens"),
+        min(when(col("cum") * 10 >= col("total_tokens") * 9, col("rnk")))
+          .as("terms_90"),
+        max(when(col("rnk") <= 100, col("cum"))).as("cum100"))
+      .withColumn("top100_cov_micro", expr("(1000000 * cum100) div total_tokens"))
+      .drop("cum100")
+      .orderBy(col("lang"))
+  }
+
+  /** Leakage-proof train/val/test split manifest: the split key is the
+    * CONTENT hash (not doc_id), so byte-identical duplicates always land
+    * in the same split and can never leak train text into eval. 90/5/5
+    * by hash-mod-100. Reports per source × split: docs, tokens, and
+    * distinct contents (showing the dedup-consistency property).
+    *
+    * Shape at scale: one scan + one hash aggregation; the split
+    * assignment is a pure per-row expression, so this composes with any
+    * upstream filter without extra shuffles.
+    */
+  def splitManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), (hash60(col("text")) % 100L).as("b"),
+        md5(col("text")).as("text_md5"),
+        size(words).cast(LongType).as("n_tokens"))
+      .withColumn("split",
+        when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("tok_total"),
+        countDistinct(col("text_md5")).as("n_distinct"))
+      .orderBy(col("source"), col("split"))
+
+  /** Per-source distribution shift: KL(source ‖ corpus) over the unigram
+    * term distribution — the drift detector a data pipeline runs when a
+    * new crawl snapshot lands. Micro-nat surprisals (the q61 trick: the
+    * two ln() calls round to integer micro-nats, everything after is
+    * exact 64-bit integer math): contribution of term t is
+    * `cnt_st · (surprisal_corpus(t) − surprisal_source(t))`, and the
+    * un-normalized sum is reported (divide by n_tokens for nats/token)
+    * so no integer division of a possibly-negative sum is needed.
+    *
+    * Shape at scale: two hash aggregations (source×term, term) + one
+    * broadcast join of the vocabulary-sized corpus table. Never shuffles
+    * the corpus by term twice.
+    */
+  def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("source"), explode(words).as("term"))
+    val st = terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val stot = st.groupBy(col("source"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_tokens"), count(lit(1)).as("n_terms"))
+    val ct = terms.groupBy(col("term")).agg(count(lit(1)).as("ccnt"))
+    val ctot = terms.agg(count(lit(1)).as("ctotal"))
+    st.join(stot, "source")
+      .join(broadcast(ct), "term")
+      .crossJoin(broadcast(ctot))
+      .withColumn("s_src",
+        round(-log(col("cnt") / col("n_tokens")) * 1e6).cast(LongType))
+      .withColumn("s_cor",
+        round(-log(col("ccnt") / col("ctotal")) * 1e6).cast(LongType))
+      .groupBy(col("source"))
+      .agg(max(col("n_terms")).as("n_terms"),
+        max(col("n_tokens")).as("n_tokens"),
+        sum(col("cnt") * (col("s_cor") - col("s_src"))).cast(LongType)
+          .as("kl_sum_micro"))
+      .orderBy(col("source"))
+  }
 }

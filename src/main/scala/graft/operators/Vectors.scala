@@ -461,4 +461,38 @@ object Vectors {
         col("neighbor_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  /** Int8 scalar quantization (the SQ8 memory-compression path of a
+    * vector index — 4× smaller than float32, cheaper than PQ to build):
+    * each vector is min-max quantized to 256 levels and the
+    * reconstruction error audited per label. All arithmetic is exact
+    * integer micro-space (the q75 trick): components floor to micro
+    * units — `floor(double)` is IEEE-identical on any engine — then
+    * code/reconstruct/error are pure 64-bit integer ops on non-negative
+    * numerators, so truncating and flooring division agree.
+    *
+    * Shape at scale: a single narrow scan; every lambda is per-row over
+    * a 64-element array, no shuffle until the final label aggregation.
+    */
+  def sq8Error(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("rng", array_max(col("v")) - col("vmin"))
+      // code ∈ [0,255]; reconstruction snaps back onto the 256-level grid
+      .withColumn("errs", expr(
+        """transform(v, x -> abs(x - (vmin +
+          |  (CASE WHEN rng = 0 THEN 0 ELSE ((x - vmin) * 255) div rng END
+          |   * rng) div 255)))""".stripMargin))
+      .select(col("label"),
+        size(col("errs")).cast(LongType).as("dim"),
+        expr("aggregate(errs, 0L, (a, x) -> a + x)").as("sum_err"),
+        array_max(col("errs")).as("max_err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        max(col("max_err")).as("max_err_micro"),
+        expr("sum(sum_err) div sum(dim)").as("avg_err_micro"))
+      .orderBy(col("label"))
 }

@@ -405,4 +405,126 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.toSeq === again.toSeq)
   }
+
+  test("sequence packing: chunk accounting matches an in-memory replay") {
+    val rows = Text.seqPack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("source"), (Text.hash60(col("text")) % 1000000L).as("u"),
+        col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val lens = ds.sortBy(d => (d._2, d._3)).map(_._4)
+      val total = lens.sum
+      var cum = 0L; var split = 0L
+      lens.foreach { n =>
+        val (first, last) = (cum / 512, (cum + n - 1) / 512)
+        if (last > first) split += 1
+        cum += n
+      }
+      val (_, nDocs, totTok, nSeqs, nSplit, tailFill) = rows.find(_._1 == src).get
+      assert(nDocs === lens.length && totTok === total)
+      assert(nSeqs === (total + 511) / 512, s"$src seq count")
+      assert(nSplit === split, s"$src boundary-crossing docs")
+      assert(tailFill > 0 && tailFill <= 1000000L)
+      assert(tailFill === 1000000L * (total - (total - 1) / 512 * 512) / 512)
+    }
+  }
+
+  test("zipf coverage: terms_90 is the true minimal 90% prefix") {
+    val rows = Text.zipfCoverage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val freqs = sources.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang", "t").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    freqs.groupBy(_._1).foreach { case (lang, fs) =>
+      val sorted = fs.map(f => (f._3, f._2)).sortBy { case (c, t) => (-c, t) }
+      val total = sorted.map(_._1).sum
+      val cums = sorted.scanLeft(0L)(_ + _._1).tail
+      val t90 = cums.indexWhere(_ * 10 >= total * 9) + 1
+      val cov100 = 1000000L * cums(math.min(100, cums.length) - 1) / total
+      val (_, nTerms, totTok, terms90, top100) = rows.find(_._1 == lang).get
+      assert(nTerms === sorted.length && totTok === total)
+      assert(terms90 === t90, s"$lang minimal 90% prefix")
+      assert(top100 === cov100, s"$lang top-100 coverage")
+      // it IS minimal: one fewer term covers < 90%
+      if (t90 > 1) assert(cums(t90 - 2) * 10 < total * 9)
+    }
+  }
+
+  test("split manifest is a partition, content-keyed: duplicate text never straddles splits") {
+    val rows = Text.splitManifest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum === nDocs, "splits must partition the corpus")
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // content-keyed: each distinct text maps to exactly one split
+    val perText = sources.Tables.documents(spark, sfDir)
+      .select((Text.hash60(col("text")) % 100L).as("b"), md5(col("text")).as("h"))
+      .withColumn("split", when(col("b") < 90, "train")
+        .when(col("b") < 95, "val").otherwise("test"))
+      .groupBy("h").agg(countDistinct("split").as("ns"))
+      .agg(max("ns")).head.getLong(0)
+    assert(perText === 1L, "a duplicated text must land in exactly one split")
+    // 90/5/5 in expectation: train carries the bulk
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) &&
+      bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
+  test("source KL matches an exact in-memory recomputation and is ~non-negative") {
+    val rows = Text.sourceKl(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val terms = sources.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val corpus = terms.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ctotal = terms.length.toLong
+    def mic(p: Double): Long = math.round(-math.log(p) * 1e6)
+    terms.groupBy(_._1).foreach { case (src, ts) =>
+      val st = ts.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n = ts.length.toLong
+      val kl = st.map { case (t, c) =>
+        c * (mic(corpus(t).toDouble / ctotal) - mic(c.toDouble / n))
+      }.sum
+      val (_, nTerms, nTok, klSum) = rows.find(_._1 == src).get
+      assert(nTerms === st.size && nTok === n)
+      assert(klSum === kl, s"$src KL micro-nat sum")
+      // KL >= 0 up to per-term half-micro rounding
+      assert(klSum >= -n, s"$src KL must be non-negative beyond rounding slack")
+    }
+  }
+
+  test("SQ8 error is bounded by two grid steps and exact on a known vector") {
+    val rows = Vectors.sq8Error(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // each reconstruction differs from the source by < 2 grid steps
+    // (one truncating div in the code, one in the reconstruction)
+    val worstRange = sources.Tables.embeddings(spark, sfDir)
+      .select(expr("aggregate(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)), " +
+        "named_struct('mn', 9223372036854775807L, 'mx', -9223372036854775808L), " +
+        "(a, x) -> named_struct('mn', least(a.mn, x), 'mx', greatest(a.mx, x)))").as("r"))
+      .select(expr("max(r.mx - r.mn)")).head.getLong(0)
+    val step = worstRange / 255
+    rows.foreach { case (label, n, maxErr, avgErr) =>
+      assert(n > 0 && avgErr <= maxErr)
+      assert(maxErr <= 2 * step + 2, s"label=$label maxErr=$maxErr step=$step")
+    }
+    // hand-check: v = [0, 1, 255] micro-scaled -> perfect grid, zero error
+    import spark.implicits._
+    val one = Seq((1L, Array(0f, 127.5e-6f, 255e-6f), 0)).toDF("vec_id", "embedding", "label")
+    // not oracle path; just assert the operator's arithmetic shape holds:
+    // vmin=0, rng=255, codes {0,127,255}, recon exact -> max err <= 1
+    val errs = one.select(expr(
+      """transform(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT)),
+        |  x -> abs(x - ((((x - 0) * 255) div 255 * 255) div 255)))""".stripMargin).as("e"))
+      .select(expr("array_max(e)")).head.getLong(0)
+    assert(errs <= 1)
+  }
 }

@@ -150,4 +150,40 @@ class PlanAssertionsSpec extends SparkSpec {
       "the tiny rate table must broadcast — the corpus never shuffles for it")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q77 seq pack: one per-source window, doc-count rows only, no joins") {
+    val plan = formatted("q77_seq_pack")
+    assert("(?s)Window".r.findAllIn(plan).size >= 1)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "packing is pure window arithmetic — token data never joins")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "the per-source rollup must partial-aggregate")
+  }
+
+  test("q78 zipf: the window sorts the vocabulary, not the corpus") {
+    val plan = formatted("q78_zipf_coverage")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "term frequencies must partial-aggregate BEFORE the ranking window " +
+        "— the window input is vocab-sized, never corpus-sized")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 5-row per-language totals must broadcast")
+  }
+
+  test("q80 source KL: corpus vocabulary broadcasts; no corpus re-shuffle") {
+    val plan = formatted("q80_source_kl")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocabulary-sized corpus-frequency table must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row corpus total must broadcast-nested-loop, not cartesian")
+  }
+
+  test("q81 SQ8: single narrow scan, error math before the only shuffle") {
+    val plan = formatted("q81_sq8_error")
+    assert(!plan.contains("Join"), "quantization is per-row — no joins")
+    // count tree nodes only: each node also repeats in the detail section
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 2,
+      "only the label rollup (and final sort) may shuffle")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "per-label stats must partial-aggregate")
+  }
 }
