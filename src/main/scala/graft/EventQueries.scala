@@ -107,6 +107,72 @@ object EventQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total,
         |  COUNT(*) AS n_purchases
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id ORDER BY purchase_total DESC, user_id LIMIT 20""".stripMargin))
+        |GROUP BY user_id ORDER BY purchase_total DESC, user_id LIMIT 20""".stripMargin)),
+
+    // q82: ordered conversion funnel — each stage requires an event
+    // strictly after the user's previous stage's first completion.
+    QueryDef("q82_funnel", (s, d) => funnel(s, d), Some(
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+        |c AS (
+        |  SELECT '1_view' AS stage, COUNT(*) AS n FROM s1
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+        |SELECT stage, n AS n_users,
+        |  COALESCE((n * 1000000) // lag(n) OVER (ORDER BY stage), 1000000)
+        |    AS conv_from_prev_micro
+        |FROM c ORDER BY stage""".stripMargin)),
+
+    // q83: weekly cohort retention on integer weeks since the corpus
+    // epoch (no engine-specific week-start conventions).
+    QueryDef("q83_cohort_retention", (s, d) => cohortRetention(s, d), Some(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset, COUNT(*) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q84: next-event transition matrix with micro-unit row-conditional
+    // probabilities (END marks a user's final event).
+    QueryDef("q84_transitions", (s, d) => eventTransitions(s, d), Some(
+      """WITH p AS (
+        |  SELECT event_type,
+        |    COALESCE(lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'END') AS next_type
+        |  FROM events),
+        |n AS (SELECT event_type, next_type, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_total
+        |      FROM n GROUP BY event_type)
+        |SELECT event_type, next_type, n, (n * 1000000) // row_total AS p_micro
+        |FROM n JOIN t USING (event_type)
+        |ORDER BY event_type, next_type""".stripMargin)),
+
+    // q85: hourly volume anomalies — |c − μ| > 2σ as the exact integer
+    // inequality (n·c − S)² > 4·(n·SS − S²), flagged identically by
+    // both engines.
+    QueryDef("q85_hourly_anomaly", (s, d) => hourlyAnomalies(s, d), Some(
+      """WITH h AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n_hours,
+        |        CAST(SUM(c) AS BIGINT) AS s,
+        |        CAST(SUM(c * c) AS BIGINT) AS ss
+        |      FROM h GROUP BY event_type)
+        |SELECT event_type, MAX(n_hours) AS n_hours,
+        |  (MAX(s) * 1000000) // MAX(n_hours) AS mean_micro,
+        |  CAST(SUM(CASE WHEN (n_hours * c - s) * (n_hours * c - s) >
+        |    4 * (n_hours * ss - s * s) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalous
+        |FROM h JOIN m USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -217,4 +217,113 @@ object EventWindows {
         count(lit(1)).as("n_purchases"))
       .orderBy(col("purchase_total").desc, col("user_id"))
       .limit(k)
+
+  /** Ordered conversion funnel view → click → purchase: a user converts a
+    * stage only with an event strictly after their previous stage's first
+    * completion (the classic product-analytics semantics, not mere
+    * set-membership). Conversion rates in integer micro units.
+    *
+    * Shape at scale: three keyed aggregations + two joins, all hashed on
+    * `user_id` — one co-partitioned shuffle key end to end, so stages 2
+    * and 3 reuse stage 1's exchange rather than re-shuffling the events.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+      .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
+      .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
+    val w = Window.orderBy(col("stage")) // 3 rows — bounded, never data-sized
+    counts
+      .withColumn("conv_from_prev_micro",
+        coalesce(expr("(n * 1000000) div (lag(n) over (order by stage))"),
+          lit(1000000L)))
+      .select(col("stage"), col("n").as("n_users"), col("conv_from_prev_micro"))
+      .orderBy(col("stage"))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-activity week
+    * (integer weeks since the corpus epoch — no engine-specific week
+    * conventions), counted per (cohort, offset) on distinct activity.
+    *
+    * Shape at scale: distinct (user, week) first — the heavy reduction —
+    * then a user-keyed min + self-join reusing the same hash key, then
+    * the small rollup. Events never shuffle twice.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  /** Next-event transition matrix with per-from-state probabilities in
+    * integer micro units — the Markov view of user behavior that feeds
+    * next-action prediction and bot detection.
+    *
+    * Shape at scale: one user-keyed window (each partition is one user's
+    * events) + one small aggregation over the 5×6 state space.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type",
+        coalesce(lead(col("event_type"), 1).over(w), lit("END")))
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast(LongType).as("row_total"))
+    pairs.join(broadcast(tot), "event_type")
+      .withColumn("p_micro", expr("(n * 1000000) div row_total"))
+      .select(col("event_type"), col("next_type"), col("n"), col("p_micro"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  /** Hourly volume anomalies per event type: hours where the count
+    * deviates from that type's mean by more than 2σ. The z-score test is
+    * exact 64-bit integer arithmetic — `(n·c − S)² > 4·(n·SS − S²)`
+    * multiplies out |c − μ| > 2σ with no float division — so both
+    * engines flag identical hours.
+    *
+    * Shape at scale: hourly pre-aggregation first (the corpus-sized
+    * reduction), then per-type moments over the tiny (type × hour)
+    * table; the moment table broadcasts back for the flag pass. The
+    * raw-moment products stay inside int64 up to ~3×10⁹ events per
+    * type; past that, switch the moment pass to centered accumulation
+    * (same plan shape, subtract a per-type pivot first).
+    */
+  def hourlyAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val moments = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).cast(LongType).as("s"),
+        sum(col("c") * col("c")).cast(LongType).as("ss"))
+    hourly.join(broadcast(moments), "event_type")
+      .withColumn("anomalous",
+        (col("n_hours") * col("c") - col("s")) *
+          (col("n_hours") * col("c") - col("s")) >
+          lit(4L) * (col("n_hours") * col("ss") - col("s") * col("s")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_hours")).as("n_hours"),
+        expr("(max(s) * 1000000) div max(n_hours)").as("mean_micro"),
+        sum(when(col("anomalous"), 1L).otherwise(0L)).cast(LongType)
+          .as("n_anomalous"))
+      .orderBy(col("event_type"))
+  }
 }

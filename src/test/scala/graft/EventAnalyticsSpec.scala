@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventWindows
+
+/** Product-analytics operators over `events` (funnel, cohorts,
+  * transitions, anomalies): invariants plus exact in-memory replays the
+  * DuckDB oracle cannot express as properties.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def events =
+    sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+  test("funnel: stages shrink monotonically and match an in-memory replay") {
+    val rows = EventWindows.funnel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq("1_view", "2_click", "3_purchase"))
+    val byUser = events.groupBy(_._1)
+    def stageUsers(prev: Map[Long, Long], etype: String): Map[Long, Long] =
+      byUser.flatMap { case (u, es) =>
+        prev.get(u).flatMap { t =>
+          val after = es.filter(e => e._2 == etype && e._3 > t)
+          if (after.isEmpty) None else Some(u -> after.map(_._3).min)
+        }
+      }
+    val s1 = byUser.flatMap { case (u, es) =>
+      val v = es.filter(_._2 == "view")
+      if (v.isEmpty) None else Some(u -> v.map(_._3).min)
+    }
+    val s2 = stageUsers(s1, "click")
+    val s3 = stageUsers(s2, "purchase")
+    assert(rows.map(_._2).toSeq === Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong))
+    assert(rows(0)._3 === 1000000L)
+    assert(rows(1)._3 === s2.size.toLong * 1000000L / s1.size)
+    assert(rows(2)._3 === s3.size.toLong * 1000000L / s2.size)
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2,
+      "an ordered funnel can never grow between stages")
+  }
+
+  test("cohort retention: offset-0 count is the cohort size, offsets never exceed it") {
+    val rows = EventWindows.cohortRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    val cohortSize = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cw, off, n) =>
+      assert(n <= cohortSize(cw),
+        s"cohort $cw offset $off: $n retained > ${cohortSize(cw)} enrolled")
+    }
+    // every active user appears in their cohort's offset-0 row
+    val nUsers = events.map(_._1).distinct.length.toLong
+    assert(cohortSize.values.sum === nUsers)
+  }
+
+  test("transitions: rows fan out to exactly the per-type event counts; END once per user") {
+    val rows = EventWindows.eventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byType = events.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      assert(rs.map(_._3).sum === byType(from),
+        s"$from rows must sum to its event count")
+      val pSum = rs.map(_._4).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"$from probabilities must partition the unit interval up to floor loss")
+    }
+    val endCount = rows.filter(_._2 == "END").map(_._3).sum
+    assert(endCount === events.map(_._1).distinct.length.toLong,
+      "each user contributes exactly one terminal transition")
+    // deterministic tie-break: identical on a second run
+    val again = EventWindows.eventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("hourly anomalies: integer z-test matches the float 2-sigma rule") {
+    val rows = EventWindows.hourlyAnomalies(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val hourly = events.groupBy(e => (e._2, e._3 / 1000L / 3600000L))
+      .view.mapValues(_.length.toLong).toMap
+    hourly.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val cs = hourly.collect { case ((tt, _), c) if tt == t => c }.toSeq
+      val n = cs.length.toLong
+      val mean = cs.sum.toDouble / n
+      val variance = cs.map(c => (c - mean) * (c - mean)).sum / n
+      val nAnom = cs.count(c => (c - mean) * (c - mean) > 4.0 * variance).toLong
+      val (_, nHours, meanMicro, flagged) = rows.find(_._1 == t).get
+      assert(nHours === n)
+      assert(meanMicro === cs.sum * 1000000L / n)
+      assert(flagged === nAnom, s"$t: integer test must equal the float 2σ rule")
+    }
+  }
+}

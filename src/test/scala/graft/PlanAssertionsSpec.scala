@@ -177,6 +177,24 @@ class PlanAssertionsSpec extends SparkSpec {
       "the 1-row corpus total must broadcast-nested-loop, not cartesian")
   }
 
+  test("q82 funnel: stage joins are user-keyed equi-joins, never all-pairs") {
+    val plan = formatted("q82_funnel")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "stage gating must join hashed on user_id")
+  }
+
+  test("q84/q85: the tiny per-state tables broadcast back to the flag pass") {
+    for (q <- Seq("q84_transitions", "q85_hourly_anomaly")) {
+      val plan = formatted(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: row-total/moment table must broadcast, the big side never re-shuffles")
+      assert(!plan.contains("CartesianProduct"))
+      assert("HashAggregate".r.findAllIn(plan).size >= 4,
+        s"$q: the event-sized aggregation must partial-aggregate")
+    }
+  }
+
   test("q81 SQ8: single narrow scan, error math before the only shuffle") {
     val plan = formatted("q81_sq8_error")
     assert(!plan.contains("Join"), "quantization is per-row — no joins")
