@@ -544,6 +544,61 @@ object TextQueries {
 
     // q80: per-source KL(source ‖ corpus) over the unigram distribution,
     // un-normalized micro-nat sum (the q61 integer-surprisal trick).
+    // q86: content-defined chunking dedup accounting — word-boundary
+    // rolling cut (hash(word) % 16 == 0 closes a chunk), chunk-hash
+    // dedup + cross-doc recurrence per source.
+    QueryDef("q86_cdc_chunks", (s, d) => cdcChunks(s, d), Some(
+      s"""WITH pos AS (
+         |  SELECT doc_id, source, pw.i AS i, pw.word AS word,
+         |    CASE WHEN ${h60("pw.word")} % 16 = 0 THEN 1 ELSE 0 END AS bnd
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      unnest(list_transform(generate_series(1, len(w)),
+         |        i -> {'i': i, 'word': w[i]})) AS pw
+         |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+         |          FROM documents))),
+         |c AS (
+         |  SELECT doc_id, source, i, word,
+         |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM pos),
+         |ch AS (
+         |  SELECT doc_id, source, chunk_id, COUNT(*) AS n_words,
+         |    ${h60("string_agg(word, ' ' ORDER BY i)")} AS chunk_hash
+         |  FROM c GROUP BY 1, 2, 3),
+         |f AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs_with
+         |      FROM ch GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_chunks,
+         |  COUNT(DISTINCT chunk_hash) AS n_distinct,
+         |  (1000000 * CAST(SUM(n_words) AS BIGINT)) // COUNT(*)
+         |    AS avg_words_micro,
+         |  CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_crossdoc
+         |FROM ch JOIN f USING (chunk_hash)
+         |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q87: cross-source shingle-overlap matrix (syndication / mirror
+    // detection) — distinct (source, shingle-hash) self-joined on the
+    // hash, containment vs the smaller source.
+    QueryDef("q87_source_overlap", (s, d) => sourceOverlap(s, d), Some(
+      s"""WITH h AS (
+         |  SELECT DISTINCT source, ${h60("sh")} AS h
+         |  FROM (
+         |    SELECT source, unnest(list_transform(
+         |      generate_series(1, len(w)-2),
+         |      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+         |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+         |    WHERE len(w) >= 3)),
+         |sizes AS (SELECT source, COUNT(*) AS n_sh FROM h GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_shared
+         |  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, n_shared,
+         |  (1000000 * n_shared) // least(x1.n_sh, x2.n_sh) AS containment_micro
+         |FROM p JOIN sizes x1 ON x1.source = s1 JOIN sizes x2 ON x2.source = s2
+         |ORDER BY s1, s2""".stripMargin)),
+
     QueryDef("q80_source_kl", (s, d) => sourceKl(s, d), Some(
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

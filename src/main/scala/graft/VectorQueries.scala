@@ -32,6 +32,38 @@ object VectorQueries {
          |SELECT qid, rnk, neighbor_id, round(cos, 6) AS cos
          |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+    // q88: Matryoshka truncation audit — top-1 retrieval agreement
+    // between full-64-dim and first-32-dim cosine for the fixed query set.
+    QueryDef("q88_mrl_agreement", (s, d) => mrlAgreement(s, d), Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq,
+         |    CAST(embedding AS DOUBLE[])[1:32] AS eh,
+         |    list_dot_product(CAST(embedding AS DOUBLE[])[1:32],
+         |                     CAST(embedding AS DOUBLE[])[1:32]) AS nh
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qe, nsq AS qn, eh AS qeh, nh AS qnh
+         |      FROM base WHERE vec_id IN $QIDS),
+         |scored AS (
+         |  SELECT qid, vec_id AS nid,
+         |    list_dot_product(qe, e) / sqrt(qn * nsq) AS cf,
+         |    list_dot_product(qeh, eh) / sqrt(qnh * nh) AS ch
+         |  FROM q CROSS JOIN base WHERE vec_id != qid),
+         |r AS (
+         |  SELECT qid, nid, cf, ch,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cf DESC, nid) AS rf,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ch DESC, nid) AS rh
+         |  FROM scored)
+         |SELECT qid,
+         |  MAX(CASE WHEN rf = 1 THEN nid END) AS n1_full,
+         |  MAX(CASE WHEN rf = 1 THEN round(cf, 6) END) AS cos_full,
+         |  MAX(CASE WHEN rh = 1 THEN nid END) AS n1_half,
+         |  MAX(CASE WHEN rh = 1 THEN round(ch, 6) END) AS cos_half,
+         |  CAST(CASE WHEN MAX(CASE WHEN rf = 1 THEN nid END) =
+         |                 MAX(CASE WHEN rh = 1 THEN nid END)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM r WHERE rf = 1 OR rh = 1
+         |GROUP BY qid ORDER BY qid""".stripMargin)),
+
     QueryDef("q41_norm_stats", (s, d) => normStats(s, d), Some(
       s"""WITH v AS (SELECT label, round(sqrt($NSQ), 6) AS nrm FROM embeddings)
          |SELECT label, COUNT(*) AS n,

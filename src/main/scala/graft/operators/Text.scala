@@ -881,4 +881,83 @@ object Text {
           .as("kl_sum_micro"))
       .orderBy(col("source"))
   }
+
+  /** Content-defined chunking (CDC) dedup accounting — the
+    * storage-dedup / near-duplicate-paragraph primitive: cut each doc
+    * into variable-size chunks at content-determined boundaries (a word
+    * whose hash ≡ 0 mod 16 closes its chunk), so an insertion early in a
+    * doc shifts only the chunk it lands in — unlike fixed-size blocks,
+    * identical passages re-align and hash identically wherever they sit.
+    * Reports, per source: chunk count, distinct chunk hashes, mean chunk
+    * width, and how many chunk instances recur across ≥2 documents
+    * (boilerplate mass the chunk store would deduplicate away).
+    *
+    * Shape at scale: positional word explode (bounded ×words blowup,
+    * same as every shingle pass here), a per-doc window (partitioned by
+    * doc_id — no global ordering), one hash aggregation per chunk, one
+    * shuffle join against the chunk-frequency table on the 60-bit chunk
+    * hash, one per-source aggregation. No driver state, no cross joins.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), posexplode(words).as(Seq("i", "word")))
+      .withColumn("bnd", (hash60(col("word")) % 16 === 0).cast("int"))
+    // chunk id = boundaries strictly before this word (the boundary word
+    // itself closes — belongs to — its chunk)
+    val wPrev = Window.partitionBy(col("doc_id"))
+      .orderBy(col("i")).rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = pos
+      .withColumn("chunk_id", coalesce(sum(col("bnd")).over(wPrev), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"),
+        collect_list(struct(col("i"), col("word"))).as("ws"))
+      .withColumn("chunk_hash",
+        hash60(expr("array_join(transform(array_sort(ws), x -> x.word), ' ')")))
+      .drop("ws")
+    // corpus-wide: in how many distinct docs does each chunk occur?
+    val freq = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    chunks.join(freq, "chunk_hash")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct"),
+        expr("1000000 * sum(n_words) div count(1)").as("avg_words_micro"),
+        sum((col("n_docs_with") >= 2).cast("long")).cast(LongType)
+          .as("n_crossdoc"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source content-overlap matrix: for every source pair, how
+    * many distinct word-3-gram shingles appear in both, and the
+    * containment ratio against the smaller source — the
+    * mirror/syndication detector that decides which source to drop from
+    * a crawl mix (exact-text overlap is too brittle: one changed byte
+    * hides a mirrored page; shingle containment doesn't).
+    *
+    * Shape at scale: distinct (source, shingle-hash) pairs self-join on
+    * the 60-bit hash; per-hash group size is bounded by |sources|, so
+    * the join fans out at most |sources|² rows per shingle — corpus
+    * growth widens the hash table, never the fan-out.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .select(col("source"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+      )).as("sh"))
+      .select(col("source"), hash60(col("sh")).as("h"))
+      .distinct()
+    val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    h.select(col("source").as("s1"), col("h"))
+      .join(h.select(col("source").as("s2"), col("h")), "h")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n_sh").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n_sh").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n_shared"),
+        expr("1000000 * n_shared div least(n1, n2)").as("containment_micro"))
+      .orderBy(col("s1"), col("s2"))
+  }
 }

@@ -495,4 +495,47 @@ object Vectors {
         max(col("max_err")).as("max_err_micro"),
         expr("sum(sum_err) div sum(dim)").as("avg_err_micro"))
       .orderBy(col("label"))
+
+  /** Matryoshka (MRL) truncation audit: for the fixed KNN query set,
+    * does the top-1 neighbor found with only the first 32 dims agree
+    * with the full-64-dim answer? The question a pipeline asks before
+    * shipping truncated embeddings (half the memory and FLOPs per
+    * query). Reports both neighbors, both cosines, and the agreement
+    * flag per query — the aggregate agreement rate is the retrieval
+    * headline, the disagreeing rows are the debugging artifact.
+    *
+    * Same O(|Q|·N)-with-constant-|Q| shape as [[knnBrute]] (broadcast
+    * query side, one scan, per-query top-1); the half-dim scoring
+    * reuses the same scan — the candidate side is read once and both
+    * dots are computed per pair, so truncation costs zero extra I/O.
+    */
+  def mrlAgreement(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(Tables.embeddings(s, dir))
+      .withColumn("eh", expr("slice(embedding, 1, 32)"))
+      .withColumn("nh", dot("eh", "eh"))
+    val q = base.filter(col("vec_id").isin(KnnQueryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nsq").as("qn"), col("eh").as("qeh"), col("nh").as("qnh"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("nsq").as("cn"), col("eh").as("ceh"), col("nh").as("cnh"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("neighbor_id"))
+      .withColumn("cos_full", cosine(dot("qe", "ce"), col("qn"), col("cn")))
+      .withColumn("cos_half", cosine(dot("qeh", "ceh"), col("qnh"), col("cnh")))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_full").desc, col("neighbor_id"))
+    val wh = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_half").desc, col("neighbor_id"))
+    scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rh", row_number().over(wh))
+      .filter(col("rf") === 1 || col("rh") === 1)
+      .groupBy(col("qid"))
+      .agg(
+        max(when(col("rf") === 1, col("neighbor_id"))).as("n1_full"),
+        max(when(col("rf") === 1, round(col("cos_full"), 6))).as("cos_full"),
+        max(when(col("rh") === 1, col("neighbor_id"))).as("n1_half"),
+        max(when(col("rh") === 1, round(col("cos_half"), 6))).as("cos_half"))
+      .withColumn("agree", (col("n1_full") === col("n1_half")).cast(LongType))
+      .orderBy(col("qid"))
+  }
 }

@@ -16,7 +16,8 @@ object ExplainAudit {
       "q65_repetition", "q66_source_mix", "q67_neardup_clusters",
       "q68_simhash_neardup", "q71_boilerplate", "q73_decontaminate",
       "q74_pq_search", "q75_kmeans_train", "q77_seq_pack",
-      "q78_zipf_coverage", "q80_source_kl", "q81_sq8_error")
+      "q78_zipf_coverage", "q80_source_kl", "q81_sq8_error",
+      "q86_cdc_chunks", "q87_source_overlap", "q88_mrl_agreement")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

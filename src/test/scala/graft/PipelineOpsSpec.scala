@@ -527,4 +527,78 @@ class PipelineOpsSpec extends SparkSpec {
       .select(expr("array_max(e)")).head.getLong(0)
     assert(errs <= 1)
   }
+
+  test("CDC chunking matches an in-memory replay; boundaries are content-defined") {
+    val rows = Text.cdcChunks(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // replay: same hash60-based boundary rule, evaluated by Spark so the
+    // hash definition stays single-sourced; chunking logic replayed in Scala
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), col("w"), expr(
+        "transform(w, x -> CAST(conv(substr(md5(CAST(x AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 16 = 0)"
+      ).as("bnd"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](3 - 1).toList,
+        r.getSeq[Boolean](3).toList))
+    // cut each doc into chunks: a boundary word closes its chunk
+    val chunks = docs.flatMap { case (doc, src, ws, bnds) =>
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String)]
+      val cur = scala.collection.mutable.ListBuffer.empty[String]
+      ws.zip(bnds).foreach { case (w, b) =>
+        cur += w
+        if (b) { out += ((doc, src, cur.mkString(" "))); cur.clear() }
+      }
+      if (cur.nonEmpty) out += ((doc, src, cur.mkString(" ")))
+      out
+    }
+    val docsWith = chunks.groupBy(_._3).map { case (t, cs) => t -> cs.map(_._1).distinct.size }
+    chunks.groupBy(_._2).foreach { case (src, cs) =>
+      val (_, nChunks, nDistinct, avgMicro, nCross) = rows.find(_._1 == src).get
+      assert(nChunks === cs.length, s"$src chunk count")
+      assert(nDistinct === cs.map(_._3).distinct.length, s"$src distinct chunks")
+      val words = cs.map(_._3.count(_ == ' ') + 1L).sum
+      assert(avgMicro === 1000000L * words / cs.length, s"$src avg width")
+      assert(nCross === cs.count(c => docsWith(c._3) >= 2), s"$src cross-doc mass")
+    }
+  }
+
+  test("source overlap containment matches a set-intersection replay") {
+    val rows = Text.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val sets = sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (src, ds) =>
+        src -> ds.flatMap(_._2.split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" "))).toSet
+      }
+    rows.foreach { case (s1, s2, nShared, cont) =>
+      val (a, b) = (sets(s1), sets(s2))
+      assert(nShared === (a & b).size, s"$s1 x $s2 intersection")
+      assert(cont === 1000000L * nShared / math.min(a.size, b.size))
+    }
+    // every overlapping pair present, none invented
+    val expected = sets.keys.toSeq.sorted.combinations(2)
+      .map { case Seq(x, y) => (x, y) }
+      .filter { case (x, y) => (sets(x) & sets(y)).nonEmpty }.toSet
+    assert(rows.map(r => (r._1, r._2)).toSet === expected)
+  }
+
+  test("MRL agreement: full-dim column reproduces knnBrute's rank-1 answer") {
+    val top1 = Vectors.knnBrute(spark, sfDir).filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val mrl = Vectors.mrlAgreement(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(5)))
+    assert(mrl.nonEmpty && mrl.length === top1.size)
+    mrl.foreach { case (qid, n1Full, cosFull, n1Half, agree) =>
+      val (expId, expCos) = top1(qid)
+      assert(n1Full === expId, s"qid=$qid full-dim top-1 drifted from knnBrute")
+      assert(cosFull === expCos, s"qid=$qid full-dim cosine drifted")
+      assert(agree === (if (n1Full == n1Half) 1L else 0L))
+    }
+  }
 }

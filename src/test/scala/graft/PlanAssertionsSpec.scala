@@ -204,4 +204,32 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "per-label stats must partial-aggregate")
   }
+
+  test("q86 CDC: chunk window is doc-partitioned; frequency join is an equi-join") {
+    val plan = formatted("q86_cdc_chunks")
+    assert("windowspecdefinition\\(doc_id#\\d+L?,".r.findFirstIn(plan).isDefined,
+      "the running boundary count must partition by doc_id")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "chunk-frequency lookup must plan as an equi-join on the chunk hash")
+  }
+
+  test("q87 source overlap: pair join is a hash equi-join; size tables broadcast") {
+    val plan = formatted("q87_source_overlap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "shingle-set intersection must plan as an equi-join on the hash")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the O(|sources|) size tables must broadcast")
+  }
+
+  test("q88 MRL: both dots run codegen float_dot; one candidate scan feeds both") {
+    val plan = formatted("q88_mrl_agreement")
+    assert("float_dot".r.findAllIn(plan).nonEmpty,
+      "full- and half-dim scoring must stay in the codegen'd expression")
+    assert(!plan.contains("aggregate(zip_with"),
+      "hot path must not fall back to interpreted higher-order functions")
+    // broadcast query side: same constant-|Q| shape as q40
+    assert(plan.contains("BroadcastExchange"))
+  }
 }
