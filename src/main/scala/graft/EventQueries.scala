@@ -156,6 +156,31 @@ object EventQueries {
         |FROM n JOIN t USING (event_type)
         |ORDER BY event_type, next_type""".stripMargin)),
 
+    // q89: RFM quartile segmentation — exact global ranks via the q24
+    // two-pass bucket-offset shape (the oracle can afford the naive
+    // global ROW_NUMBER spelling; the ranks are identical).
+    QueryDef("q89_rfm", (s, d) => rfmSegments(s, d), Some(
+      """WITH p AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+        |           FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT MAX(ts) AS mx FROM p),
+        |u0 AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS f_cnt,
+        |         SUM(v) AS m_total FROM p GROUP BY user_id),
+        |u AS (SELECT user_id,
+        |        (epoch_ms(mx) - epoch_ms(last_ts)) // 86400000 AS r_days,
+        |        f_cnt, CAST(m_total * 100 AS BIGINT) AS m_cents
+        |      FROM u0 CROSS JOIN mx),
+        |n AS (SELECT COUNT(*) AS n_total FROM u),
+        |r AS (SELECT user_id, m_cents,
+        |        ROW_NUMBER() OVER (ORDER BY r_days, user_id) AS r_rank,
+        |        ROW_NUMBER() OVER (ORDER BY f_cnt DESC, user_id) AS f_rank,
+        |        ROW_NUMBER() OVER (ORDER BY m_cents DESC, user_id) AS m_rank
+        |      FROM u)
+        |SELECT concat('R', (4 * (r_rank - 1)) // n_total + 1,
+        |              'F', (4 * (f_rank - 1)) // n_total + 1,
+        |              'M', (4 * (m_rank - 1)) // n_total + 1) AS segment,
+        |  COUNT(*) AS n_users, CAST(SUM(m_cents) AS BIGINT) AS sum_cents
+        |FROM r CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q85: hourly volume anomalies — |c − μ| > 2σ as the exact integer
     // inequality (n·c − S)² > 4·(n·SS − S²), flagged identically by
     // both engines.

@@ -18,7 +18,42 @@ object ProfileMain {
     }
     // warmup
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    if (args.contains("--mh")) {
+    if (args.contains("--scale")) {
+      // Empirical scale check: replicate the sf0.1 corpus 10x (ids
+      // remapped; text replicas get a distinct suffix token so shingle
+      // vocabularies grow rather than collapse) and compare operator
+      // wall time at 1x vs 10x. Linear-work operators should land near
+      // the data ratio (modulo fixed per-query overhead, which dominates
+      // sub-second baselines on 32 idle cores).
+      val out = "/tmp/graft_scale10"
+      val reps = spark.range(10).select(col("id").as("rep"))
+      Tables.documents(spark, sfDir).crossJoin(reps)
+        .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rr"), col("rep"))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Tables.embeddings(spark, sfDir).crossJoin(reps)
+        .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      def timed(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val probes = Seq("q33_exact_dedup", "q36_simhash", "q47_tfidf",
+        "q80_source_kl", "q86_cdc_chunks", "q62_hash_sample",
+        "q43_lsh_buckets", "q44_ivf_assign", "q81_sq8_error")
+      probes.foreach { q =>
+        def run(dir: String) = timed(SparkEntry.queries(q)(spark, dir).count())
+        run(sfDir); run(out) // warm both paths (codegen + file listing)
+        val t1 = math.min(run(sfDir), run(sfDir))
+        val t10 = math.min(run(out), run(out))
+        println(f"[scale] $q%-20s 1x=$t1%6.2fs 10x=$t10%6.2fs ratio=${t10 / t1}%5.1f")
+      }
+    } else if (args.contains("--mh")) {
       import graft.operators.Text
       val docs = Tables.documents(spark, sfDir)
       time("shingles")(Text.shinglesOf(docs).count())

@@ -599,6 +599,48 @@ object TextQueries {
          |FROM p JOIN sizes x1 ON x1.source = s1 JOIN sizes x2 ON x2.source = s2
          |ORDER BY s1, s2""".stripMargin)),
 
+    // q90: count-min sketch — deterministic salted-hash rows, so the
+    // oracle rebuilds the identical sketch; estimates are exact integers.
+    QueryDef("q90_countmin", (s, d) => countMinSketch(s, d), Some(
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |f AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+         |e AS (SELECT term, cnt, j, ${h60("concat(term, '#', j)")} % 16 AS bkt
+         |      FROM f CROSS JOIN (VALUES (0),(1),(2),(3)) AS jj(j)),
+         |sk AS (SELECT j, bkt, CAST(SUM(cnt) AS BIGINT) AS bsum
+         |       FROM e GROUP BY 1, 2)
+         |SELECT e.term, e.cnt, MIN(bsum) AS est,
+         |  MIN(bsum) - e.cnt AS overcount
+         |FROM e JOIN sk USING (j, bkt)
+         |GROUP BY e.term, e.cnt
+         |ORDER BY e.term""".stripMargin)),
+
+    // q91: Bloom pre-filter FP accounting — k=5 salted bits, bit space
+    // = 8 per src0 key (load-factor-pinned → ~2% FP at any scale),
+    // built over src0, probed by every other source's arrivals.
+    QueryDef("q91_bloom_prefilter", (s, d) => bloomPrefilter(s, d), Some(
+      s"""WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |mm AS (SELECT COUNT(*) * 8 AS m FROM d WHERE source = 'src0'),
+         |pos AS (SELECT doc_id, source, h,
+         |          ${h60("concat(h, '#', i)")} % m AS pos
+         |        FROM d CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS ii(i)
+         |          CROSS JOIN mm),
+         |bits AS (SELECT DISTINCT pos FROM pos WHERE source = 'src0'),
+         |ch AS (SELECT DISTINCT h FROM d WHERE source = 'src0'),
+         |np AS (SELECT doc_id, COUNT(*) AS n_bits_set
+         |       FROM pos JOIN bits USING (pos) WHERE source <> 'src0'
+         |       GROUP BY 1)
+         |SELECT d.source, COUNT(*) AS n_new,
+         |  CAST(SUM(CASE WHEN n_bits_set = 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(SUM(CASE WHEN d.h IN (SELECT h FROM ch) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup,
+         |  CAST(SUM(CASE WHEN n_bits_set = 5 THEN 1 ELSE 0 END) AS BIGINT) -
+         |  CAST(SUM(CASE WHEN d.h IN (SELECT h FROM ch) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_pos
+         |FROM d LEFT JOIN np ON np.doc_id = d.doc_id
+         |WHERE d.source <> 'src0'
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     QueryDef("q80_source_kl", (s, d) => sourceKl(s, d), Some(
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

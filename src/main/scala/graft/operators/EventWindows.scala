@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -325,5 +325,69 @@ object EventWindows {
         sum(when(col("anomalous"), 1L).otherwise(0L)).cast(LongType)
           .as("n_anomalous"))
       .orderBy(col("event_type"))
+  }
+
+  /** RFM segmentation — the marketing-analytics staple: every purchaser
+    * scored 1–4 on Recency (days since last purchase), Frequency
+    * (purchase count) and Monetary (lifetime spend), quartiles assigned
+    * by EXACT global rank. The naive spelling — `ntile(4) OVER (ORDER BY
+    * metric)` — is a partition-less window that drags every user onto
+    * one task; this uses the q24 two-pass shape instead, three times:
+    * rows rank inside their metric bucket (partitioned window), buckets
+    * carry exclusive running offsets (a global window over the O(buckets)
+    * summary only), and global rank = offset + in-bucket rank. Quartile
+    * = `(4·(rank−1)) div N + 1` in exact integer math.
+    *
+    * Buckets: r_days and f_cnt are their own buckets (low cardinality);
+    * monetary buckets to whole dollars (`cents div 10000` keeps ~10⁴
+    * buckets at any corpus size). Descending metrics negate the bucket
+    * so bucket order stays ascending-global-rank.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), Relational.dec2(col("value")).as("v"))
+    val mx = p.agg(max(col("ts")).as("mx"))
+    val u = p.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("f_cnt"),
+        sum(col("v")).as("m_total"))
+      .crossJoin(broadcast(mx))
+      .withColumn("r_days",
+        expr("(unix_millis(mx) - unix_millis(last_ts)) div 86400000"))
+      .withColumn("m_cents", expr("CAST(m_total * 100 AS BIGINT)"))
+    val n = u.agg(count(lit(1)).as("n_total"))
+
+    // global rank without a global window: in-bucket rank + broadcast
+    // exclusive bucket offsets (the bucket summary is the only thing a
+    // partition-less window ever sees)
+    def grank(df: DataFrame, bucketC: Column, inOrder: Seq[Column],
+        name: String): DataFrame = {
+      val b = df.withColumn("bkt", bucketC)
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = b.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+        .select(col("bkt"),
+          coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
+      val wIn = Window.partitionBy(col("bkt")).orderBy(inOrder: _*)
+      b.withColumn("rn_in", row_number().over(wIn))
+        .join(broadcast(offsets), "bkt")
+        .withColumn(name, col("off") + col("rn_in"))
+        .drop("bkt", "rn_in", "off")
+    }
+    val ranked = Seq[(Column, Seq[Column], String)](
+      (col("r_days"), Seq(col("user_id")), "r_rank"),
+      (-col("f_cnt"), Seq(col("user_id")), "f_rank"),
+      (-expr("m_cents div 10000"), Seq(col("m_cents").desc, col("user_id")), "m_rank")
+    ).foldLeft(u) { case (df, (bkt, ord, nm)) => grank(df, bkt, ord, nm) }
+
+    ranked.crossJoin(broadcast(n))
+      .select(concat(lit("R"), expr("(4 * (r_rank - 1)) div n_total + 1"),
+        lit("F"), expr("(4 * (f_rank - 1)) div n_total + 1"),
+        lit("M"), expr("(4 * (m_rank - 1)) div n_total + 1")).as("segment"),
+        col("m_cents"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("m_cents")).cast(LongType).as("sum_cents"))
+      .orderBy(col("segment"))
   }
 }

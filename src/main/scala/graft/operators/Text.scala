@@ -892,28 +892,39 @@ object Text {
     * width, and how many chunk instances recur across ≥2 documents
     * (boilerplate mass the chunk store would deduplicate away).
     *
-    * Shape at scale: positional word explode (bounded ×words blowup,
-    * same as every shingle pass here), a per-doc window (partitioned by
-    * doc_id — no global ordering), one hash aggregation per chunk, one
-    * shuffle join against the chunk-frequency table on the 60-bit chunk
-    * hash, one per-source aggregation. No driver state, no cross joins.
+    * Shape at scale: each doc is chunked in ONE narrow pass by a
+    * per-row `aggregate` fold (the q37 zero-row-expansion pattern) — no
+    * word-level explode, no per-doc window shuffle, no regrouping rows
+    * back into chunks. (The first cut — posexplode → doc-partitioned
+    * running-boundary window → collect_list per chunk — shuffled every
+    * WORD twice and measured 11× wall at 10× corpus; this shape
+    * shuffles only chunk-level rows, 10–20× fewer.) Then one hash
+    * aggregation for chunk frequency, one equi-join back on the 60-bit
+    * chunk hash, one per-source aggregation. No driver state, no cross
+    * joins. (The fold's string append assumes single-space tokenized
+    * text — the corpus contract; empty mid-text tokens cannot occur.)
     */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val pos = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), posexplode(words).as(Seq("i", "word")))
-      .withColumn("bnd", (hash60(col("word")) % 16 === 0).cast("int"))
-    // chunk id = boundaries strictly before this word (the boundary word
-    // itself closes — belongs to — its chunk)
-    val wPrev = Window.partitionBy(col("doc_id"))
-      .orderBy(col("i")).rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = pos
-      .withColumn("chunk_id", coalesce(sum(col("bnd")).over(wPrev), lit(0L)))
-      .groupBy(col("doc_id"), col("source"), col("chunk_id"))
-      .agg(count(lit(1)).as("n_words"),
-        collect_list(struct(col("i"), col("word"))).as("ws"))
-      .withColumn("chunk_hash",
-        hash60(expr("array_join(transform(array_sort(ws), x -> x.word), ' ')")))
-      .drop("ws")
+    // fold state: finished chunks + the growing current chunk; a word
+    // whose hash60 % 16 == 0 closes (joins) its chunk
+    val chunksExpr =
+      """aggregate(
+        |  split(text, ' '),
+        |  named_struct('chunks', CAST(array() AS ARRAY<STRING>), 'cur', ''),
+        |  (acc, x) -> IF(
+        |    CAST(conv(substr(md5(CAST(x AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 16 = 0,
+        |    named_struct(
+        |      'chunks', array_append(acc.chunks,
+        |                  IF(acc.cur = '', x, concat(acc.cur, ' ', x))),
+        |      'cur', ''),
+        |    named_struct('chunks', acc.chunks,
+        |      'cur', IF(acc.cur = '', x, concat(acc.cur, ' ', x)))),
+        |  acc -> IF(acc.cur = '', acc.chunks, array_append(acc.chunks, acc.cur)))""".stripMargin
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(expr(chunksExpr)).as("chunk"))
+      .select(col("doc_id"), col("source"),
+        size(split(col("chunk"), " ")).cast(LongType).as("n_words"),
+        hash60(col("chunk")).as("chunk_hash"))
     // corpus-wide: in how many distinct docs does each chunk occur?
     val freq = chunks.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
@@ -924,6 +935,93 @@ object Text {
         expr("1000000 * sum(n_words) div count(1)").as("avg_words_micro"),
         sum((col("n_docs_with") >= 2).cast("long")).cast(LongType)
           .as("n_crossdoc"))
+      .orderBy(col("source"))
+  }
+
+  /** Count-min sketch term-frequency estimation — the fixed-memory
+    * frequency primitive of a streaming/large-scale pipeline, spelled fully
+    * relationally AND fully deterministically: the d=4 hash rows use the
+    * shared 60-bit hash salted with the row index, so the oracle
+    * recomputes the identical sketch and the estimates are exact
+    * integers, not a property-tested approximation. Every vocabulary
+    * term is probed; reports true count, estimate, and the (provably
+    * non-negative) overcount. The default width w=16 deliberately
+    * undersizes the sketch relative to this corpus's vocabulary so
+    * collisions — the thing a count-min trades memory for — actually
+    * appear in the audited output.
+    *
+    * Shape at scale: the corpus shuffles ONCE (term-frequency
+    * aggregation); everything after runs on the vocabulary (×4 hash
+    * rows) and the 4·w-cell sketch — both corpus-size-independent.
+    */
+  def countMinSketch(s: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(words).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val expanded = freq
+      .select(col("term"), col("cnt"),
+        explode(array((0 until 4).map(lit): _*)).as("j"))
+      .withColumn("bkt",
+        hash60(concat(col("term"), lit("#"), col("j"))) % w)
+    val sketch = expanded.groupBy(col("j"), col("bkt"))
+      .agg(sum(col("cnt")).cast(LongType).as("bsum"))
+    expanded
+      .join(sketch, Seq("j", "bkt"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("bsum")).as("est"))
+      .select(col("term"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+      .orderBy(col("term"))
+  }
+
+  /** Bloom-filter dedup pre-filter — the cheap membership gate a
+    * 100 TB incremental-ingest pipeline runs BEFORE the exact q63
+    * anti-join: k=5 salted-hash bit positions, bit space sized to the
+    * DATA (m = 8 bits per existing-corpus key, k=5 ≈ the optimal k for
+    * that load factor → ~2% theoretical FP at ANY corpus scale — a
+    * fixed m would degenerate to zero FPs on a small corpus and to
+    * all-pass saturation on a large one). Built over the existing
+    * corpus (src0), probed by every new arrival; a doc "passes"
+    * (= might be a duplicate) iff all 5 positions are set, and exact
+    * content-hash membership splits passes into true duplicates and
+    * measured false positives per source. Deterministic end to end —
+    * the oracle rebuilds the identical filter, no probabilistic
+    * assertions needed.
+    *
+    * Shape at scale: the bit set is ≤ m rows and broadcasts (a real
+    * deployment packs it into a bitmap; the relational spelling keeps
+    * the same one-broadcast shape); arrivals are probed map-side with
+    * one k-row expansion; only per-source counters shuffle.
+    */
+  def bloomPrefilter(s: SparkSession, dir: String, bitsPerKey: Int = 8): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text").cast(BinaryType)).as("h"))
+    val corpus = d.filter(col("source") === "src0")
+    val mTab = corpus.agg((count(lit(1)) * bitsPerKey).cast(LongType).as("m"))
+    def positions(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(mTab))
+      .select(col("doc_id"), col("source"), col("h"), col("m"),
+        explode(array((0 until 5).map(lit): _*)).as("i"))
+      .withColumn("pos", hash60(concat(col("h"), lit("#"), col("i"))) % col("m"))
+    val bits = positions(corpus).select(col("pos")).distinct()
+    val corpusHashes = corpus.select(col("h")).distinct()
+    val news = d.filter(col("source") =!= "src0")
+    val pass = positions(news)
+      .join(broadcast(bits), "pos")
+      .groupBy(col("doc_id"), col("source"), col("h"))
+      .agg(count(lit(1)).as("n_bits_set"))
+      .withColumn("bloom_pass", (col("n_bits_set") === 5).cast("int"))
+    val withDup = pass
+      .join(broadcast(corpusHashes.withColumn("is_dup", lit(1))), Seq("h"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0)))
+    news.select(col("doc_id"), col("source"))
+      .join(withDup.select(col("doc_id"), col("bloom_pass"), col("is_dup")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("bloom_pass"), lit(0))).cast(LongType).as("n_pass"),
+        sum(coalesce(col("is_dup"), lit(0))).cast(LongType).as("n_dup"))
+      .withColumn("n_false_pos", col("n_pass") - col("n_dup"))
       .orderBy(col("source"))
   }
 

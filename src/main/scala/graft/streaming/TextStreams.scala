@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The batch text-pipeline operators (operators.Text, q38/q39/q33/q37
   * family) composed as ONE streaming ingest pipeline — the shape a
@@ -34,5 +35,57 @@ object TextStreams {
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("eventTime"), col("n_words").cast("long").as("n_words"),
         call_function("min_gram_hash60", col("text")).as("fingerprint"))
+  }
+
+  /** The q90 count-min sketch maintained INCREMENTALLY over a term
+    * stream: each sketch cell (hash row j × bucket) is one
+    * `transformWithState` key holding its running sum, so the sketch
+    * partitions across executors, lives in the state store (RocksDB,
+    * checkpoint-restartable) and never needs a batch rebuild. Emits the
+    * updated (cell, sum) on every change; after any prefix of the
+    * stream the emitted cell sums equal the batch sketch built over the
+    * same terms — asserted in `EventStreamsSpec`.
+    *
+    * Per-key merge happens once per micro-batch (the input iterator
+    * carries the key's whole batch), so state writes are O(touched
+    * cells), not O(stream rows).
+    */
+  private val cmsDigest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** JVM-side replica of operators.Text.hash60 (md5-prefix 60-bit). */
+  private[graft] def hash60(s: String): Long = {
+    val hex = cmsDigest.get().digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  class CountMinCellProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var sum: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sum = getHandle.getValueState("sum", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(cell: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val next = (if (sum.exists()) sum.get() else 0L) + rows.map(_._2).sum
+      sum.update(next)
+      Iterator.single(cell -> next)
+    }
+  }
+
+  /** `ds` = one row per term occurrence. Cell id = j·w + bucket, the
+    * same d=4 salted buckets as the batch q90 sketch.
+    */
+  def streamingCountMin(spark: SparkSession, ds: Dataset[String],
+      w: Int = 16): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    ds.flatMap { term =>
+      (0 until 4).map(j => (j.toLong * w + hash60(s"$term#$j") % w, 1L))
+    }
+      .groupByKey(_._1)
+      .transformWithState(new CountMinCellProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -17,7 +17,8 @@ object ExplainAudit {
       "q68_simhash_neardup", "q71_boilerplate", "q73_decontaminate",
       "q74_pq_search", "q75_kmeans_train", "q77_seq_pack",
       "q78_zipf_coverage", "q80_source_kl", "q81_sq8_error",
-      "q86_cdc_chunks", "q87_source_overlap", "q88_mrl_agreement")
+      "q86_cdc_chunks", "q87_source_overlap", "q88_mrl_agreement",
+      "q89_rfm", "q90_countmin", "q91_bloom_prefilter")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -94,4 +94,33 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(flagged === nAnom, s"$t: integer test must equal the float 2σ rule")
     }
   }
+
+  test("RFM: two-pass bucket ranks reproduce the naive global-sort segmentation") {
+    val rows = EventWindows.rfmSegments(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // independent replay with naive global sorts (the spelling the
+    // operator deliberately avoids for scale)
+    val purchases = sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mx = purchases.map(_._2).max
+    val users = purchases.groupBy(_._1).map { case (u, ps) =>
+      val cents = ps.map(p => BigDecimal(p._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).sum.toLongExact
+      (u, (mx - ps.map(_._2).max) / 86400000L, ps.length.toLong, cents)
+    }.toSeq
+    val n = users.length
+    def ranks(key: ((Long, Long, Long, Long)) => (Long, Long)): Map[Long, Int] =
+      users.sortBy(key).zipWithIndex.map { case (u, i) => u._1 -> (i + 1) }.toMap
+    val rr = ranks(u => (u._2, u._1))
+    val fr = ranks(u => (-u._3, u._1))
+    val mr = ranks(u => (-u._4, u._1))
+    def q(rank: Int): Long = 4L * (rank - 1) / n + 1
+    val expected = users.groupBy(u => s"R${q(rr(u._1))}F${q(fr(u._1))}M${q(mr(u._1))}")
+      .map { case (seg, us) => (seg, us.length.toLong, us.map(_._4).sum) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq === expected)
+  }
 }

@@ -218,4 +218,35 @@ class EventStreamsSpec extends SparkSpec {
         s"doc 2 duplicates doc 1 across the restart and must be dropped; got $ids")
     } finally q2.stop()
   }
+
+  test("streaming count-min cell sums accumulate across micro-batches to the batch sketch") {
+    withRocksDb {
+    import spark.implicits._
+    // the JVM-side hash must be the Spark-expression hash, bit for bit
+    val sparkH = spark.sql(
+      "SELECT CAST(conv(substr(md5(CAST('the#0' AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    ).head.getLong(0)
+    assert(sparkH === TextStreams.hash60("the#0"))
+
+    val mem = MemoryStream[String](spark)
+    val q = TextStreams.streamingCountMin(spark, mem.toDS())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val batch1 = Seq("the", "a", "of", "the", "zebra")
+      val batch2 = Seq("the", "quark", "a", "a")
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      // last (= max, sums are monotone) update per cell
+      val cells = spark.table("cms_stream").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val expected = (batch1 ++ batch2).flatMap { t =>
+        (0 until 4).map(j => j.toLong * 16 + TextStreams.hash60(s"$t#$j") % 16)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(cells === expected)
+    } finally q.stop()
+    }
+  }
 }

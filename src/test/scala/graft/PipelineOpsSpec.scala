@@ -588,6 +588,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).toSet === expected)
   }
 
+  test("count-min: never undercounts, and matches a replayed sketch") {
+    val rows = Text.countMinSketch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, cnt, est, over) =>
+      assert(est >= cnt && over === est - cnt, s"term=$t undercounted")
+    }
+    // replay: rebuild the 4x16 sketch from the true frequencies using
+    // the same salted hash (evaluated by Spark — single-sourced)
+    val vocab = sources.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .select(col("term"), col("cnt"),
+        expr("transform(sequence(0, 3), j -> CAST(conv(substr(md5(CAST(" +
+          "concat(term, '#', j) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 16)")
+          .as("bkts"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+    val sketch = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    vocab.foreach { case (_, cnt, bkts) =>
+      bkts.zipWithIndex.foreach { case (b, j) => sketch((j, b)) += cnt }
+    }
+    val expected = vocab.map { case (t, cnt, bkts) =>
+      (t, cnt, bkts.zipWithIndex.map { case (b, j) => sketch((j, b)) }.min)
+    }.sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq === expected)
+  }
+
+  test("bloom pre-filter: exact FP accounting matches a bit-set replay") {
+    val rows = Text.bloomPrefilter(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nNew, nPass, nDup, nFp) =>
+      assert(nPass >= nDup, s"$src: an exact dup must always pass the filter")
+      assert(nFp === nPass - nDup)
+    }
+    // full replay in plain Scala (independent md5/hash60 implementation)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), md5hex(r.getString(1))))
+    val corpus = docs.filter(_._1 == "src0").map(_._2)
+    val m = corpus.length.toLong * 8
+    val bits = corpus.flatMap(h => (0 until 5).map(i => h60(s"$h#$i") % m)).toSet
+    val corpusSet = corpus.toSet
+    val expected = docs.filter(_._1 != "src0").groupBy(_._1).map { case (src, ds) =>
+      val pass = ds.count { case (_, h) =>
+        (0 until 5).forall(i => bits(h60(s"$h#$i") % m)) }
+      val dup = ds.count(d => corpusSet(d._2))
+      (src, ds.length.toLong, pass.toLong, dup.toLong, (pass - dup).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === expected)
+  }
+
   test("MRL agreement: full-dim column reproduces knnBrute's rank-1 answer") {
     val top1 = Vectors.knnBrute(spark, sfDir).filter(col("rnk") === 1)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap

@@ -205,10 +205,12 @@ class PlanAssertionsSpec extends SparkSpec {
       "per-label stats must partial-aggregate")
   }
 
-  test("q86 CDC: chunk window is doc-partitioned; frequency join is an equi-join") {
+  test("q86 CDC: one-pass chunker — no window, no word-level shuffle") {
     val plan = formatted("q86_cdc_chunks")
-    assert("windowspecdefinition\\(doc_id#\\d+L?,".r.findFirstIn(plan).isDefined,
-      "the running boundary count must partition by doc_id")
+    assert(!plan.contains("Window"),
+      "chunking must fold per-doc in the scan stage, not via a window")
+    assert(!plan.contains("posexplode"),
+      "no word-level row expansion — only chunk-level rows may exist")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "chunk-frequency lookup must plan as an equi-join on the chunk hash")
@@ -221,6 +223,39 @@ class PlanAssertionsSpec extends SparkSpec {
       "shingle-set intersection must plan as an equi-join on the hash")
     assert(plan.contains("BroadcastHashJoin"),
       "the O(|sources|) size tables must broadcast")
+  }
+
+  test("q89 RFM: every user-level window is bucket-partitioned") {
+    val plan = formatted("q89_rfm")
+    // partitioned in-bucket windows (comma after the partition column)
+    assert("windowspecdefinition\\(bkt#\\d+L?,".r.findFirstIn(plan).isDefined,
+      "per-user ranks must come from bucket-partitioned windows")
+    // the naive global ntile/row_number over raw metrics must not appear:
+    // any partition-less window may only order by the bucket summary
+    Seq("r_days", "f_cnt", "m_cents", "user_id").foreach { c =>
+      assert(s"windowspecdefinition\\($c#".r.findFirstIn(plan).isEmpty,
+        s"global window over $c would single-partition the user table")
+    }
+  }
+
+  test("q90 count-min: corpus shuffles once; sketch work is vocab-sized") {
+    val plan = formatted("q90_countmin")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "sketch build/probe must stay equi-join + aggregation")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "term-frequency and sketch aggregations must partial-aggregate")
+  }
+
+  test("q91 bloom: bit set and corpus hashes broadcast to the probe side") {
+    val plan = formatted("q91_bloom_prefilter")
+    assert(plan.contains("BroadcastHashJoin"),
+      "position membership must be a broadcast hash join")
+    // only the 1-row scalar m may nested-loop in (unconditioned);
+    // an id-inequality pair loop must never appear
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(bnlj.forall(l => !l.contains("<")),
+      s"unexpected conditioned nested-loop join: $bnlj")
   }
 
   test("q88 MRL: both dots run codegen float_dot; one candidate scan feeds both") {

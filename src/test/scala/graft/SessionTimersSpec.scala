@@ -12,26 +12,7 @@ import graft.streaming.SessionTimers
   * close, and TTL-based state expiry.
   */
 class SessionTimersSpec extends SparkSpec {
-
-  private val rocksdb =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-
-  private def withRocksDb[A](body: => A): A = {
-    val keys = Seq(
-      "spark.sql.streaming.stateStore.providerClass" -> rocksdb,
-      // Spark 4.1's checksummed checkpoint files deadlock under the
-      // continuous no-data micro-batches a processing-time TTL query
-      // runs (tasks park forever in ChecksumCheckpointFileManager
-      // .awaitResult) — checksums off for these tests.
-      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
-    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
-    keys.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(p)) => spark.conf.set(k, p)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+  // RocksDB + checksum workaround shared via SparkSpec.withRocksDb
 
   test("event-time timers close sessions when the watermark passes lastSeen+gap") {
     import spark.implicits._

@@ -15,6 +15,23 @@ trait SparkSpec extends AnyFunSuite {
 
   val sfDir = "/root/testdata/sf0.001"
 
+  /** `transformWithState` requires the RocksDB state store; scope it (and
+    * the checksum workaround — see SessionTimersSpec) to one test body.
+    */
+  def withRocksDb[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(p)) => spark.conf.set(k, p)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   def fixturePath: String =
     getClass.getResource("/user_activity_fixture.json").getPath
 
