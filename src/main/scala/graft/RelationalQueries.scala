@@ -149,6 +149,33 @@ object RelationalQueries {
         |WHERE p_retailprice > brand_avg
         |ORDER BY p_partkey""".stripMargin)),
 
+    // q93: TPC-H Q17 shape — threshold multiplied out to exact DECIMAL.
+    QueryDef("q93_small_qty_revenue", (s, d) => smallQtyRevenue(s, d), Some(
+      """WITH l AS (SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |             l_extendedprice FROM lineitem),
+        |per AS (SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS cq
+        |        FROM l GROUP BY l_partkey)
+        |SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM l JOIN per USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE q * 5 * cq < sq
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // q94: TPC-H Q21 shape — EXISTS + NOT EXISTS in their classic SQL
+    // spelling; the Spark side decorrelates to semi/anti hash joins.
+    QueryDef("q94_sole_return_supplier", (s, d) => soleReturnSuppliers(s, d), Some(
+      """WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |           WHERE l_returnflag = 'R'),
+        |a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s_suppkey, s_name, COUNT(*) AS n_orders
+        |FROM r JOIN supplier ON s_suppkey = r.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM a WHERE a.l_orderkey = r.l_orderkey
+        |                AND a.l_suppkey <> r.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM r r2 WHERE r2.l_orderkey = r.l_orderkey
+        |                    AND r2.l_suppkey <> r.l_suppkey)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY n_orders DESC, s_suppkey""".stripMargin)),
+
     QueryDef("q16_running_spend", (s, d) => customerRunningSpend(s, d), Some(
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

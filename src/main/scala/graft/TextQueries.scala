@@ -371,6 +371,26 @@ object TextQueries {
          |FROM documents d LEFT JOIN labels ON labels.doc = d.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // q92: the dedup funnel — raw → exact-dedup survivors → near-dup
+    // canonical survivors, per source (composes q33's stage with q67's
+    // cluster labels).
+    QueryDef("q92_dedup_funnel", (s, d) => dedupFunnel(s, d), Some(
+      s"""WITH RECURSIVE $CLUSTER_CTES,
+         |labels AS (SELECT doc, MIN(lab) AS lab FROM r GROUP BY doc),
+         |d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |reps AS (SELECT source, h, MIN(doc_id) AS doc_id
+         |         FROM d GROUP BY source, h),
+         |kept AS (
+         |  SELECT reps.source,
+         |    CASE WHEN labels.doc IS NULL OR labels.doc = labels.lab
+         |         THEN 1 ELSE 0 END AS keep
+         |  FROM reps LEFT JOIN labels ON labels.doc = reps.doc_id),
+         |raw AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source)
+         |SELECT raw.source, n_docs, COUNT(*) AS n_exact,
+         |  CAST(SUM(keep) AS BIGINT) AS n_final
+         |FROM kept JOIN raw ON raw.source = kept.source
+         |GROUP BY raw.source, n_docs ORDER BY raw.source""".stripMargin)),
+
     QueryDef("q65_repetition", (s, d) => repetitionStats(s, d), Some(
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),

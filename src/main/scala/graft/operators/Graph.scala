@@ -54,8 +54,16 @@ object Graph {
     // sides), so with cache() the LOGICAL tree still grows 4^N and the
     // analyzer OOMs by round ~6 (observed); localCheckpoint flattens the
     // plan to a LogicalRDD each round
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint(true)
+    // seed with the 1-hop neighbor min: with identity labels the first
+    // loop round's pointer jumps are no-ops (lab(lab(n)) = n), so that
+    // round only ever achieved exactly this aggregation — computing it
+    // up front saves one full round (broadcast + 4 joins + convergence
+    // check) on every graph
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nmin")).as("lab"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     val dbg = sys.props.contains("graft.cc.debug")

@@ -296,4 +296,55 @@ object Relational {
         col("o_totalprice"), col("running_spend"), col("prev_price"))
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
+
+  /** TPC-H Q17 shape — correlated "below 20% of the part's average
+    * quantity" revenue, decorrelated into a per-part aggregate join.
+    * The float trap is the threshold compare: `q < 0.2·avg(q)` in
+    * doubles can flip on the last ulp, so it multiplies out to the
+    * exact DECIMAL inequality `5·q·cnt < sum_q`.
+    */
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), dec2(col("l_quantity")).as("q"),
+        col("l_extendedprice"))
+    val per = l.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cq"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    l.join(per, "l_partkey")
+      .filter(col("q") * 5 * col("cq") < col("sq"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), dsum2(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q21 shape — EXISTS + NOT EXISTS correlation: suppliers whose
+    * 'R'-flag lineitems sit in multi-supplier orders where NO other
+    * supplier also flagged 'R'. Spelled as a left-semi (the EXISTS) and
+    * a left-anti (the NOT EXISTS) join, both equi on the order key with
+    * the supplier inequality as residual condition — the decorrelation
+    * Spark plans as two hash joins instead of per-row subqueries.
+    */
+  def soleReturnSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val all = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val r = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = all.toDF("o_orderkey", "o_suppkey")
+    val hasOther = r.join(others,
+      r("l_orderkey") === others("o_orderkey") &&
+        r("l_suppkey") =!= others("o_suppkey"), "left_semi")
+    val r2 = r.toDF("r_orderkey", "r_suppkey")
+    val sole = hasOther.join(r2,
+      hasOther("l_orderkey") === r2("r_orderkey") &&
+        hasOther("l_suppkey") =!= r2("r_suppkey"), "left_anti")
+    sole.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("s_suppkey"))
+  }
 }

@@ -305,6 +305,36 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** Dedup funnel — the per-source curation report a data team ships:
+    * raw doc count → docs surviving exact (content-hash) dedup (min
+    * doc_id kept per (source, hash) group) → docs ALSO surviving
+    * near-dup clustering (an exact-stage survivor drops if it sits in a
+    * near-dup cluster it is not the canonical member of). Composes the
+    * q33 exact stage with the q67 cluster labels into one accounting
+    * query — the three funnel widths a retention dashboard plots.
+    *
+    * Shape at scale: content-hash groupBy + the existing cluster-label
+    * pipeline + two per-source aggregations; the per-source summary
+    * joins are O(|sources|).
+    */
+  def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text").cast(BinaryType)).as("h"))
+    val reps = docs.groupBy(col("source"), col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val clusters = neardupClusters(s, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    val kept = reps.join(clusters, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("is_canonical"), lit(true)))
+    val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(col("keep").cast("long")).cast(LongType).as("n_final"))
+      .join(raw, "source")
+      .select(col("source"), col("n_docs"), col("n_exact"), col("n_final"))
+      .orderBy(col("source"))
+  }
+
   /** Edit-distance verification of near-dup candidates: Levenshtein
     * distance computed ONLY for MinHash-LSH candidate pairs — the
     * character-level confirmation pass of a fuzzy-dedup pipeline. The
@@ -904,7 +934,11 @@ object Text {
     * joins. (The fold's string append assumes single-space tokenized
     * text — the corpus contract; empty mid-text tokens cannot occur.)
     */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  /** The chunker core: one (doc_id, source, chunk) row per chunk, in
+    * document order — a narrow map+explode, no shuffle. Split out so
+    * property tests can drive it over synthetic docs.
+    */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
     // fold state: finished chunks + the growing current chunk; a word
     // whose hash60 % 16 == 0 closes (joins) its chunk
     val chunksExpr =
@@ -920,8 +954,11 @@ object Text {
         |    named_struct('chunks', acc.chunks,
         |      'cur', IF(acc.cur = '', x, concat(acc.cur, ' ', x)))),
         |  acc -> IF(acc.cur = '', acc.chunks, array_append(acc.chunks, acc.cur)))""".stripMargin
-    val chunks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), explode(expr(chunksExpr)).as("chunk"))
+    docs.select(col("doc_id"), col("source"), explode(expr(chunksExpr)).as("chunk"))
+  }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunksOf(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"),
         size(split(col("chunk"), " ")).cast(LongType).as("n_words"),
         hash60(col("chunk")).as("chunk_hash"))

@@ -564,6 +564,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunk property: chunks rejoin to the text; every cut is content-defined") {
+    import spark.implicits._
+    import graft.streaming.TextStreams.{hash60 => h60}
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val docsLocal = (0 until 40).map { id =>
+      (id.toLong,
+        (1 to 1 + rnd.nextInt(60)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), "srcX")
+    } :+ ((99L, "", "srcX")) // empty text = one empty chunk
+    val chunks = operators.Text.cdcChunksOf(
+      docsLocal.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    docsLocal.foreach { case (id, text, _) =>
+      val cs = byDoc(id)
+      assert(cs.mkString(" ") === text, s"doc $id must rejoin exactly")
+      // content-defined: only a boundary word ever ends a non-final
+      // chunk, and no interior word of any chunk is a boundary word
+      def isBoundary(w: String) = h60(w) % 16 == 0
+      cs.init.foreach { c =>
+        assert(isBoundary(c.split(" ", -1).last), s"doc $id: cut not at boundary")
+      }
+      cs.foreach { c =>
+        assert(c.split(" ", -1).init.forall(w => !isBoundary(w)),
+          s"doc $id: a boundary word failed to cut")
+      }
+    }
+  }
+
   test("source overlap containment matches a set-intersection replay") {
     val rows = Text.sourceOverlap(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
@@ -644,6 +675,24 @@ class PipelineOpsSpec extends SparkSpec {
       (src, ds.length.toLong, pass.toLong, dup.toLong, (pass - dup).toLong)
     }.toSeq.sortBy(_._1)
     assert(rows.toSeq === expected)
+  }
+
+  test("dedup funnel: stages shrink monotonically; exact stage matches a replica") {
+    val rows = Text.dedupFunnel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, e, f) =>
+      assert(f <= e && e <= n, s"$src: funnel must narrow monotonically")
+      assert(f >= 1, s"$src: at least one doc must survive")
+    }
+    val exactMap = sources.Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(md5(col("text").cast("binary"))).as("e"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (src, n, e, _) =>
+      assert((n, e) === exactMap(src), s"$src: exact stage drifted")
+    }
   }
 
   test("MRL agreement: full-dim column reproduces knnBrute's rank-1 answer") {

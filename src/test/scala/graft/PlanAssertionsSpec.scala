@@ -238,6 +238,24 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q93 Q17-shape: correlation decorrelates to one per-part aggregate join") {
+    val plan = formatted("q93_small_qty_revenue")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"), "the part dimension must broadcast")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "per-part and per-brand aggregations must partial-aggregate")
+  }
+
+  test("q94 Q21-shape: EXISTS/NOT EXISTS plan as semi and anti hash joins") {
+    val plan = formatted("q94_sole_return_supplier")
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "correlation must stay equi-keyed on the order key")
+  }
+
   test("q90 count-min: corpus shuffles once; sketch work is vocab-sized") {
     val plan = formatted("q90_countmin")
     assert(!plan.contains("CartesianProduct") &&
