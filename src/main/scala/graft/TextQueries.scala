@@ -675,6 +675,25 @@ object TextQueries {
         |    CAST(round(-ln(cnt / n_tokens) * 1000000) AS BIGINT))) AS BIGINT)
         |    AS kl_sum_micro
         |FROM st JOIN stot USING (source) JOIN ct USING (term) CROSS JOIN ctot
-        |GROUP BY source ORDER BY source""".stripMargin))
+        |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q95: deny-list lexicon scrub with audit accounting; the checksum
+    // is an order-independent modular sum of per-doc hash60 values over
+    // the REDACTED text, so both engines prove byte-identical output.
+    QueryDef("q95_lexicon_scrub", (s, d) => lexiconScrub(s, d), Some {
+      val inSet = operators.Text.ScrubLexicon
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH r AS (
+         |  SELECT source,
+         |    len(list_filter(string_split(text, ' '), w -> w IN $inSet)) AS n_hit,
+         |    array_to_string(list_transform(string_split(text, ' '),
+         |      w -> CASE WHEN w IN $inSet THEN '[REDACTED]' ELSE w END), ' ') AS red
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+         |  CAST(SUM(n_hit) AS BIGINT) AS n_redacted,
+         |  CAST(SUM(${h60("red")} % 1000000000) AS BIGINT) AS checksum
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    })
   )
 }

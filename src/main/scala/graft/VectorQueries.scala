@@ -321,6 +321,51 @@ object VectorQueries {
         |  CAST(MAX(list_max(errs)) AS BIGINT) AS max_err_micro,
         |  CAST(SUM(list_sum(errs)) AS BIGINT) // CAST(SUM(len(errs)) AS BIGINT)
         |    AS avg_err_micro
-        |FROM e GROUP BY label ORDER BY label""".stripMargin))
+        |FROM e GROUP BY label ORDER BY label""".stripMargin)),
+
+    // q96: per-dimension embedding health stats in exact shifted
+    // micro-int space (floor(x*1e6)+1e6 keeps every operand of `div`
+    // non-negative, where floor = truncate on both engines).
+    QueryDef("q96_dim_stats", (s, d) => dimStats(s, d), Some(
+      """WITH ex AS (
+        |  SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> CAST(floor(x * 1000000) AS BIGINT) + 1000000)) AS xs,
+        |         unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings)
+        |SELECT dim, COUNT(*) AS n_vecs,
+        |  CAST(SUM(xs) AS BIGINT) // COUNT(*) - 1000000 AS mean_micro,
+        |  CAST(SUM(xs * xs) AS BIGINT) // COUNT(*)
+        |    - (CAST(SUM(xs) AS BIGINT) // COUNT(*))
+        |      * (CAST(SUM(xs) AS BIGINT) // COUNT(*)) AS var_micro2,
+        |  MIN(xs) - 1000000 AS min_micro,
+        |  MAX(xs) - 1000000 AS max_micro
+        |FROM ex GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // q97: nearest-centroid label probe — confusion counts from exact
+    // integer L2 in the same shifted micro space (shift cancels in
+    // distances; centroid = floor-mean per (label, dim)).
+    QueryDef("q97_centroid_probe", (s, d) => centroidProbe(s, d), Some(
+      """WITH xm AS (
+        |  SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000) AS BIGINT) + 1000000) AS xs
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, label, unnest(xs) AS x,
+        |         unnest(generate_series(1, len(xs))) AS pos
+        |  FROM xm),
+        |cent AS (
+        |  SELECT label AS clab, pos, CAST(SUM(x) AS BIGINT) // COUNT(*) AS c
+        |  FROM ex GROUP BY label, pos),
+        |d AS (
+        |  SELECT e.vec_id, e.label, c.clab,
+        |    CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+        |  FROM ex e JOIN cent c USING (pos) GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT vec_id, label, clab,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clab) AS rn
+        |  FROM d)
+        |SELECT label, clab AS pred_label, COUNT(*) AS n
+        |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -335,6 +335,45 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** The deny-list a lexicon scrub redacts — stand-in for the
+    * business-sensitive / PII term dictionary a real pipeline loads from
+    * a governance table and BROADCASTS (it is O(lexicon), never
+    * corpus-sized). Literal here so the oracle shares it verbatim.
+    */
+  val ScrubLexicon: Seq[String] = Seq("customer", "order", "key", "row")
+
+  /** Lexicon scrub — deny-list redaction with an audit trail, the
+    * auditable form of PII scrubbing (the synthetic corpus carries no
+    * digits/emails, so the deny-list is term-based; the plan is the
+    * same for regex classes). Each token in the lexicon is replaced by
+    * a fixed mask in one codegen'd `transform` over the token array —
+    * no explode, no shuffle of the text — and the per-source report
+    * carries the three numbers an audit needs: docs touched, tokens
+    * redacted, and an md5-based checksum of the redacted corpus (so
+    * two runs — or two engines — can prove they shipped identical
+    * bytes without comparing the bytes).
+    *
+    * Scale: one scan + one per-source aggregation; the checksum is a
+    * modular sum of per-doc [[hash60]] values, so it needs no ordered
+    * concatenation (order-independent, overflow-safe under mod 1e9).
+    */
+  def lexiconScrub(s: SparkSession, dir: String): DataFrame = {
+    val inSet = ScrubLexicon.map(w => s"'$w'").mkString("(", ", ", ")")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr(s"size(filter(split(text, ' '), w -> w IN $inSet))")
+          .cast(LongType).as("n_hit"),
+        expr(s"array_join(transform(split(text, ' '), " +
+          s"w -> CASE WHEN w IN $inSet THEN '[REDACTED]' ELSE w END), ' ')")
+          .as("red"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_touched"),
+        sum(col("n_hit")).as("n_redacted"),
+        sum(hash60(col("red")) % 1000000000L).as("checksum"))
+      .orderBy(col("source"))
+  }
+
   /** Edit-distance verification of near-dup candidates: Levenshtein
     * distance computed ONLY for MinHash-LSH candidate pairs — the
     * character-level confirmation pass of a fuzzy-dedup pipeline. The

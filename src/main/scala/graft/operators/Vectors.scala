@@ -538,4 +538,72 @@ object Vectors {
       .withColumn("agree", (col("n1_full") === col("n1_half")).cast(LongType))
       .orderBy(col("qid"))
   }
+
+  /** Micro-int view of the embedding: floor(x·1e6) shifted by +1e6 so
+    * every value is non-negative — `div` then agrees between engines
+    * (floor = truncate on non-negative operands; corpus range is
+    * (−1, 1) so the shift is always sufficient). The shift cancels in
+    * variances and L2 distances and is subtracted back for means.
+    */
+  private val MicroShift = 1000000L
+  private def microShifted: Column =
+    expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + $MicroShift)")
+
+  /** Per-dimension embedding health stats — the audit a pipeline runs
+    * before building an ANN index: a dimension with near-zero variance
+    * is dead weight in every distance computation (and a symptom of a
+    * collapsed encoder); a shifted mean or clipped min/max flags a
+    * normalization bug. Reports exact integer micro-space mean,
+    * floor-rounded variance, and min/max per dimension.
+    *
+    * Scale: posexplode fans out 64 rows per vector, then ONE
+    * hash-partitioned aggregation over exactly 64 groups — partial
+    * aggregation reduces each task to ≤ 64 rows before the shuffle, so
+    * the exchange is O(tasks·64) at any corpus size.
+    */
+  def dimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(microShifted).as(Seq("pos", "xs")))
+      .groupBy((col("pos") + 1).cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (expr("sum(xs) div count(1)") - MicroShift).as("mean_micro"),
+        (expr("sum(xs * xs) div count(1)") -
+          expr("(sum(xs) div count(1)) * (sum(xs) div count(1))")).as("var_micro2"),
+        (min(col("xs")) - MicroShift).as("min_micro"),
+        (max(col("xs")) - MicroShift).as("max_micro"))
+      .orderBy(col("dim"))
+
+  /** Nearest-centroid label probe — the cheapest supervised check of
+    * embedding quality: build one centroid per `label` (the mean vector
+    * in exact micro-int space), assign every vector to its min-L2
+    * centroid, and report the label-vs-predicted confusion counts. A
+    * healthy embedding space puts most mass on the diagonal; a specific
+    * off-diagonal cell names the pair of classes the encoder confuses.
+    *
+    * Scale: the centroid table is O(labels) — built by one 64-group-
+    * per-label aggregation, reassembled into arrays, and BROADCAST; the
+    * corpus is then touched by one scan computing |labels| exact
+    * integer L2 distances per row (zip_with + fold, codegen), and the
+    * argmin is a keyed min of a (d2, label) struct — no window sort, no
+    * second shuffle of the big side. Confusion output is O(labels²).
+    */
+  def centroidProbe(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), microShifted.as("xs"))
+    val cent = base
+      .select(col("label").as("clab"), posexplode(col("xs")).as(Seq("pos", "x")))
+      .groupBy(col("clab"), col("pos"))
+      .agg(expr("sum(x) div count(1)").as("c"))
+      .groupBy(col("clab"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
+        .as("cv"))
+    val d2 = base.join(broadcast(cent))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(xs, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+    d2.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2"), col("clab"))).as("best"))
+      .groupBy(col("label"), col("best.clab").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
 }

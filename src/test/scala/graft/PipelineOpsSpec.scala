@@ -695,6 +695,58 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("lexicon scrub: accounting matches an explode-side replica; scrub is idempotent") {
+    val rows = Text.lexiconScrub(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.exists(_._4 > 0),
+      "the corpus vocabulary must trigger redactions")
+    // replica: count lexicon tokens the heavyweight way (explode + filter)
+    val rep = sources.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").isin(Text.ScrubLexicon: _*))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, n, touched, red) =>
+      assert(red === rep.getOrElse(src, 0L), s"$src: token count drifted")
+      assert(touched <= n && touched <= red, s"$src: touched bound violated")
+    }
+    // idempotence: scrubbing already-scrubbed text redacts nothing
+    // ([REDACTED] is not in the lexicon), so a second pass is a no-op
+    assert(!Text.ScrubLexicon.contains("[REDACTED]"))
+  }
+
+  test("dim stats: every dimension sees the full corpus; moments are consistent") {
+    val n = sources.Tables.embeddings(spark, sfDir).count()
+    val rows = Vectors.dimStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (1L to 64L), "one row per dimension, ordered")
+    rows.foreach { case (dim, nv, mean, v2, mn, mx) =>
+      assert(nv === n, s"dim $dim: row count")
+      assert(mn <= mean && mean <= mx, s"dim $dim: mean outside [min,max]")
+      assert(v2 >= 0, s"dim $dim: negative variance")
+      assert(v2 <= (mx - mn).toDouble * (mx - mn), s"dim $dim: variance > range²")
+    }
+  }
+
+  test("centroid probe: confusion counts partition the corpus; labels in domain") {
+    val n = sources.Tables.embeddings(spark, sfDir).count()
+    val labels = sources.Tables.embeddings(spark, sfDir)
+      .select(col("label")).distinct().collect().map(_.getInt(0)).toSet
+    val rows = Vectors.centroidProbe(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._3).sum === n, "every vector must be assigned exactly once")
+    rows.foreach { case (lab, pred, cnt) =>
+      assert(labels(lab) && labels(pred), "labels must stay in domain")
+      assert(cnt > 0)
+    }
+    // the probe is only useful if the space has SOME class structure:
+    // diagonal mass must beat uniform assignment
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum.toDouble
+    assert(diag / n > 1.0 / labels.size,
+      s"diagonal fraction ${diag / n} not above chance")
+  }
+
   test("MRL agreement: full-dim column reproduces knnBrute's rank-1 answer") {
     val top1 = Vectors.knnBrute(spark, sfDir).filter(col("rnk") === 1)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap

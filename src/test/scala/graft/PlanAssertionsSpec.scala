@@ -256,6 +256,34 @@ class PlanAssertionsSpec extends SparkSpec {
       "correlation must stay equi-keyed on the order key")
   }
 
+  test("q95 scrub: redaction folds in the scan — no explode, one rollup shuffle") {
+    val plan = formatted("q95_lexicon_scrub")
+    assert(!plan.contains("Generate"),
+      "redaction must transform the token array in place, not explode it")
+    assert(!plan.contains("Join"), "the literal lexicon needs no join")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 2,
+      "only the source rollup (and final sort) may shuffle")
+  }
+
+  test("q96 dim stats: 64-group aggregation partial-aggregates before its shuffle") {
+    val plan = formatted("q96_dim_stats")
+    assert(!plan.contains("Join"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "per-dim stats must partial-aggregate map-side")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 2,
+      "only the dim rollup (and final sort) may shuffle")
+  }
+
+  test("q97 centroid probe: centroid table broadcasts; corpus scanned once") {
+    val plan = formatted("q97_centroid_probe")
+    assert(plan.contains("BroadcastExchange"),
+      "the O(labels) centroid table must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus side must never shuffle for the centroid join")
+    assert(!plan.contains("Window"),
+      "argmin must be a keyed struct-min, not a window sort")
+  }
+
   test("q90 count-min: corpus shuffles once; sketch work is vocab-sized") {
     val plan = formatted("q90_countmin")
     assert(!plan.contains("CartesianProduct") &&
