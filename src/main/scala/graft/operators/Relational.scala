@@ -328,9 +328,19 @@ object Relational {
   def soleReturnSuppliers(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val all = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val r = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // ONE distinct-shuffle yields both join inputs: the per-(order,
+    // supplier) row with an any-R flag IS the `all` table, and its
+    // R-flagged subset is the `r` table — a filter, not a second pass
+    // over lineitem. The checkpoint IS lineitem-proportional, but it
+    // replaces three replays of the scan+aggregate with one
+    // materialization to executor-local storage (same residency class
+    // as the shuffle files the replays would write anyway).
+    val g = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      .localCheckpoint(true)
+    val all = g.select(col("l_orderkey"), col("l_suppkey"))
+    val r = g.filter(col("has_r") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
     val others = all.toDF("o_orderkey", "o_suppkey")
     val hasOther = r.join(others,
       r("l_orderkey") === others("o_orderkey") &&
