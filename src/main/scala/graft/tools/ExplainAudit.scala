@@ -18,7 +18,10 @@ object ExplainAudit {
       "q74_pq_search", "q75_kmeans_train", "q77_seq_pack",
       "q78_zipf_coverage", "q80_source_kl", "q81_sq8_error",
       "q86_cdc_chunks", "q87_source_overlap", "q88_mrl_agreement",
-      "q89_rfm", "q90_countmin", "q91_bloom_prefilter")
+      "q89_rfm", "q90_countmin", "q91_bloom_prefilter",
+      "q92_dedup_funnel", "q93_small_qty_revenue",
+      "q94_sole_return_supplier", "q95_lexicon_scrub",
+      "q96_dim_stats", "q97_centroid_probe")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
