@@ -20,21 +20,33 @@ object TextStreams {
 
   /** `df` must carry (doc_id, text, eventTime). Thresholds mirror the
     * oracle-checked batch quality filter (q39: 15 ≤ words ≤ 90,
-    * stopword ratio ≤ 0.12).
+    * stopword ratio ≤ 0.12); the deny-list scrub mirrors batch q95 and
+    * runs BEFORE dedup, so the content hash keys on the text a consumer
+    * would actually receive — two docs differing only in redacted
+    * terms ARE duplicates post-scrub, and junk never enters the state
+    * store un-scrubbed.
     */
   def ingestPipeline(df: DataFrame, delay: String = "10 seconds"): DataFrame = {
+    val inSet = graft.operators.Text.ScrubLexicon
+      .map(w => s"'$w'").mkString("(", ", ", ")")
     val scored = df
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_words", size(col("w")))
       .withColumn("n_stop", size(expr("filter(w, x -> x IN ('the', 'a'))")))
       .filter(col("n_words") >= 15 && col("n_words") <= 90 &&
         round(col("n_stop") / col("n_words"), 6) <= 0.12)
-      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("n_redacted",
+        expr(s"size(filter(w, x -> x IN $inSet))").cast("long"))
+      .withColumn("red", expr(
+        s"array_join(transform(w, x -> CASE WHEN x IN $inSet" +
+          " THEN '[REDACTED]' ELSE x END), ' ')"))
+      .withColumn("h", md5(col("red").cast("binary")))
     scored
       .withWatermark("eventTime", delay)
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("eventTime"), col("n_words").cast("long").as("n_words"),
-        call_function("min_gram_hash60", col("text")).as("fingerprint"))
+        col("n_redacted"),
+        call_function("min_gram_hash60", col("red")).as("fingerprint"))
   }
 
   /** The q90 count-min sketch maintained INCREMENTALLY over a term

@@ -187,6 +187,18 @@ class EventStreamsSpec extends SparkSpec {
       val batchFp = Seq((1L, good)).toDF("doc_id", "text")
         .select(call_function("min_gram_hash60", col("text"))).head().getLong(0)
       assert(rows.find(_._1 == 1L).get._3 === batchFp)
+      // scrub-before-dedup: two docs differing ONLY in deny-listed terms
+      // redact to identical text, so the second is a duplicate
+      val base = (1 to 18).map(i => s"tok$i").mkString(" ")
+      mem.addData(Seq((6L, s"$base customer order", ts(8)),
+        (7L, s"$base key row", ts(9))))
+      q.processAllAvailable()
+      val scrubbed = spark.table("ingest_stream")
+        .filter(col("doc_id") >= 6L)
+        .select(col("doc_id"), col("n_redacted")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(scrubbed === Seq((6L, 2L)),
+        s"doc 7 must dedup against doc 6 post-scrub; got $scrubbed")
     } finally q.stop()
   }
 
