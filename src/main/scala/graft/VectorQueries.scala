@@ -15,6 +15,41 @@ object VectorQueries {
   /** Fixed KNN query-id set — mirrors [[graft.operators.Vectors.KnnQueryIds]]. */
   private val QIDS = graft.operators.Vectors.KnnQueryIds.mkString("(", ", ", ")")
 
+  /** q69/q98 shared chain: q45's multi-table LSH candidate generation +
+    * cosine verify at 0.4, then the recursive reachability walk `r`
+    * whose per-node MIN(lab) equals Spark's min-label-propagation
+    * fixpoint (mirrors TextQueries.CLUSTER_CTES for the text graph).
+    */
+  private def EMBED_CLUSTER_CTES: String = {
+    def bit(j: Int, weight: Long): String =
+      s"""CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+         |  CAST(embedding[i+1] AS DOUBLE) *
+         |  CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE)),
+         |  (a, b) -> a + b) >= 0 THEN CAST($weight AS BIGINT) ELSE 0 END""".stripMargin
+    val tableBuckets = (0 until 6).map { t =>
+      val b = (0 until 3).map(k => bit(t * 3 + k, 1L << k)).mkString(" + ")
+      s"SELECT vec_id, $t AS t, $b AS b FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
+       |buckets AS (
+       |$tableBuckets),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM buckets x JOIN buckets y
+       |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT id1, id2
+       |  FROM cand JOIN base a ON a.vec_id = id1 JOIN base b ON b.vec_id = id2
+       |  WHERE round(list_dot_product(a.e, b.e) / sqrt(a.nsq * b.nsq), 6) >= 0.4),
+       |und AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |        UNION ALL SELECT id2, id1 FROM pairs),
+       |r AS (
+       |  SELECT a AS node, a AS lab FROM (SELECT DISTINCT a FROM und)
+       |  UNION
+       |  SELECT u.b AS node, r.lab FROM r JOIN und u ON u.a = r.node)""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", (s, d) => knnBrute(s, d), Some(
       s"""WITH base AS (
@@ -119,38 +154,23 @@ object VectorQueries {
     // q69: connected components over q45's verified pair graph — the
     // oracle reuses the q45 CTEs and walks the graph with a recursive
     // CTE; min-reachable-vec_id is an engine-independent fixpoint.
-    QueryDef("q69_embed_clusters", (s, d) => embedClusters(s, d), Some {
-      def bit(j: Int, weight: Long): String =
-        s"""CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
-           |  CAST(embedding[i+1] AS DOUBLE) *
-           |  CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE)),
-           |  (a, b) -> a + b) >= 0 THEN CAST($weight AS BIGINT) ELSE 0 END""".stripMargin
-      val tableBuckets = (0 until 6).map { t =>
-        val b = (0 until 3).map(k => bit(t * 3 + k, 1L << k)).mkString(" + ")
-        s"SELECT vec_id, $t AS t, $b AS b FROM embeddings"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH RECURSIVE base AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
-         |buckets AS (
-         |$tableBuckets),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-         |  FROM buckets x JOIN buckets y
-         |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-         |pairs AS (
-         |  SELECT id1, id2
-         |  FROM cand JOIN base a ON a.vec_id = id1 JOIN base b ON b.vec_id = id2
-         |  WHERE round(list_dot_product(a.e, b.e) / sqrt(a.nsq * b.nsq), 6) >= 0.4),
-         |und AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |        UNION ALL SELECT id2, id1 FROM pairs),
-         |r AS (
-         |  SELECT a AS node, a AS lab FROM (SELECT DISTINCT a FROM und)
-         |  UNION
-         |  SELECT u.b AS node, r.lab FROM r JOIN und u ON u.a = r.node)
+    QueryDef("q69_embed_clusters", (s, d) => embedClusters(s, d), Some(
+      s"""WITH RECURSIVE $EMBED_CLUSTER_CTES
          |SELECT node AS vec_id, MIN(lab) AS cluster_id,
          |  node = MIN(lab) AS is_canonical
-         |FROM r GROUP BY node ORDER BY vec_id""".stripMargin
-    }),
+         |FROM r GROUP BY node ORDER BY vec_id""".stripMargin)),
+
+    // q98: per-label embedding retention manifest — the vector twin of
+    // q70: keep each q69 cluster's canonical member, unclustered
+    // vectors always survive.
+    QueryDef("q98_embed_retention", (s, d) => embedRetention(s, d), Some(
+      s"""WITH RECURSIVE $EMBED_CLUSTER_CTES,
+         |labs AS (SELECT node, MIN(lab) AS lab FROM r GROUP BY node)
+         |SELECT e.label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN labs.node IS NULL OR labs.node = labs.lab
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM embeddings e LEFT JOIN labs ON labs.node = e.vec_id
+         |GROUP BY e.label ORDER BY e.label""".stripMargin)),
 
     QueryDef("q48_ivf_knn", (s, d) => ivfKnn(s, d), Some(
       s"""WITH base AS (

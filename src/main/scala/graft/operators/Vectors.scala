@@ -242,6 +242,24 @@ object Vectors {
     Graph.connectedComponents(
       lshNearDup(s, dir, threshold).select(col("id1"), col("id2")), "vec_id")
 
+  /** Per-label embedding retention manifest — the vector twin of the
+    * text pipeline's q70: keep each [[embedClusters]] cluster's
+    * canonical member, unclustered vectors always survive. The decision
+    * table semantic dedup actually ships — one left join against the
+    * O(clustered-vectors) label table and one keyed aggregation.
+    */
+  def embedRetention(s: SparkSession, dir: String): DataFrame = {
+    val clusters = embedClusters(s, dir)
+      .select(col("vec_id"), col("is_canonical"))
+    Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      .join(clusters, Seq("vec_id"), "left")
+      .withColumn("keep", coalesce(col("is_canonical"), lit(true)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
   /** IVF-style cell assignment: the 8 vectors with vec_id 0..7 act as
     * fixed coarse centroids; each vector joins its max-cosine centroid.
     * Per-cell occupancy + mean similarity (decimal-exact accumulation).

@@ -747,6 +747,20 @@ class PipelineOpsSpec extends SparkSpec {
       s"diagonal fraction ${diag / n} not above chance")
   }
 
+  test("embed retention: totals partition the corpus; drops equal non-canonical clustered vecs") {
+    val n = sources.Tables.embeddings(spark, sfDir).count()
+    val rows = Vectors.embedRetention(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum === n, "labels must partition the corpus")
+    rows.foreach { case (lab, nv, kept) =>
+      assert(kept >= 1 && kept <= nv, s"label $lab: kept out of range")
+    }
+    val dropped = Vectors.embedClusters(spark, sfDir)
+      .filter(!col("is_canonical")).count()
+    assert(rows.map(r => r._2 - r._3).sum === dropped,
+      "total drops must equal non-canonical clustered vectors")
+  }
+
   test("MRL agreement: full-dim column reproduces knnBrute's rank-1 answer") {
     val top1 = Vectors.knnBrute(spark, sfDir).filter(col("rnk") === 1)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
