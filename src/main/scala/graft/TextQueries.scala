@@ -677,6 +677,16 @@ object TextQueries {
         |FROM st JOIN stot USING (source) JOIN ct USING (term) CROSS JOIN ctot
         |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // q99: cluster-size distribution over the q67 labels — the dedup
+    // report's headline histogram; heavy tail = boilerplate mass.
+    QueryDef("q99_cluster_sizes", (s, d) => clusterSizeDist(s, d), Some(
+      s"""WITH RECURSIVE $CLUSTER_CTES,
+         |labels AS (SELECT doc, MIN(lab) AS lab FROM r GROUP BY doc),
+         |csz AS (SELECT lab, COUNT(*) AS k FROM labels GROUP BY lab)
+         |SELECT k, COUNT(*) AS n_clusters,
+         |  CAST(k * COUNT(*) AS BIGINT) AS n_docs
+         |FROM csz GROUP BY k ORDER BY k""".stripMargin)),
+
     // q95: deny-list lexicon scrub with audit accounting; the checksum
     // is an order-independent modular sum of per-doc hash60 values over
     // the REDACTED text, so both engines prove byte-identical output.

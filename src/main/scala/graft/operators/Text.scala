@@ -283,6 +283,22 @@ object Text {
     Graph.connectedComponents(
       minhashLshPairs(s, dir, threshold).select(col("d1"), col("d2")), "doc_id")
 
+  /** Near-dup cluster-size distribution — the first chart of a dedup
+    * report: for each cluster size k, how many clusters and how many
+    * docs sit in them. A heavy tail (large k) is the boilerplate/spam
+    * signature; its mass is exactly the dedup savings. Two keyed
+    * aggregations over the O(clustered-docs) label table — the corpus
+    * itself is only touched by the pair pipeline underneath.
+    */
+  def clusterSizeDist(s: SparkSession, dir: String): DataFrame =
+    neardupClusters(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("k"), col("n_clusters"),
+        (col("k") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("k"))
+
   /** Retention manifest — the decision a dedup pipeline actually ships:
     * per language, how many docs survive near-dup clustering when only
     * each cluster's canonical member is kept. Unclustered docs always

@@ -747,6 +747,19 @@ class PipelineOpsSpec extends SparkSpec {
       s"diagonal fraction ${diag / n} not above chance")
   }
 
+  test("cluster sizes: histogram mass equals the clustered-doc count; min size 2") {
+    val rows = Text.clusterSizeDist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, nc, nd) =>
+      assert(k >= 2, "a cluster needs at least one pair")
+      assert(nd === k * nc)
+    }
+    val clustered = Text.neardupClusters(spark, sfDir).count()
+    assert(rows.map(_._3).sum === clustered,
+      "histogram mass must equal total clustered docs")
+  }
+
   test("embed retention: totals partition the corpus; drops equal non-canonical clustered vecs") {
     val n = sources.Tables.embeddings(spark, sfDir).count()
     val rows = Vectors.embedRetention(spark, sfDir).collect()
