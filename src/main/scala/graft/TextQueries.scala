@@ -624,7 +624,7 @@ object TextQueries {
     QueryDef("q90_countmin", (s, d) => countMinSketch(s, d), Some(
       s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          |f AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
-         |e AS (SELECT term, cnt, j, ${h60("concat(term, '#', j)")} % 16 AS bkt
+         |e AS (SELECT term, cnt, j, ${h60("concat(term, '#', j)")} % ${operators.Text.CountMinWidth} AS bkt
          |      FROM f CROSS JOIN (VALUES (0),(1),(2),(3)) AS jj(j)),
          |sk AS (SELECT j, bkt, CAST(SUM(cnt) AS BIGINT) AS bsum
          |       FROM e GROUP BY 1, 2)
@@ -691,8 +691,7 @@ object TextQueries {
     // is an order-independent modular sum of per-doc hash60 values over
     // the REDACTED text, so both engines prove byte-identical output.
     QueryDef("q95_lexicon_scrub", (s, d) => lexiconScrub(s, d), Some {
-      val inSet = operators.Text.ScrubLexicon
-        .map(w => s"'$w'").mkString("(", ", ", ")")
+      val inSet = operators.Text.sqlInSet(operators.Text.ScrubLexicon)
       s"""WITH r AS (
          |  SELECT source,
          |    len(list_filter(string_split(text, ' '), w -> w IN $inSet)) AS n_hit,

@@ -358,6 +358,22 @@ object Text {
     */
   val ScrubLexicon: Seq[String] = Seq("customer", "order", "key", "row")
 
+  /** Render a term list as a SQL IN-set usable by both Spark `expr` and
+    * the DuckDB oracle, escaping embedded single quotes — every splice
+    * site must use this so a future lexicon entry like `o'brien` can't
+    * break the generated SQL.
+    */
+  def sqlInSet(ws: Seq[String]): String =
+    ws.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")
+
+  /** Count-min sketch width shared by the batch operator, the q90 oracle
+    * SQL, and [[graft.streaming.TextStreams.streamingCountMin]] — a
+    * single constant so the three can never drift apart (the cell-id
+    * scheme and oracle equality silently break if any one changes
+    * alone).
+    */
+  val CountMinWidth = 16
+
   /** Lexicon scrub — deny-list redaction with an audit trail, the
     * auditable form of PII scrubbing (the synthetic corpus carries no
     * digits/emails, so the deny-list is term-based; the plan is the
@@ -374,7 +390,7 @@ object Text {
     * concatenation (order-independent, overflow-safe under mod 1e9).
     */
   def lexiconScrub(s: SparkSession, dir: String): DataFrame = {
-    val inSet = ScrubLexicon.map(w => s"'$w'").mkString("(", ", ", ")")
+    val inSet = sqlInSet(ScrubLexicon)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         expr(s"size(filter(split(text, ' '), w -> w IN $inSet))")
@@ -1046,7 +1062,8 @@ object Text {
     * aggregation); everything after runs on the vocabulary (×4 hash
     * rows) and the 4·w-cell sketch — both corpus-size-independent.
     */
-  def countMinSketch(s: SparkSession, dir: String, w: Int = 16): DataFrame = {
+  def countMinSketch(s: SparkSession, dir: String): DataFrame = {
+    val w = CountMinWidth
     val freq = Tables.documents(s, dir)
       .select(explode(words).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
@@ -1089,12 +1106,16 @@ object Text {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), md5(col("text").cast(BinaryType)).as("h"))
     val corpus = d.filter(col("source") === "src0")
-    val mTab = corpus.agg((count(lit(1)) * bitsPerKey).cast(LongType).as("m"))
+    // the bit-space size is one scalar — resolve it on the driver (same
+    // single aggregate the broadcast-crossJoin form ran) so an empty
+    // existing corpus fails loudly here instead of `% 0` yielding nulls
+    // in Spark while the DuckDB oracle errors
+    val m = corpus.count() * bitsPerKey
+    require(m > 0, "bloomPrefilter: existing corpus (source=src0) is empty — no bit space to build")
     def positions(df: DataFrame): DataFrame = df
-      .crossJoin(broadcast(mTab))
-      .select(col("doc_id"), col("source"), col("h"), col("m"),
+      .select(col("doc_id"), col("source"), col("h"),
         explode(array((0 until 5).map(lit): _*)).as("i"))
-      .withColumn("pos", hash60(concat(col("h"), lit("#"), col("i"))) % col("m"))
+      .withColumn("pos", hash60(concat(col("h"), lit("#"), col("i"))) % m)
     val bits = positions(corpus).select(col("pos")).distinct()
     val corpusHashes = corpus.select(col("h")).distinct()
     val news = d.filter(col("source") =!= "src0")

@@ -27,8 +27,7 @@ object TextStreams {
     * store un-scrubbed.
     */
   def ingestPipeline(df: DataFrame, delay: String = "10 seconds"): DataFrame = {
-    val inSet = graft.operators.Text.ScrubLexicon
-      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val inSet = graft.operators.Text.sqlInSet(graft.operators.Text.ScrubLexicon)
     val scored = df
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_words", size(col("w")))
@@ -90,9 +89,10 @@ object TextStreams {
   /** `ds` = one row per term occurrence. Cell id = j·w + bucket, the
     * same d=4 salted buckets as the batch q90 sketch.
     */
-  def streamingCountMin(spark: SparkSession, ds: Dataset[String],
-      w: Int = 16): Dataset[(Long, Long)] = {
+  def streamingCountMin(spark: SparkSession,
+      ds: Dataset[String]): Dataset[(Long, Long)] = {
     import spark.implicits._
+    val w = graft.operators.Text.CountMinWidth
     ds.flatMap { term =>
       (0 until 4).map(j => (j.toLong * w + hash60(s"$term#$j") % w, 1L))
     }
