@@ -217,7 +217,12 @@ object Text {
   private[graft] def mhA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % P
   private[graft] def mhB(j: Int): Long = (1103515245L * (j + 101) + 54321L) % P
 
-  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    Materialize.table(s, s"text_pairs_${dir}_$threshold",
+      minhashLshPairsBuild(s, dir, threshold))
+      .orderBy(col("d1"), col("d2"))
+
+  private[graft] def minhashLshPairsBuild(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val sh = shingles(s, dir)
     val shh = sh.withColumn("h", hash60(col("sh")) % P)
     // one pass computes the 8 minhashes AND the shingle-set size
@@ -267,7 +272,6 @@ object Text {
         round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** Near-dup CLUSTERING: connected components over the verified
@@ -280,8 +284,10 @@ object Text {
     * min-label propagation (see its notes for the scale story).
     */
   def neardupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    Graph.connectedComponents(
-      minhashLshPairs(s, dir, threshold).select(col("d1"), col("d2")), "doc_id")
+    Materialize.table(s, s"text_labels_${dir}_$threshold",
+      Graph.connectedComponents(
+        minhashLshPairs(s, dir, threshold).select(col("d1"), col("d2")), "doc_id"))
+      .orderBy(col("doc_id"))
 
   /** Near-dup cluster-size distribution — the first chart of a dedup
     * report: for each cluster size k, how many clusters and how many

@@ -212,7 +212,13 @@ object Vectors {
     * 1−(1−p^bits)^tables is asserted in tests.
     */
   def lshNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
-      tables: Int = 6, bits: Int = 3): DataFrame = {
+      tables: Int = 6, bits: Int = 3): DataFrame =
+    Materialize.table(s, s"vec_pairs_${dir}_${threshold}_${tables}_$bits",
+      lshNearDupBuild(s, dir, threshold, tables, bits))
+      .orderBy(col("id1"), col("id2"))
+
+  private[graft] def lshNearDupBuild(s: SparkSession, dir: String, threshold: Double,
+      tables: Int, bits: Int): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
     val tb = (0 until tables).map { t =>
       val bucket = (0 until bits).map(b => planeBit(t * bits + b, 1L << b)).reduce(_ + _)
@@ -230,7 +236,6 @@ object Vectors {
       .withColumn("cos", round(cosine(dot("e1", "e2"), col("n1"), col("n2")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** Embedding near-dup CLUSTERING: connected components over the
@@ -239,8 +244,10 @@ object Vectors {
     * same retention step as text q67, over the vector modality.
     */
   def embedClusters(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
-    Graph.connectedComponents(
-      lshNearDup(s, dir, threshold).select(col("id1"), col("id2")), "vec_id")
+    Materialize.table(s, s"vec_labels_${dir}_$threshold",
+      Graph.connectedComponents(
+        lshNearDup(s, dir, threshold).select(col("id1"), col("id2")), "vec_id"))
+      .orderBy(col("vec_id"))
 
   /** Per-label embedding retention manifest — the vector twin of the
     * text pipeline's q70: keep each [[embedClusters]] cluster's

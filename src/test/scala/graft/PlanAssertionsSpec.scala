@@ -72,8 +72,14 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("q43/q45 plane projections stay in codegen (no interpreted lambdas)") {
-    Seq("q43_lsh_buckets", "q45_lsh_neardup").foreach { q =>
-      val plan = formatted(q)
+    // q45 is served from the materialized pair table, so assert on the
+    // BUILD pipeline — the plan that actually runs the plane projections.
+    val plans = Seq(
+      "q43_lsh_buckets" -> formatted("q43_lsh_buckets"),
+      "q45_lsh_neardup (build)" -> graft.operators.Vectors
+        .lshNearDupBuild(spark, sfDir, 0.4, 6, 3)
+        .queryExecution.explainString(FormattedMode))
+    plans.foreach { case (q, plan) =>
       assert(plan.contains("float_dot"), s"$q must use float_dot planes")
       assert(!plan.contains("aggregate(sequence"),
         s"$q must not evaluate interpreted per-plane lambdas")
