@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Curation, EventWindows}
+
+/** Curation-extension inventory (q54–q59): permutation dedup, asymmetric
+  * containment, BPE merge mining, interval-join attribution, temperature
+  * sampling, chunk accounting. Oracle SQL mirrors the Spark plans
+  * mechanically under the shared exactness rules (hash60, BIGINT sums,
+  * non-negative integer division).
+  */
+object CurationQueries {
+
+  /** DuckDB spelling of operators.Text.hash60. */
+  private def h60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q54_bow_dedup", (s, d) => Curation.bowDedup(s, d), Some(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_unique_texts,
+        |  COUNT(DISTINCT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')))
+        |    AS n_unique_bags,
+        |  COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))
+        |    AS n_unique_sets,
+        |  COUNT(DISTINCT md5(text))
+        |    - COUNT(DISTINCT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')))
+        |    AS n_shuffled_dups
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q55_containment", (s, d) => Curation.containmentPairs(s, d), Some(
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-2),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_common,
+        |  round(n_common / s1.n_sh, 6) AS c1,
+        |  round(n_common / s2.n_sh, 6) AS c2
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE greatest(round(n_common / s1.n_sh, 6), round(n_common / s2.n_sh, 6)) >= 0.8
+        |ORDER BY d1, d2""".stripMargin)),
+
+    QueryDef("q56_word_bigrams", (s, d) => Curation.wordBigrams(s, d), Some(
+      """SELECT pair, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w)-1),
+        |    i -> concat_ws(' ', w[i], w[i+1]))) AS pair
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2)
+        |GROUP BY pair
+        |ORDER BY n_occ DESC, pair LIMIT 32""".stripMargin)),
+
+    QueryDef("q57_click_attribution", (s, d) => EventWindows.clickAttribution(s, d), Some(
+      """SELECT p.user_id, p.event_id,
+        |  epoch_ms(p.ts) AS purchase_ms,
+        |  COUNT(c.ts) AS n_clicks,
+        |  COALESCE(epoch_ms(MAX(c.ts)), -1) AS last_click_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |    AND c.ts > p.ts - INTERVAL 10 MINUTE
+        |GROUP BY p.user_id, p.event_id, epoch_ms(p.ts)
+        |ORDER BY p.user_id, purchase_ms, p.event_id""".stripMargin)),
+
+    QueryDef("q58_temp_sample", (s, d) => Curation.tempSample(s, d), Some(
+      s"""WITH per_src AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(round(sqrt(COUNT(*)) * 1e6) AS BIGINT) AS w_micro
+         |  FROM documents GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(SUM(w_micro) AS BIGINT) AS total_w,
+         |    CAST(SUM(n_docs) AS BIGINT) AS n_total
+         |  FROM per_src),
+         |rates AS (
+         |  SELECT source, n_docs,
+         |    least(1000000, (w_micro * n_total * 1000000) // (total_w * n_docs))
+         |      AS accept_micro
+         |  FROM per_src, tot)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  MAX(r.accept_micro) AS accept_micro,
+         |  CAST(SUM(CASE WHEN ${h60("concat('smp', d.doc_id)")} % 1000000 < r.accept_micro
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(CAST(SUM(CASE WHEN ${h60("concat('smp', d.doc_id)")} % 1000000 < r.accept_micro
+         |    THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*), 6) AS kept_ratio
+         |FROM documents d JOIN rates r ON d.source = r.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    QueryDef("q59_chunk_manifest", (s, d) => Curation.chunkManifest(s, d), Some(
+      """WITH per_doc AS (
+        |  SELECT source, n_words,
+        |    CASE WHEN n_words <= 64 THEN 1
+        |         ELSE (n_words - 64 + 47) // 48 + 1 END AS n_chunks
+        |  FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |        FROM documents))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+        |  CAST(SUM((n_chunks - 1) * 16) AS BIGINT) AS total_dup_tokens,
+        |  round(CAST(SUM(n_chunks) AS BIGINT) / COUNT(*), 6) AS avg_chunks,
+        |  round(CAST(SUM((n_chunks - 1) * 16) AS BIGINT) / CAST(SUM(n_words) AS BIGINT), 6)
+        |    AS dup_ratio
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin))
+  )
+}

@@ -18,7 +18,7 @@ final case class QueryDef(
 object Registry {
   def all: Seq[QueryDef] = {
     val defs = RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
-      VectorQueries.defs ++ MultimodalQueries.defs
+      VectorQueries.defs ++ MultimodalQueries.defs ++ CurationQueries.defs
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dups.isEmpty,
       s"duplicate query names would silently drop entries: ${dups.mkString(", ")}")

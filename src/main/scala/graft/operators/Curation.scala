@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.operators.Text.hash60
+
+/** Corpus-curation operators beyond the core dedup/similarity set: word
+  * permutation dedup, asymmetric containment, BPE-style merge-candidate
+  * mining, temperature-reweighted source sampling, and RAG chunk
+  * accounting. Like the rest of the text surface these are mandated-
+  * extension operators (SURVEY §7.6), not reference ports — the reference
+  * (mainul098/flink-start) has no text pipeline.
+  *
+  * Cross-engine determinism follows the shared rules: the 60-bit md5
+  * hash [[Text.hash60]], integer accumulation with one terminal division,
+  * and non-negative integer `div` (Spark) == `//` (DuckDB).
+  */
+object Curation {
+
+  private def words = split(col("text"), " ")
+
+  /** Bag-of-words deduplication accounting (q54): docs that are word
+    * PERMUTATIONS of each other collide once word order is canonicalized
+    * by sorting; docs with equal word SETS collide under the stricter
+    * set canonicalization (order + multiplicity erased). Template farms
+    * and shuffle-augmented near-dups are invisible to exact text hashing
+    * (q33) but collapse here.
+    *
+    * Scale: one narrow projection (three 16-byte hashes per doc) into one
+    * hash-partitioned aggregation — same single-shuffle shape as exact
+    * dedup, linear in corpus size. The sort is per-row and bounded by doc
+    * length; nothing explodes.
+    */
+  def bowDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        md5(col("text").cast(BinaryType)).as("text_md5"),
+        md5(concat_ws(" ", array_sort(words)).cast(BinaryType)).as("bag_md5"),
+        md5(concat_ws(" ", array_sort(array_distinct(words))).cast(BinaryType))
+          .as("set_md5"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text_md5")).as("n_unique_texts"),
+        countDistinct(col("bag_md5")).as("n_unique_bags"),
+        countDistinct(col("set_md5")).as("n_unique_sets"),
+        (countDistinct(col("text_md5")) - countDistinct(col("bag_md5")))
+          .as("n_shuffled_dups"))
+      .orderBy(col("lang"))
+
+  /** Asymmetric containment pairs (q55): C(A in B) = |A∩B| / |A| over
+    * word-3-gram shingle sets. Symmetric Jaccard (q34) misses the
+    * sub-document case — a short doc fully quoted inside a long one has
+    * low Jaccard but containment ≈ 1 — which is exactly the
+    * quote/wrapper/expansion duplication a curation pass must catch.
+    * Emits pairs where either direction's containment ≥ `threshold`.
+    *
+    * Scale: shares q34's inverted-index equi-join for the intersection
+    * counts; pair space is bounded by shared-shingle candidates, never
+    * all-pairs. At 100 TB the candidate stage swaps to the banded
+    * MinHash join exactly as q35 does for Jaccard (asymmetric recall
+    * needs more bands at the same threshold because min-wise signatures
+    * estimate Jaccard, which lower-bounds containment).
+    */
+  def containmentPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = Text.shinglesOf(Tables.documents(s, dir))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("d1"), col("sh"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("s1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("s2")), Seq("d2"))
+      .withColumn("c1", round(col("n_common") / col("s1"), 6))
+      .withColumn("c2", round(col("n_common") / col("s2"), 6))
+      .filter(greatest(col("c1"), col("c2")) >= threshold)
+      .select(col("d1"), col("d2"), col("n_common"), col("c1"), col("c2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Top-k adjacent-word pair counts (q56) — the statistic behind the
+    * first merge round of BPE-style tokenizer training: the most frequent
+    * adjacent pair is the next merge. Reports corpus occurrence count and
+    * document frequency per pair; ties broken lexicographically so the
+    * top-k set is a total order (bit-stable across engines).
+    *
+    * Scale: explode to (n_words−1) pair rows per doc, then one
+    * partial-aggregated groupBy and a TakeOrderedAndProject top-k — no
+    * global sort, no join. Real BPE iterates this statistic; each round
+    * is the same single-shuffle plan over the re-tokenized corpus.
+    */
+  def wordBigrams(s: SparkSession, dir: String, k: Int = 32): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(k)
+
+  /** Temperature-reweighted source sampling manifest (q58): resample the
+    * corpus TO the α = 0.5 target mixture p_s ∝ √n_s at (near-)constant
+    * total size — each source's acceptance rate is min(1, p_s·N/n_s), so
+    * tail sources keep everything (capped at 1, no up-sampling) while
+    * head sources thin down until the kept mix approaches p_s. Distinct
+    * from [[Text.sourceMix]] (q66), which reports PROPORTIONAL thinning
+    * (kept fraction = p_s itself, shrinking the corpus by ~|S|×): q58 is
+    * the manifest a mixing pass actually executes when the budget is
+    * "one corpus worth of tokens at the flattened mixture". Per-doc
+    * acceptance is the deterministic hash gate `hash60('smp' ∥ doc_id) %
+    * 1e6 < accept_micro`, so the selected subset is reproducible and
+    * re-runnable — the same contract as q62's hash sampling.
+    *
+    * Exactness: weights are integer micro-units of √n_s (IEEE sqrt is
+    * correctly rounded, so both engines agree bit-for-bit), the
+    * acceptance rate is pure BIGINT arithmetic with one non-negative
+    * `div`, and no float ever crosses an aggregation.
+    *
+    * Scale: the rate table is |sources| rows — broadcast back to the
+    * corpus scan; one aggregation per side, no shuffle of the corpus
+    * beyond its own groupBy.
+    */
+  def tempSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro", round(sqrt(col("n_docs")) * 1e6).cast(LongType))
+    val tot = perSrc.agg(sum(col("w_micro")).as("total_w"),
+      sum(col("n_docs")).as("n_total"))
+    // accept = min(1, p_s·N/n_s) with p_s = w_s/Σw, all in integer micros:
+    // floor((w_micro·N·1e6) / (total_w·n_s)); operands non-negative so
+    // Spark `div` == DuckDB `//`.
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .withColumn("accept_micro", least(lit(1000000L),
+        expr("(w_micro * n_total * 1000000L) div (total_w * n_docs)")))
+      .select(col("source"), col("accept_micro"))
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("kept",
+        (hash60(concat(lit("smp"), col("doc_id"))) % 1000000L < col("accept_micro"))
+          .cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("accept_micro")).as("accept_micro"),
+        sum(col("kept")).cast(LongType).as("n_kept"))
+      .withColumn("kept_ratio", round(col("n_kept") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** RAG / training-window chunk accounting (q59): fixed `win`-word
+    * chunks at stride `stride` (overlap = win−stride). Per source:
+    * how many chunks the corpus shards into, how many tokens the overlap
+    * duplicates, and the duplication ratio — the storage/compute bill of
+    * a chunking policy, computable without materializing a single chunk.
+    * n_chunks = 1 if n ≤ win else ⌈(n−win)/stride⌉+1; duplicated tokens
+    * = (n_chunks−1)·(win−stride). Pure closed-form integer math per doc —
+    * no explode — then one aggregation.
+    */
+  def chunkManifest(s: SparkSession, dir: String, win: Int = 64,
+      stride: Int = 48): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), size(words).cast(LongType).as("n_words"))
+      .withColumn("n_chunks",
+        when(col("n_words") <= win, lit(1L))
+          .otherwise(expr(s"(n_words - $win + $stride - 1) div $stride") + 1L))
+      .withColumn("dup_tokens", (col("n_chunks") - 1L) * (win - stride))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_chunks")).as("total_chunks"),
+        sum(col("dup_tokens")).as("total_dup_tokens"))
+      .withColumn("avg_chunks", round(col("total_chunks") / col("n_docs"), 6))
+      .withColumn("dup_ratio", round(col("total_dup_tokens") / col("total_words"), 6))
+      .orderBy(col("source"))
+}

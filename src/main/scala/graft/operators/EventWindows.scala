@@ -390,4 +390,32 @@ object EventWindows {
         sum(col("m_cents")).cast(LongType).as("sum_cents"))
       .orderBy(col("segment"))
   }
+
+  /** Last-click attribution (q57): for every purchase, the clicks by the
+    * same user in the trailing `minutes` window — count and most recent
+    * click time (−1 when unattributed). The batch form of a
+    * stream-stream interval join: user_id is the equi key (carries the
+    * one shuffle), the time bound is a post-join predicate, so the plan
+    * is a hash join, never a cross join. The streaming twin
+    * (EventStreams.clickAttribution) runs the identical interval-join
+    * condition with watermarks bounding both sides' state — asserted
+    * equivalent on the events table in EventStreamsSpec.
+    */
+  def clickAttribution(s: SparkSession, dir: String, minutes: Int = 10): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr(s"INTERVAL $minutes MINUTES"), "left")
+      .groupBy(col("p_user"), col("p_id"), col("p_ts"))
+      .agg(count(col("c_ts")).as("n_clicks"), max(col("c_ts")).as("last_click"))
+      .select(col("p_user").as("user_id"), col("p_id").as("event_id"),
+        unix_millis(col("p_ts")).as("purchase_ms"), col("n_clicks"),
+        coalesce(unix_millis(col("last_click")), lit(-1L)).as("last_click_ms"))
+      .orderBy(col("user_id"), col("purchase_ms"), col("event_id"))
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.{Curation, EventWindows, Text}
+import graft.sources.Tables
+
+/** Invariant tests for the curation-extension operators (q54–q59); exact
+  * values are covered by the DuckDB oracle gate, so these pin the
+  * semantic properties a refactor could silently break.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("q54 bow dedup: canonicalization only merges — unique counts are monotone") {
+    val rows = Curation.bowDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, texts, bags, sets) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(texts <= n, "distinct texts cannot exceed docs")
+      assert(bags <= texts, "sorting words can only merge classes, never split")
+      assert(sets <= bags, "erasing multiplicity can only merge further")
+      assert(r.getLong(5) === texts - bags)
+    }
+  }
+
+  test("q55 containment: ratios recompute from the shingle sets") {
+    val docs = Tables.documents(spark, sfDir)
+    val sizes = Text.shinglesOf(docs).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Curation.containmentPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty, "sf0.001 corpus has near-dup pairs")
+    rows.foreach { r =>
+      val (d1, d2, common, c1, c2) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(d1 < d2)
+      assert(common <= math.min(sizes(d1), sizes(d2)),
+        "intersection cannot exceed either set")
+      assert(c1 === math.rint(common.toDouble / sizes(d1) * 1e6) / 1e6)
+      assert(c2 === math.rint(common.toDouble / sizes(d2) * 1e6) / 1e6)
+      assert(math.max(c1, c2) >= 0.8)
+    }
+  }
+
+  test("q56 word bigrams: top-k agrees with a brute-force recount") {
+    val brute = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ").sliding(2).collect {
+        case Array(a, b) => s"$a $b"
+      })
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val rows = Curation.wordBigrams(spark, sfDir).collect()
+    assert(rows.length === 32)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)), "must be count-descending")
+    rows.foreach { r =>
+      assert(r.getLong(1) === brute(r.getString(0)))
+      assert(r.getLong(2) <= r.getLong(1), "doc frequency <= occurrence count")
+    }
+  }
+
+  test("q57 click attribution: window bounds hold and -1 marks unattributed") {
+    val rows = EventWindows.clickAttribution(spark, sfDir).collect()
+    val nPurchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong === nPurchases, "left join keeps every purchase")
+    rows.foreach { r =>
+      val (pMs, n, lastMs) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if (n == 0) assert(lastMs === -1L)
+      else {
+        assert(lastMs <= pMs, "attributed click precedes the purchase")
+        assert(lastMs > pMs - 600000L, "attributed click inside the 10 min window")
+      }
+    }
+  }
+
+  test("q57 streaming twin: interval-join pairs match batch on real events") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").cast("string").as("impUser"),
+        col("event_id").cast("string").as("adId"), col("ts").as("impTime"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("string").as("clickUser"), col("ts").as("clickTime"))
+    // batch reference under the identical inclusive interval condition
+    val expected = clicks.join(purchases,
+        expr("""impUser = clickUser AND clickTime >= impTime AND
+                clickTime <= impTime + interval 10 minutes"""))
+      .select(col("adId"), col("clickTime")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+
+    val impS = MemoryStream[(String, String, java.sql.Timestamp)](spark)
+    val purS = MemoryStream[(String, java.sql.Timestamp)](spark)
+    val q = streaming.EventStreams.clickAttribution(
+      impS.toDF().toDF("impUser", "adId", "impTime"),
+      purS.toDF().toDF("clickUser", "clickTime"),
+      delay = "1 minute", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("attr_events")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impS.addData(clicks.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getTimestamp(2))).toSeq)
+      purS.addData(purchases.collect().map(r =>
+        (r.getString(0), r.getTimestamp(1))).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("attr_events").select(col("adId"), col("clickTime"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1))).toSet
+      assert(got === expected,
+        s"streaming pairs diverge from batch: ${got.diff(expected).take(3)} / ${expected.diff(got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("q58 temperature sampling: flattens the source distribution deterministically") {
+    val rows = Curation.tempSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, accept, kept) =>
+      assert(accept <= 1000000L)
+      assert(kept <= nDocs)
+    }
+    // α=0.5 flattening: a strictly larger source never gets a strictly
+    // larger acceptance rate
+    for ((_, n1, a1, _) <- rows; (_, n2, a2, _) <- rows if n1 < n2)
+      assert(a1 >= a2, s"flattening must favor small sources ($n1→$a1 vs $n2→$a2)")
+    // deterministic: a second run returns the identical manifest
+    val again = Curation.tempSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sameElements(again))
+  }
+
+  test("q59 chunk manifest: closed form matches an explicit chunking") {
+    def explicitChunks(n: Long, win: Int, stride: Int): Long =
+      if (n <= win) 1L else Iterator.from(0).map(_.toLong * stride)
+        .takeWhile(start => start + win < n).size + 1L
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n")).collect().map(_.getLong(0))
+    val expectedChunks = perDoc.map(explicitChunks(_, 64, 48)).sum
+    val rows = Curation.chunkManifest(spark, sfDir).collect()
+    assert(rows.map(_.getLong(3)).sum === expectedChunks,
+      "closed-form chunk count must equal the explicit enumeration")
+    rows.foreach { r =>
+      assert(r.getLong(4) === (r.getLong(3) - r.getLong(1)) * 16,
+        "duplicated tokens = (chunks - docs) * overlap")
+    }
+  }
+}

@@ -319,4 +319,41 @@ class PlanAssertionsSpec extends SparkSpec {
     // broadcast query side: same constant-|Q| shape as q40
     assert(plan.contains("BroadcastExchange"))
   }
+
+  test("q54 bow dedup: one aggregation shuffle, no explode") {
+    val plan = formatted("q54_bow_dedup")
+    assert(!plan.contains("Generate"),
+      "canonicalization is per-row array_sort, never an explode")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q55/q57: pair generation is equi-join keyed, never all-pairs") {
+    Seq("q55_containment", "q57_click_attribution").foreach { q =>
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must key its join (shingle / user_id), not cross-join")
+    }
+  }
+
+  test("q56 bigrams: top-k plans as TakeOrderedAndProject with partial aggregation") {
+    val plan = formatted("q56_word_bigrams")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must never be a global sort")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "pair counts must partial-aggregate before the shuffle")
+  }
+
+  test("q58 temperature sampling: rate table broadcasts back to the corpus scan") {
+    val plan = formatted("q58_temp_sample")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row rate table must broadcast; the corpus never re-shuffles")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q59 chunk manifest: closed-form math — no explode, one shuffle") {
+    val plan = formatted("q59_chunk_manifest")
+    assert(!plan.contains("Generate"), "chunk counts are closed-form per row")
+    assert(!plan.contains("Join"), "no join anywhere in the plan")
+  }
 }
