@@ -65,22 +65,13 @@ object Curation {
     * estimate Jaccard, which lower-bounds containment).
     */
   def containmentPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
-    val sh = Text.shinglesOf(Tables.documents(s, dir))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("doc_id").as("d1"), col("sh"))
-      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("s1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("s2")), Seq("d2"))
+      threshold: Double = 0.8): DataFrame =
+    Text.shingleInter(s, dir)
       .withColumn("c1", round(col("n_common") / col("s1"), 6))
       .withColumn("c2", round(col("n_common") / col("s2"), 6))
       .filter(greatest(col("c1"), col("c2")) >= threshold)
       .select(col("d1"), col("d2"), col("n_common"), col("c1"), col("c2"))
       .orderBy(col("d1"), col("d2"))
-  }
 
   /** Top-k adjacent-word pair counts (q56) — the statistic behind the
     * first merge round of BPE-style tokenizer training: the most frequent

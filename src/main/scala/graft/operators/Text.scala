@@ -116,7 +116,30 @@ object Text {
     * 100 TB path; this exact form is the oracle-checkable ground truth.
     */
   def ngramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    ngramJaccardPairsOf(shingles(s, dir), threshold)
+    shingleInter(s, dir)
+      .withColumn("jaccard",
+        round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+
+  /** Shared exact-intersection stage: (d1, d2, n_common, s1, s2) for
+    * every shingle-sharing doc pair, landed once per corpus
+    * ([[Materialize]]) and read by both similarity semantics over it —
+    * symmetric Jaccard (q34) and asymmetric containment (q55). Any
+    * threshold is a post-filter, so one landed table serves all callers.
+    */
+  private[graft] def shingleInter(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"text_inter_$dir", {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.toDF("d1", "sh").hint("SHUFFLE_HASH")
+      val b = sh.toDF("d2", "sh").hint("SHUFFLE_HASH")
+      a.join(b, "sh").filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+        .join(sizes.toDF("d1", "s1"), "d1")
+        .join(sizes.toDF("d2", "s2"), "d2")
+    })
 
   /** Same operator over an arbitrary (doc_id, sh) shingle set.
     *

@@ -21,7 +21,9 @@ object ExplainAudit {
       "q89_rfm", "q90_countmin", "q91_bloom_prefilter",
       "q92_dedup_funnel", "q93_small_qty_revenue",
       "q94_sole_return_supplier", "q95_lexicon_scrub",
-      "q96_dim_stats", "q97_centroid_probe")
+      "q96_dim_stats", "q97_centroid_probe",
+      "q54_bow_dedup", "q55_containment", "q56_word_bigrams",
+      "q57_click_attribution", "q58_temp_sample", "q59_chunk_manifest")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
