@@ -109,6 +109,48 @@ object CurationQueries {
         |  round(CAST(SUM(n_chunks) AS BIGINT) / COUNT(*), 6) AS avg_chunks,
         |  round(CAST(SUM((n_chunks - 1) * 16) AS BIGINT) / CAST(SUM(n_words) AS BIGINT), 6)
         |    AS dup_ratio
-        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin))
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef("q100_bigram_lm", (s, d) => Curation.bigramLogprob(s, d), Some(
+      """WITH pr AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w)-1), i -> concat_ws(' ', w[i], w[i+1]))) AS pair
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2),
+        |uni AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c1 AS (SELECT term, COUNT(*) AS c1 FROM uni GROUP BY term),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM uni),
+        |scores AS (
+        |  SELECT pair,
+        |    CAST(round(-ln((c12 + 1) / (c1.c1 + v.v)) * 1e6) AS BIGINT) AS surprisal_micro
+        |  FROM (SELECT pair, COUNT(*) AS c12 FROM pr GROUP BY pair) bg
+        |  JOIN c1 ON c1.term = string_split(bg.pair, ' ')[1]
+        |  CROSS JOIN v),
+        |dp AS (SELECT doc_id, pair, COUNT(*) AS n FROM pr GROUP BY doc_id, pair)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(n * surprisal_micro) AS BIGINT) AS sum_surprisal_micro,
+        |  CAST(SUM(n * surprisal_micro) AS BIGINT) // CAST(SUM(n) AS BIGINT)
+        |    AS avg_surprisal_micro
+        |FROM dp JOIN scores USING (pair)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q101_dataset_card", (s, d) => Curation.datasetCard(s, d), Some(
+      s"""WITH ${TextQueries.PAIR_CTES},
+         |base AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    COUNT(DISTINCT source) AS n_sources,
+         |    COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dup_docs
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT COUNT(DISTINCT term) AS n_vocab
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+         |ps AS (SELECT COUNT(*) AS n_neardup_pairs FROM pairs),
+         |pd AS (
+         |  SELECT COUNT(DISTINCT d) AS n_neardup_docs
+         |  FROM (SELECT d1 AS d FROM pairs UNION ALL SELECT d2 FROM pairs))
+         |SELECT * FROM base, vocab, ps, pd""".stripMargin))
   )
 }

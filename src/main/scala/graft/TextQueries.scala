@@ -29,11 +29,11 @@ object TextQueries {
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** q67/q70 shared chain: MinHash-LSH verified pairs at 0.5, then the
-    * recursive reachability walk `r` (UNION-distinct termination) whose
-    * per-doc MIN(lab) equals Spark's min-label-propagation fixpoint.
+  /** MinHash-LSH verified pair CTEs ending at `pairs` (threshold 0.5) —
+    * the SQL twin of the landed pair table. Shared by the cluster chain
+    * below and by q101's datasheet counts (CurationQueries).
     */
-  private def CLUSTER_CTES: String = {
+  private[graft] def PAIR_CTES: String = {
     val P = 1073741789L
     val mins = (0 until 8).map(j =>
       s"MIN((${operators.Text.mhA(j)} * h + ${operators.Text.mhB(j)}) % $P) AS mh$j")
@@ -59,14 +59,21 @@ object TextQueries {
        |  JOIN sizes s1 ON s1.doc_id = cand0.d1
        |  JOIN sizes s2 ON s2.doc_id = cand0.d2
        |  WHERE round(COALESCE(n_common, 0)
-       |    / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) >= 0.5),
+       |    / (s1.n_sh + s2.n_sh - COALESCE(n_common, 0)), 6) >= 0.5)""".stripMargin
+  }
+
+  /** q67/q70 shared chain: [[PAIR_CTES]] plus the recursive reachability
+    * walk `r` (UNION-distinct termination) whose per-doc MIN(lab) equals
+    * Spark's min-label-propagation fixpoint.
+    */
+  private def CLUSTER_CTES: String =
+    s"""$PAIR_CTES,
        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
        |        UNION ALL SELECT d2, d1 FROM pairs),
        |r AS (
        |  SELECT a AS doc, a AS lab FROM (SELECT DISTINCT a FROM und)
        |  UNION
        |  SELECT u.b AS doc, r.lab FROM r JOIN und u ON u.a = r.doc)""".stripMargin
-  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q30_lang_stats", (s, d) => langStats(s, d), Some(

@@ -143,6 +143,84 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Bigram language-model quality score (q100): per-doc mean surprisal
+    * of adjacent word pairs under the corpus bigram distribution with
+    * add-1 (Laplace) smoothing — p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V). The
+    * step up from the unigram signal (q61): word-salad whose unigrams
+    * are all common still scores high surprisal here, which is exactly
+    * the gibberish/perplexity filter a curation pass wants. Docs with a
+    * single word have no bigrams and are excluded by definition.
+    *
+    * Determinism: the probability is an exact int-ratio double, one
+    * ln() rounds to integer micro-nats per DISTINCT bigram (same
+    * contract as q61), and everything after is 64-bit integer sums and
+    * one floor division.
+    *
+    * Scale: bigram scores are keyed by the pair string and joined back
+    * by hash equi-join — the score table is O(distinct bigrams), too big
+    * to broadcast at 100 TB, and the linear pair-keyed shuffle IS the
+    * honest cost of an exact bigram LM. Per-doc pair instances collapse
+    * to (doc, pair, n) counts before the join, so the join input is
+    * distinct doc-pairs, not token instances.
+    */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = docs
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("pair"))
+    val terms = docs.select(explode(words).as("term"))
+    val uni = terms.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val vocab = terms.agg(countDistinct(col("term")).as("v"))
+    val scores = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("pair"),
+        round(-log((col("c12") + 1) / (col("c1") + col("v"))) * 1e6)
+          .cast(LongType).as("surprisal_micro"))
+    pairs.groupBy(col("doc_id"), col("pair")).agg(count(lit(1)).as("n"))
+      .join(scores, Seq("pair"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_pairs"),
+        sum(col("n") * col("surprisal_micro")).as("sum_surprisal_micro"))
+      .withColumn("avg_surprisal_micro",
+        expr("sum_surprisal_micro div n_pairs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One-row corpus datasheet (q101) — the "datasheet for datasets"
+    * header block every curation report opens with: volume (docs,
+    * tokens, chars), diversity (languages, sources, vocabulary), and
+    * duplication (exact-dup docs, verified near-dup pairs at 0.5, docs
+    * in near-dup clusters). Composes the landed near-dup pair table
+    * ([[Text.minhashLshPairs]]) rather than re-deriving it — the whole
+    * point of the materialized stage graph.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words)).cast(LongType).as("n_tokens"),
+      sum(col("n_chars")).cast(LongType).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      (count(lit(1)) - countDistinct(md5(col("text").cast(BinaryType))))
+        .as("n_exact_dup_docs"))
+    val vocab = docs.select(explode(words).as("t"))
+      .agg(countDistinct(col("t")).as("n_vocab"))
+    val pairs = Text.minhashLshPairs(s, dir, 0.5)
+    val pairStats = pairs.agg(count(lit(1)).as("n_neardup_pairs"))
+    val docsInPairs = pairs.select(col("d1").as("d"))
+      .union(pairs.select(col("d2").as("d")))
+      .agg(countDistinct(col("d")).as("n_neardup_docs"))
+    base.crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(pairStats))
+      .crossJoin(broadcast(docsInPairs))
+  }
+
   /** RAG / training-window chunk accounting (q59): fixed `win`-word
     * chunks at stride `stride` (overlap = win−stride). Per source:
     * how many chunks the corpus shards into, how many tokens the overlap

@@ -127,6 +127,41 @@ class CurationSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("q100 bigram LM: micro-nat surprisal matches a brute-force recount") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val uni = texts.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val v = uni.size.toLong
+    val bi = texts.values.flatMap(_.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    def microNats(pair: String): Long = {
+      val c1 = uni(pair.split(" ").head)
+      BigDecimal(-math.log((bi(pair) + 1).toDouble / (c1 + v)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val rows = Curation.bigramLogprob(spark, sfDir).collect()
+    assert(rows.length === texts.count(_._2.size >= 2))
+    rows.foreach { r =>
+      val pairs = texts(r.getLong(0)).sliding(2).map(_.mkString(" ")).toSeq
+      assert(r.getLong(1) === pairs.size.toLong)
+      val sum = pairs.map(microNats).sum
+      assert(r.getLong(2) === sum, s"doc ${r.getLong(0)} surprisal sum")
+      assert(r.getLong(3) === sum / pairs.size)
+    }
+  }
+
+  test("q101 dataset card: fields agree with the queries they summarize") {
+    val card = Curation.datasetCard(spark, sfDir).collect().head
+    val docs = Tables.documents(spark, sfDir)
+    assert(card.getLong(0) === docs.count())
+    val dedup = SparkEntry.queries("q33_exact_dedup")(spark, sfDir).collect()
+    assert(card.getLong(5) === dedup.map(_.getLong(3)).sum,
+      "exact-dup docs must equal the q33 per-language sum")
+    val pairs = Text.minhashLshPairs(spark, sfDir, 0.5)
+    assert(card.getLong(7) === pairs.count(),
+      "near-dup pair count must equal the q35 pair table")
+  }
+
   test("q59 chunk manifest: closed form matches an explicit chunking") {
     def explicitChunks(n: Long, win: Int, stride: Int): Long =
       if (n <= win) 1L else Iterator.from(0).map(_.toLong * stride)

@@ -356,4 +356,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), "chunk counts are closed-form per row")
     assert(!plan.contains("Join"), "no join anywhere in the plan")
   }
+
+  test("q100 bigram LM: score join is keyed; only the 1-row V scalar may nested-loop") {
+    val plan = formatted("q100_bigram_lm")
+    assert(!plan.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(bnlj.forall(l => !l.contains("<") && !l.contains("=")),
+      s"only the unconditioned scalar V join may nested-loop: $bnlj")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "bigram and per-doc aggregations must both partial-aggregate")
+  }
+
+  test("q101 dataset card: composes the LANDED near-dup pair table, not the pipeline") {
+    val plan = formatted("q101_dataset_card")
+    assert(plan.contains("graft_mat"),
+      "pair counts must read the materialized stage written by q35")
+    assert(!plan.contains("minhash") && !plan.contains("Window"),
+      "no signature re-derivation inside the datasheet query")
+  }
 }
