@@ -375,8 +375,12 @@ object Vectors {
     * (order-free), and ranking orders by the exact DECIMAL with id
     * tiebreak before the final double rounding.
     */
-  def pqSearch(s: SparkSession, dir: String, k: Int = 3, subspaces: Int = 4,
-               nCentroids: Int = 8): DataFrame = {
+  /** (qid, neighbor_id, adc_dec): every in-cell candidate's DECIMAL ADC
+    * score — the stage [[pqSearch]] ranks directly and [[pqRerank]] uses
+    * as its shortlist generator.
+    */
+  private def adcScores(s: SparkSession, dir: String, subspaces: Int,
+                        nCentroids: Int): DataFrame = {
     val assign = ivfAssignments(s, dir).select(col("vec_id"), col("cid"))
     val q = assign.filter(col("vec_id").isin(KnnQueryIds: _*))
       .select(col("vec_id").as("qid"), col("cid"))
@@ -388,16 +392,59 @@ object Vectors {
       .select(col("vec_id").as("qid"), col("s"), col("c"), col("d2"))
     val codes = pqCodes(s, dir, subspaces, nCentroids)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("c"))
-    val adc = cand.join(codes, Seq("neighbor_id"))
+    cand.join(codes, Seq("neighbor_id"))
       .join(broadcast(lut), Seq("qid", "s", "c"))
       .groupBy(col("qid"), col("neighbor_id"))
       .agg(sum(round(col("d2"), 6).cast(DecimalType(18, 6))).as("adc_dec"))
+  }
+
+  def pqSearch(s: SparkSession, dir: String, k: Int = 3, subspaces: Int = 4,
+               nCentroids: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dec"), col("neighbor_id"))
-    adc.withColumn("rnk", row_number().over(w).cast(LongType))
+    adcScores(s, dir, subspaces, nCentroids)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("neighbor_id"),
         round(col("adc_dec").cast(DoubleType), 6).as("adc"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Two-stage retrieval — the production vector-store read path: the
+    * compressed index proposes, the raw floats decide. Stage 1 ranks
+    * in-cell candidates by PQ-ADC ([[adcScores]]) and keeps a shortlist
+    * of `shortlist` ids per query; stage 2 fetches raw embeddings for
+    * ONLY those |Q|·shortlist pairs and re-ranks by exact cosine.
+    *
+    * Shape at 100 TB: stage 1 never touches raw floats (codes only);
+    * stage 2's raw-vector fetch is a semi-join of the corpus against a
+    * constant-size id set — the expensive exact math runs on
+    * |Q|·shortlist rows regardless of corpus size. Determinism: the
+    * shortlist cut ranks (DECIMAL adc, id); the final rank orders by the
+    * bit-exact [[graft.functions.FloatDot]] cosine with id tiebreak.
+    */
+  def pqRerank(s: SparkSession, dir: String, shortlist: Int = 8, k: Int = 3,
+               subspaces: Int = 4, nCentroids: Int = 8): DataFrame = {
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dec"), col("neighbor_id"))
+    val short = adcScores(s, dir, subspaces, nCentroids)
+      .withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= shortlist)
+      .select(col("qid"), col("neighbor_id"))
+    val base = withNorm(Tables.embeddings(s, dir))
+    val qe = base.filter(col("vec_id").isin(KnnQueryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nsq").as("qn"))
+    val ce = base.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("nsq").as("cn"))
+    val rer = short.join(ce, Seq("neighbor_id")).join(broadcast(qe), Seq("qid"))
+      .withColumn("cos", cosine(dot("qe", "ce"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    rer.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
       .orderBy(col("qid"), col("rnk"))
   }
 

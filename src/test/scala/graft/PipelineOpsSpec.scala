@@ -170,6 +170,27 @@ class PipelineOpsSpec extends SparkSpec {
       "fixture corpus must contain at least one contaminated doc")
   }
 
+  test("two-stage rerank: exact cosines, shortlist ⊆ ADC candidates, no self") {
+    val rer = Vectors.pqRerank(spark, sfDir, shortlist = 8, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = Vectors.knnBrute(spark, sfDir, k = 1000).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(rer.nonEmpty)
+    rer.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length === 3, s"query $q returned ${rs.length} rows")
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+      val coss = rs.sortBy(_._2).map(_._4)
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b },
+        s"query $q rerank cosine not descending: ${coss.toSeq}")
+    }
+    // stage-2 scores must be the EXACT cosine (identical to brute force),
+    // not an approximation — that's the point of the rerank
+    rer.foreach { case (q, _, n, c) =>
+      assert(brute((q, n)) === c,
+        s"rerank cos for ($q,$n) is $c but exact is ${brute((q, n))}")
+    }
+  }
+
   test("IVF-PQ ADC search: k per query, no self, ADC ascending, deterministic") {
     def run() = Vectors.pqSearch(spark, sfDir, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -140,6 +140,17 @@ class PlanAssertionsSpec extends SparkSpec {
       s"N×N nested-loop pair join found: $bnlj")
   }
 
+  test("q102 rerank: query side broadcasts; exact stage stays candidate-bounded") {
+    val plan = formatted("q102_pq_rerank")
+    assert(plan.contains("float_dot"),
+      "stage-2 exact cosine must run the codegen'd float_dot")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the constant-size query/LUT sides must broadcast")
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(bnlj.forall(l => !l.contains("<")),
+      s"N×N nested-loop pair join found: $bnlj")
+  }
+
   test("q75 k-means: assignment runs codegen long_l2 against broadcast centroids") {
     val plan = formatted("q75_kmeans_train")
     assert(plan.contains("long_l2"),
