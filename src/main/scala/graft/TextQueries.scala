@@ -569,6 +569,32 @@ object TextQueries {
          |  COUNT(DISTINCT text_md5) AS n_distinct
          |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // q103: cluster-aware leakage-safe split — every doc inherits its
+    // q67 cluster representative's content-hash bucket, so near-dup
+    // groups never straddle splits; n_moved counts the docs the naive
+    // q79 split would have leaked.
+    QueryDef("q103_cluster_split", (s, d) => clusterSplit(s, d), Some(
+      s"""WITH RECURSIVE $CLUSTER_CTES,
+         |labels AS (SELECT doc, MIN(lab) AS lab FROM r GROUP BY doc),
+         |d AS (SELECT doc_id, ${h60("text")} % 100 AS nb,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |g AS (SELECT d.doc_id, COALESCE(labels.lab, d.doc_id) AS gid, nb, n_tokens
+         |      FROM d LEFT JOIN labels ON labels.doc = d.doc_id),
+         |j AS (SELECT g.gid, g.nb, g.n_tokens, rep.nb AS rep_b
+         |      FROM g JOIN d rep ON rep.doc_id = g.gid)
+         |SELECT CASE WHEN rep_b < 90 THEN 'train' WHEN rep_b < 95 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  COUNT(DISTINCT gid) AS n_groups, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+         |  CAST(SUM(CASE WHEN
+         |      (CASE WHEN nb < 90 THEN 'train' WHEN nb < 95 THEN 'val'
+         |            ELSE 'test' END) !=
+         |      (CASE WHEN rep_b < 90 THEN 'train' WHEN rep_b < 95 THEN 'val'
+         |            ELSE 'test' END)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q80: per-source KL(source ‖ corpus) over the unigram distribution,
     // un-normalized micro-nat sum (the q61 integer-surprisal trick).
     // q86: content-defined chunking dedup accounting — word-boundary

@@ -976,6 +976,42 @@ object Text {
         countDistinct(col("text_md5")).as("n_distinct"))
       .orderBy(col("source"), col("split"))
 
+  /** Cluster-aware (leakage-SAFE) split manifest. [[splitManifest]]'s
+    * content-hash split keeps byte-identical duplicates together but
+    * still leaks NEAR-duplicates across splits (two 0.9-Jaccard docs
+    * hash to different buckets); the eval-hygiene fix is splitting by
+    * near-dup GROUP: every doc inherits its [[neardupClusters]]
+    * representative's bucket, so a whole cluster lands in one split.
+    * Reports per split: groups, docs, tokens, and `n_moved` — docs the
+    * naive content-hash split would have placed elsewhere, i.e. exactly
+    * the leakage surface q79 cannot see.
+    *
+    * Shape at scale: the label table is O(clustered docs); a singleton's
+    * group is itself, so its representative lookup is the row it already
+    * holds; the rep-bucket join shuffles on doc_id and the probe side is
+    * prunable to representatives. One final 3-row aggregation.
+    */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(b: Column): Column =
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), (hash60(col("text")) % 100L).as("nb"),
+        size(words).cast(LongType).as("n_tokens"))
+    val labels = neardupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val g = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("gid", coalesce(col("cluster_id"), col("doc_id")))
+    val rep = docs.select(col("doc_id").as("gid"), col("nb").as("rep_b"))
+    g.join(rep, Seq("gid"))
+      .withColumn("split", splitOf(col("rep_b")))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("gid")).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("tok_total"),
+        sum(when(splitOf(col("nb")) =!= col("split"), 1L).otherwise(0L))
+          .cast(LongType).as("n_moved"))
+      .orderBy(col("split"))
+  }
+
   /** Per-source distribution shift: KL(source ‖ corpus) over the unigram
     * term distribution — the drift detector a data pipeline runs when a
     * new crawl snapshot lands. Micro-nat surprisals (the q61 trick: the

@@ -170,6 +170,29 @@ class PipelineOpsSpec extends SparkSpec {
       "fixture corpus must contain at least one contaminated doc")
   }
 
+  test("cluster-aware split: partitions the corpus; n_moved is the exact leak count") {
+    val out = Text.clusterSplit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(out.map(_._3).sum === docs.count(), "splits must partition the corpus")
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    def splitOf(b: Long) = if (b < 90) "train" else if (b < 95) "val" else "test"
+    val nb = docs.select(col("doc_id"), (Text.hash60(col("text")) % 100L).as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val labels = Text.neardupClusters(spark, sfDir)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force the leak surface: clustered docs whose own content
+    // bucket disagrees with their representative's
+    val moved = labels.count { case (d, cid) => splitOf(nb(d)) != splitOf(nb(cid)) }
+    assert(moved > 0, "fixture corpus must contain a would-leak near-dup pair")
+    assert(out.map(_._5).sum === moved,
+      s"n_moved ${out.map(_._5).sum} != brute-force leak count $moved")
+    // group accounting: singletons + clusters
+    val nGroups = docs.count() - labels.length + labels.map(_._2).distinct.length
+    assert(out.map(_._2).sum === nGroups)
+  }
+
   test("two-stage rerank: exact cosines, shortlist ⊆ ADC candidates, no self") {
     val rer = Vectors.pqRerank(spark, sfDir, shortlist = 8, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
