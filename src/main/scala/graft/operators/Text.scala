@@ -240,6 +240,45 @@ object Text {
   private[graft] def mhA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % P
   private[graft] def mhB(j: Int): Long = (1103515245L * (j + 101) + 54321L) % P
 
+  /** Per-row minhash band signatures — the SAME 8 seeded minhashes and
+    * 4×2 banding as [[minhashLshPairsBuild]], but computed with array
+    * expressions over the in-row shingle set instead of an
+    * explode + groupBy, so a STREAMING row can carry its band keys with
+    * no stateful aggregation. `hs` must hold the seeded-hash inputs
+    * ([[shingleHashes]]); docs under 3 words get an empty `hs`, a
+    * null minhash and an empty signature — which matches no corpus
+    * band, exactly like the batch pipeline where they emit no shingle
+    * rows.
+    */
+  private[graft] val shingleHashes: Column =
+    expr(s"""CASE WHEN size(w) >= 3 THEN transform(
+      array_distinct(transform(sequence(0, size(w)-3),
+        i -> concat_ws(' ', slice(w, i+1, 3)))),
+      sh -> CAST(conv(substring(md5(CAST(sh AS BINARY)), 1, 15), 16, 10)
+             AS BIGINT) % ${P}L)
+    ELSE array() END""")
+
+  private[graft] def bandSigCol(bnd: Int): Column = {
+    def mh(j: Int): String =
+      s"array_min(transform(hs, h -> (${mhA(j)}L * h + ${mhB(j)}L) % ${P}L))"
+    expr(s"concat_ws('_', ${mh(2 * bnd)}, ${mh(2 * bnd + 1)})")
+  }
+
+  /** Static (band, sig) index over a corpus — the right-hand side of the
+    * streaming near-dup gate's anti-joins. O(4·docs) rows, distinct.
+    */
+  private[graft] def bandIndexOf(docs: DataFrame): DataFrame = {
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"), bandSigCol(b).as("sig"))
+    }
+    docs.select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("hs", shingleHashes)
+      .select(explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .distinct()
+  }
+
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     Materialize.table(s, s"text_pairs_${dir}_$threshold",
       minhashLshPairsBuild(s, dir, threshold))

@@ -48,6 +48,40 @@ object TextStreams {
         call_function("min_gram_hash60", col("red")).as("fingerprint"))
   }
 
+  /** Stream-static NEAR-DUP GATE — the streaming twin of batch q63
+    * (incremental dedup vs an existing corpus): each arriving doc is
+    * admitted only if it is (a) not byte-identical to any corpus doc
+    * (anti-join on the content hash) and (b) not a MinHash-LSH
+    * candidate against the corpus band index (one anti-join per band
+    * key, the same 8-hash 4×2 banding as batch q35). Both layers are
+    * STATELESS stream-static anti-joins — no state store at all, so
+    * state never grows with the corpus; the static side is the
+    * O(4·docs) band index, not the corpus text, and each doc's band
+    * keys are per-row array expressions (no streaming aggregation).
+    *
+    * Conservative by construction: a band collision drops the doc
+    * without exact verification — precision traded for a stateless
+    * plan (batch q63's fingerprint layer makes the same trade); docs
+    * under 3 words have no bands and always pass the LSH layer.
+    */
+  def nearDupGate(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.operators.Text
+    val bandIdx = Text.bandIndexOf(corpus)
+    val hashes = corpus
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val withSig = stream
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("hs", Text.shingleHashes)
+    val afterExact = withSig.join(hashes, Seq("h"), "left_anti")
+    (0 until 4).foldLeft(afterExact) { (df, b) =>
+      df.withColumn("sig", Text.bandSigCol(b))
+        .join(bandIdx.filter(col("band") === b).select(col("sig")),
+          Seq("sig"), "left_anti")
+        .drop("sig")
+    }.select(col("doc_id"), col("eventTime"))
+  }
+
   /** The q90 count-min sketch maintained INCREMENTALLY over a term
     * stream: each sketch cell (hash row j × bucket) is one
     * `transformWithState` key holding its running sum, so the sketch

@@ -25,6 +25,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static near-dup gate: exact dups and LSH candidates dropped, stateless") {
+    import spark.implicits._
+    val longA = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val longB = (0 until 40).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((100L, longA), (101L, longB)).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, longA, "2025-08-03T13:00:01Z"),             // exact dup -> dropped
+      (2L, longA.replace("alpha39", "changed"),        // near-dup  -> band hit
+        "2025-08-03T13:00:02Z"),
+      (3L, (0 until 40).map(i => s"gamma$i").mkString(" "), // novel -> passes
+        "2025-08-03T13:00:03Z"),
+      (4L, "tiny doc", "2025-08-03T13:00:04Z"))        // <3 words -> passes
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val df = mem.toDF().toDF("doc_id", "text", "timestamp")
+      .withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = TextStreams.nearDupGate(df, corpus)
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(arrivals)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === Set(3L, 4L),
+        "exact dup and near-dup must drop; novel and short docs must pass")
+      // the same plan in batch mode is the semantic oracle
+      val batchDf = arrivals.toDF("doc_id", "text", "timestamp")
+        .withColumn("eventTime", to_timestamp(col("timestamp")))
+      val batch = TextStreams.nearDupGate(batchDf, corpus)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per duplicated key") {
     import spark.implicits._
     val mem = MemoryStream[UserActivity](spark)

@@ -170,6 +170,22 @@ class PipelineOpsSpec extends SparkSpec {
       "fixture corpus must contain at least one contaminated doc")
   }
 
+  test("per-row band signatures match the batch explode/groupBy minhash bands") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val P = 1073741789L
+    val sh = Text.shinglesOf(docs).withColumn("hh", Text.hash60(col("sh")) % P)
+    val mhCols = (0 until 8).map(j =>
+      min((lit(Text.mhA(j)) * col("hh") + lit(Text.mhB(j))) % P).as(s"mh$j"))
+    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val batchBands = mh.select((0 until 4).map(b =>
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"b$b")): _*)
+      .collect().flatMap(r => (0 until 4).map(b => (b, r.getString(b)))).toSet
+    val perRow = Text.bandIndexOf(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(perRow === batchBands,
+      "streaming per-row banding must agree with the batch LSH banding")
+  }
+
   test("cluster-aware split: partitions the corpus; n_moved is the exact leak count") {
     val out = Text.clusterSplit(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
