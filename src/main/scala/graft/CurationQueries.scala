@@ -111,6 +111,38 @@ object CurationQueries {
         |    AS dup_ratio
         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)),
 
+    // q104: cross-modal retention — text-LSH canonicality × embedding-LSH
+    // canonicality × q39 quality, for docs carrying an embedding. The
+    // oracle runs BOTH recursive CC walks in one WITH (the embed chain's
+    // CTE names are prefixed to avoid collisions).
+    QueryDef("q104_crossmodal", (s, d) => Curation.crossmodalRetention(s, d), Some(
+      s"""WITH RECURSIVE ${TextQueries.CLUSTER_CTES},
+         |tlab AS (SELECT doc, MIN(lab) AS lab FROM r GROUP BY doc),
+         |${VectorQueries.EMBED_CLUSTER_CTES("e")},
+         |vlab AS (SELECT node, MIN(lab) AS lab FROM er GROUP BY node),
+         |m AS (
+         |  SELECT d.doc_id, d.lang,
+         |    (len(w) >= 15 AND len(w) <= 90 AND
+         |     round(len(list_filter(w, x -> x IN ('the', 'a'))) / len(w), 6)
+         |       <= 0.12) AS qual_keep
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |        FROM documents) d
+         |  JOIN embeddings emb ON emb.vec_id = d.doc_id),
+         |j AS (
+         |  SELECT m.lang, m.qual_keep,
+         |    COALESCE(tlab.doc = tlab.lab, TRUE) AS text_keep,
+         |    COALESCE(vlab.node = vlab.lab, TRUE) AS sem_keep
+         |  FROM m
+         |  LEFT JOIN tlab ON tlab.doc = m.doc_id
+         |  LEFT JOIN vlab ON vlab.node = m.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN text_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_text_kept,
+         |  CAST(SUM(CASE WHEN sem_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_kept,
+         |  CAST(SUM(CASE WHEN qual_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_qual_kept,
+         |  CAST(SUM(CASE WHEN text_keep AND sem_keep AND qual_keep
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("q100_bigram_lm", (s, d) => Curation.bigramLogprob(s, d), Some(
       """WITH pr AS (
         |  SELECT doc_id, unnest(list_transform(

@@ -66,7 +66,7 @@ object TextQueries {
     * walk `r` (UNION-distinct termination) whose per-doc MIN(lab) equals
     * Spark's min-label-propagation fixpoint.
     */
-  private def CLUSTER_CTES: String =
+  private[graft] def CLUSTER_CTES: String =
     s"""$PAIR_CTES,
        |und AS (SELECT d1 AS a, d2 AS b FROM pairs
        |        UNION ALL SELECT d2, d1 FROM pairs),

@@ -20,7 +20,11 @@ object VectorQueries {
     * whose per-node MIN(lab) equals Spark's min-label-propagation
     * fixpoint (mirrors TextQueries.CLUSTER_CTES for the text graph).
     */
-  private def EMBED_CLUSTER_CTES: String = {
+  /** `p` prefixes every CTE name so this chain can coexist with
+    * TextQueries.CLUSTER_CTES (whose names overlap) in ONE combined
+    * oracle (q104).
+    */
+  private[graft] def EMBED_CLUSTER_CTES(p: String = ""): String = {
     def bit(j: Int, weight: Long): String =
       s"""CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
          |  CAST(embedding[i+1] AS DOUBLE) *
@@ -30,24 +34,25 @@ object VectorQueries {
       val b = (0 until 3).map(k => bit(t * 3 + k, 1L << k)).mkString(" + ")
       s"SELECT vec_id, $t AS t, $b AS b FROM embeddings"
     }.mkString("\nUNION ALL\n")
-    s"""base AS (
+    s"""${p}base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
-       |buckets AS (
+       |${p}buckets AS (
        |$tableBuckets),
-       |cand AS (
+       |${p}cand AS (
        |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-       |  FROM buckets x JOIN buckets y
+       |  FROM ${p}buckets x JOIN ${p}buckets y
        |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-       |pairs AS (
+       |${p}pairs AS (
        |  SELECT id1, id2
-       |  FROM cand JOIN base a ON a.vec_id = id1 JOIN base b ON b.vec_id = id2
+       |  FROM ${p}cand JOIN ${p}base a ON a.vec_id = id1
+       |  JOIN ${p}base b ON b.vec_id = id2
        |  WHERE round(list_dot_product(a.e, b.e) / sqrt(a.nsq * b.nsq), 6) >= 0.4),
-       |und AS (SELECT id1 AS a, id2 AS b FROM pairs
-       |        UNION ALL SELECT id2, id1 FROM pairs),
-       |r AS (
-       |  SELECT a AS node, a AS lab FROM (SELECT DISTINCT a FROM und)
+       |${p}und AS (SELECT id1 AS a, id2 AS b FROM ${p}pairs
+       |        UNION ALL SELECT id2, id1 FROM ${p}pairs),
+       |${p}r AS (
+       |  SELECT a AS node, a AS lab FROM (SELECT DISTINCT a FROM ${p}und)
        |  UNION
-       |  SELECT u.b AS node, r.lab FROM r JOIN und u ON u.a = r.node)""".stripMargin
+       |  SELECT u.b AS node, rr.lab FROM ${p}r rr JOIN ${p}und u ON u.a = rr.node)""".stripMargin
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -155,7 +160,7 @@ object VectorQueries {
     // oracle reuses the q45 CTEs and walks the graph with a recursive
     // CTE; min-reachable-vec_id is an engine-independent fixpoint.
     QueryDef("q69_embed_clusters", (s, d) => embedClusters(s, d), Some(
-      s"""WITH RECURSIVE $EMBED_CLUSTER_CTES
+      s"""WITH RECURSIVE ${EMBED_CLUSTER_CTES()}
          |SELECT node AS vec_id, MIN(lab) AS cluster_id,
          |  node = MIN(lab) AS is_canonical
          |FROM r GROUP BY node ORDER BY vec_id""".stripMargin)),
@@ -164,7 +169,7 @@ object VectorQueries {
     // q70: keep each q69 cluster's canonical member, unclustered
     // vectors always survive.
     QueryDef("q98_embed_retention", (s, d) => embedRetention(s, d), Some(
-      s"""WITH RECURSIVE $EMBED_CLUSTER_CTES,
+      s"""WITH RECURSIVE ${EMBED_CLUSTER_CTES()},
          |labs AS (SELECT node, MIN(lab) AS lab FROM r GROUP BY node)
          |SELECT e.label, COUNT(*) AS n_vecs,
          |  CAST(SUM(CASE WHEN labs.node IS NULL OR labs.node = labs.lab

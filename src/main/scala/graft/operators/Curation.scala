@@ -246,4 +246,47 @@ object Curation {
       .withColumn("avg_chunks", round(col("total_chunks") / col("n_docs"), 6))
       .withColumn("dup_ratio", round(col("total_dup_tokens") / col("total_words"), 6))
       .orderBy(col("source"))
+
+  /** Cross-modal retention (q104): for docs that carry an embedding
+    * (doc_id = vec_id), combine the THREE independent curation signals a
+    * production pipeline votes with — text near-dup canonicality
+    * ([[Text.neardupClusters]], MinHash-LSH CC), semantic near-dup
+    * canonicality ([[Vectors.embedClusters]], embedding-LSH CC — the
+    * SemDeDup-style signal that catches paraphrases text shingles
+    * miss), and the q39 heuristic quality gate — and report per
+    * language how each signal and their conjunction cut the corpus.
+    *
+    * Shape at scale: both label tables are landed O(clustered-id)
+    * stages shared with q67/q69 (built once per session, read here);
+    * the quality flags are per-row expressions; the joins key on
+    * doc_id — one shuffle each, no corpus-sized intermediate.
+    */
+  def crossmodalRetention(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", words)
+      .withColumn("n_words", size(col("w")))
+      .withColumn("stop_ratio",
+        round(size(expr("filter(w, x -> x IN ('the', 'a'))")) / col("n_words"), 6))
+      .select(col("doc_id"), col("lang"),
+        (col("n_words") >= 15 && col("n_words") <= 90 &&
+          col("stop_ratio") <= 0.12).as("qual_keep"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"))
+    val textLab = Text.neardupClusters(s, dir)
+      .select(col("doc_id"), col("is_canonical").as("t_can"))
+    val vecLab = Vectors.embedClusters(s, dir)
+      .select(col("vec_id"), col("is_canonical").as("v_can"))
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .join(textLab, Seq("doc_id"), "left")
+      .join(vecLab, Seq("vec_id"), "left")
+      .withColumn("text_keep", coalesce(col("t_can"), lit(true)))
+      .withColumn("sem_keep", coalesce(col("v_can"), lit(true)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("text_keep").cast(LongType)).as("n_text_kept"),
+        sum(col("sem_keep").cast(LongType)).as("n_sem_kept"),
+        sum(col("qual_keep").cast(LongType)).as("n_qual_kept"),
+        sum((col("text_keep") && col("sem_keep") && col("qual_keep"))
+          .cast(LongType)).as("n_final"))
+      .orderBy(col("lang"))
+  }
 }

@@ -127,6 +127,24 @@ class CurationSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("q104 cross-modal retention: conjunction bounds and full coverage") {
+    val out = Curation.crossmodalRetention(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val withEmb = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(Tables.embeddings(spark, sfDir),
+        col("doc_id") === col("vec_id")).count()
+    assert(out.map(_._2).sum === withEmb,
+      "every doc carrying an embedding must be accounted")
+    out.foreach { case (lang, n, t, sm, q, f) =>
+      assert(t <= n && sm <= n && q <= n, s"$lang: kept counts exceed n_docs")
+      assert(f <= math.min(t, math.min(sm, q)),
+        s"$lang: conjunction must not exceed any single signal")
+    }
+    // non-vacuous: at least one signal actually cuts something somewhere
+    assert(out.exists { case (_, n, t, sm, q, _) => t < n || sm < n || q < n })
+  }
+
   test("q100 bigram LM: micro-nat surprisal matches a brute-force recount") {
     val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
