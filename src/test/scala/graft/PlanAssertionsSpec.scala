@@ -151,6 +151,15 @@ class PlanAssertionsSpec extends SparkSpec {
       s"N×N nested-loop pair join found: $bnlj")
   }
 
+  test("q103/q104 retention composites: hash joins only, no pair blowup") {
+    Seq("q103_cluster_split", "q104_crossmodal").foreach { q =>
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay on equi-joins over the landed label tables")
+    }
+  }
+
   test("q75 k-means: assignment runs codegen long_l2 against broadcast centroids") {
     val plan = formatted("q75_kmeans_train")
     assert(plan.contains("long_l2"),
