@@ -217,12 +217,30 @@ object Vectors {
       lshNearDupBuild(s, dir, threshold, tables, bits))
       .orderBy(col("id1"), col("id2"))
 
+  /** Table-`t` bucket key (bits-wide sign pattern) — per-row codegen
+    * expressions, so a STREAMING row carries its bucket keys directly.
+    */
+  private[graft] def bucketCol(t: Int, bits: Int): Column =
+    (0 until bits).map(b => planeBit(t * bits + b, 1L << b)).reduce(_ + _)
+
+  /** Static (t, b) bucket index over a corpus — the right-hand side of
+    * the streaming semantic near-dup gate's anti-joins. O(tables·vecs)
+    * rows before distinct, O(tables·2^bits) after.
+    */
+  private[graft] def bucketIndexOf(vecs: DataFrame, tables: Int = 6,
+      bits: Int = 3): DataFrame = {
+    val tb = (0 until tables).map(t =>
+      struct(lit(t).as("t"), bucketCol(t, bits).as("b")))
+    vecs.select(explode(array(tb: _*)).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.b").as("b"))
+      .distinct()
+  }
+
   private[graft] def lshNearDupBuild(s: SparkSession, dir: String, threshold: Double,
       tables: Int, bits: Int): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
     val tb = (0 until tables).map { t =>
-      val bucket = (0 until bits).map(b => planeBit(t * bits + b, 1L << b)).reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("b"))
+      struct(lit(t).as("t"), bucketCol(t, bits).as("b"))
     }
     val buckets = base.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{EventStreams, TextStreams}
+import graft.streaming.{EventStreams, TextStreams, VectorStreams}
 
 /** The driver `events` table through Structured Streaming: same plans,
   * same final answers as the batch/oracle path; streaming dedup keeps one
@@ -54,6 +54,37 @@ class EventStreamsSpec extends SparkSpec {
       val batchDf = arrivals.toDF("doc_id", "text", "timestamp")
         .withColumn("eventTime", to_timestamp(col("timestamp")))
       val batch = TextStreams.nearDupGate(batchDf, corpus)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stream-static semantic gate: bucket collisions drop, negation passes") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val near = base.clone(); near(1) = 0.001f
+    val neg = base.map(x => -x)
+    val corpus = Seq((100L, base.toSeq)).toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      (1L, base.toSeq, "2025-08-03T13:00:01Z"), // identical -> every bucket shared
+      (2L, near.toSeq, "2025-08-03T13:00:02Z"), // near-dup  -> same sign pattern
+      (3L, neg.toSeq, "2025-08-03T13:00:03Z"))  // negation  -> complement buckets, passes
+    val mem = MemoryStream[(Long, Seq[Float], String)](spark)
+    val df = mem.toDF().toDF("vec_id", "embedding", "timestamp")
+      .withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = VectorStreams.nearDupGate(df, corpus)
+      .writeStream.format("memory").queryName("vgate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(arrivals)
+      q.processAllAvailable()
+      val streamed = spark.table("vgate_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === Set(3L))
+      // the same plan in batch mode is the semantic oracle
+      val batchDf = arrivals.toDF("vec_id", "embedding", "timestamp")
+        .withColumn("eventTime", to_timestamp(col("timestamp")))
+      val batch = VectorStreams.nearDupGate(batchDf, corpus)
         .collect().map(_.getLong(0)).toSet
       assert(streamed === batch)
     } finally q.stop()
