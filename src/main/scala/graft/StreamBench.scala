@@ -31,9 +31,32 @@ object StreamBench {
     val secs = (System.nanoTime() - t0) / 1e9
     val windows = spark.table("sb").count()
     q.stop()
+
+    // near-dup gate throughput: the q63 split (src0 = existing corpus,
+    // the rest arrive as a stream) through the stateless stream-static
+    // anti-join gate
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    val gateIn = docs.filter(col("source") =!= "src0").count()
+    val arrivals = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(col("source") =!= "src0")
+      .withColumn("eventTime", lit("2025-01-01").cast("timestamp"))
+    val g0 = System.nanoTime()
+    val gq = streaming.TextStreams.nearDupGate(arrivals, corpus)
+      .writeStream.format("memory").queryName("gate")
+      .outputMode(OutputMode.Append).start()
+    gq.processAllAvailable()
+    val gateSecs = (System.nanoTime() - g0) / 1e9
+    val gateOut = spark.table("gate").count()
+    gq.stop()
+
     println(s"""{"metric":"stream_rows_per_sec","value":${totalRows / secs},""" +
       s""""unit":"rows/sec","rows":$totalRows,"wall_sec":$secs,""" +
-      s""""result_windows":$windows,"sf":"$sfDir"}""")
+      s""""result_windows":$windows,""" +
+      s""""gate_rows_per_sec":${gateIn / gateSecs},"gate_in":$gateIn,""" +
+      s""""gate_out":$gateOut,"gate_wall_sec":$gateSecs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
