@@ -184,6 +184,34 @@ object RelationalQueries {
         |  LAG(o_totalprice, 1) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         |FROM orders WHERE o_custkey < 200
-        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // q105: TPC-H Q8 shape — per order-year NATION_0 share of the ASIA
+    // market. Revenue in DECIMAL; the share is exact integer micro-math
+    // (floor to cents on BOTH engines — casts round differently — then
+    // one non-negative integer division).
+    QueryDef("q105_market_share", (s, d) => marketShare(s, d), Some(
+      """WITH mkt AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS rev,
+        |    sn.n_name AS s_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+        |agg AS (
+        |  SELECT o_year, SUM(rev) AS tot_dec,
+        |    SUM(CASE WHEN s_nation = 'NATION_0' THEN rev END) AS nat_dec
+        |  FROM mkt GROUP BY o_year)
+        |SELECT o_year,
+        |  CAST(tot_dec AS DOUBLE) AS total_revenue,
+        |  CAST(nat_dec AS DOUBLE) AS nation_revenue,
+        |  CAST(floor(nat_dec * 100) AS BIGINT) * 1000000
+        |    // CAST(floor(tot_dec * 100) AS BIGINT) AS share_micro
+        |FROM agg ORDER BY o_year""".stripMargin))
   )
 }

@@ -357,4 +357,57 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("n_orders"))
       .orderBy(col("n_orders").desc, col("s_suppkey"))
   }
+
+  /** TPC-H Q8 shape (q105): per order-year, the share of one region's
+    * market revenue supplied by one nation — the national-market-share
+    * plan stress: a 7-relation join where FOUR dimensions must broadcast
+    * (region-filtered customer nations, supplier→nation names, and both
+    * nation copies), the fact side shuffles once on the order key, and
+    * the case-sum ratio folds into a single aggregation.
+    *
+    * Determinism: revenue accumulates in DECIMAL (the q1/q5 money rule);
+    * the share is exact non-negative integer micro-math — both sums
+    * floor to cent units first (floor, not cast: DuckDB's decimal→int
+    * CAST rounds, Spark's truncates), then one `div`. Cent units keep
+    * `nat_c * 1e6` far from Long overflow at bench scale; a 100 TB run
+    * would widen to DECIMAL(38,0) products instead.
+    */
+  def marketShare(s: SparkSession, dir: String, region: String = "ASIA",
+      nation: String = "NATION_0"): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === region)
+    val custInRegion = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey"))), Seq("c_nationkey"))
+      .join(broadcast(r.select(col("r_regionkey").as("n_regionkey"))),
+        Seq("n_regionkey"))
+      .select(col("c_custkey"))
+    val supNat = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("s_nation"))), Seq("s_nationkey"))
+      .select(col("s_suppkey"), col("s_nation"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(custInRegion), o("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNat), li("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev", dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+      .groupBy(col("o_year"))
+      .agg(sum(col("rev")).as("tot_dec"),
+        sum(when(col("s_nation") === nation, col("rev"))).as("nat_dec"))
+      .withColumn("nat_c", floor(col("nat_dec") * 100).cast(LongType))
+      .withColumn("tot_c", floor(col("tot_dec") * 100).cast(LongType))
+      .select(col("o_year"),
+        col("tot_dec").cast(DoubleType).as("total_revenue"),
+        col("nat_dec").cast(DoubleType).as("nation_revenue"),
+        expr("(nat_c * 1000000) div tot_c").as("share_micro"))
+      .orderBy(col("o_year"))
+  }
 }

@@ -160,6 +160,19 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("q105 market share: dimensions broadcast, no pair blowup in the 7-way join") {
+    val plan = formatted("q105_market_share")
+    assert(plan.contains("BroadcastHashJoin"),
+      "region-filtered customers and supplier nations must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // only the lineitem⋈orders fact join may need an exchange-backed join
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(smj + shj <= 1,
+      s"expected at most the fact-fact join to shuffle, got smj=$smj shj=$shj")
+  }
+
   test("q75 k-means: assignment runs codegen long_l2 against broadcast centroids") {
     val plan = formatted("q75_kmeans_train")
     assert(plan.contains("long_l2"),
