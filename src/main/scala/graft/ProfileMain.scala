@@ -46,7 +46,8 @@ object ProfileMain {
       val probes = Seq("q33_exact_dedup", "q36_simhash", "q47_tfidf",
         "q80_source_kl", "q86_cdc_chunks", "q62_hash_sample",
         "q43_lsh_buckets", "q44_ivf_assign", "q81_sq8_error",
-        "q95_lexicon_scrub", "q96_dim_stats", "q97_centroid_probe")
+        "q95_lexicon_scrub", "q96_dim_stats", "q97_centroid_probe",
+        "q102_pq_rerank", "q103_cluster_split", "q104_crossmodal")
       probes.foreach { q =>
         def run(dir: String) = timed(SparkEntry.queries(q)(spark, dir).count())
         run(sfDir); run(out) // warm both paths (codegen + file listing)
