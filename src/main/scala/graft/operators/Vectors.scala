@@ -256,6 +256,47 @@ object Vectors {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** LSH tuning table (q106): measured recall of the multi-table
+    * construction as tables are added — the report a pipeline runs to
+    * CHOOSE its LSH parameters instead of trusting the
+    * 1−(1−p^bits)^tables formula. Every true pair ([[embedNearDup]]'s
+    * exact output at the threshold) is tagged with the FIRST table that
+    * would have caught it (min colliding table index); a cumulative
+    * count per prefix then gives recall at t = 1..tables in one pass —
+    * not `tables` re-runs of the pipeline.
+    *
+    * Shape at scale: the bucket self-join is the q45 candidate join
+    * (equi-join on (t, bucket)); the min-table tag is one aggregation
+    * over candidates; the sweep itself runs on a `tables`-row × true-pair
+    * histogram — constant-size metadata. Recall math is exact integer
+    * micro-units.
+    */
+  def lshRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.4,
+      tables: Int = 6, bits: Int = 3): DataFrame = {
+    val base = withNorm(Tables.embeddings(s, dir))
+    val tb = (0 until tables).map(t =>
+      struct(lit(t).as("t"), bucketCol(t, bits).as("b")))
+    val buckets = base.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val minT = buckets.toDF("id1", "t", "b")
+      .join(buckets.toDF("id2", "t", "b"), Seq("t", "b"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(min(col("t")).as("min_t"))
+    val tagged = embedNearDup(s, dir, threshold).select(col("id1"), col("id2"))
+      .join(minT, Seq("id1", "id2"), "left")
+    val hist = tagged.groupBy(col("min_t")).agg(count(lit(1)).as("c"))
+    val tot = tagged.agg(count(lit(1)).as("n_true"))
+    s.range(1, tables + 1).select(col("id").as("n_tables"))
+      .crossJoin(broadcast(hist))
+      .groupBy(col("n_tables"))
+      .agg(sum(when(col("min_t") < col("n_tables"), col("c"))
+        .otherwise(0L)).as("n_found"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_tables"), col("n_true"), col("n_found"),
+        expr("(n_found * 1000000) div n_true").as("recall_micro"))
+      .orderBy(col("n_tables"))
+  }
+
   /** Embedding near-dup CLUSTERING: connected components over the
     * multi-table LSH pair graph ([[lshNearDup]] at cosine ≥ 0.4) via the
     * shared [[Graph.connectedComponents]] min-label propagation — the

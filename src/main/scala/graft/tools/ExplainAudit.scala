@@ -25,7 +25,8 @@ object ExplainAudit {
       "q54_bow_dedup", "q55_containment", "q56_word_bigrams",
       "q57_click_attribution", "q58_temp_sample", "q59_chunk_manifest",
       "q100_bigram_lm", "q101_dataset_card", "q102_pq_rerank",
-      "q103_cluster_split", "q104_crossmodal", "q105_market_share")
+      "q103_cluster_split", "q104_crossmodal", "q105_market_share",
+      "q106_lsh_recall_sweep")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -209,6 +209,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_._2).sum === nGroups)
   }
 
+  test("LSH recall sweep: monotone, bounded, endpoint equals the q45 pipeline") {
+    val rows = Vectors.lshRecallSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 6L))
+    assert(rows.map(_._2).distinct.length === 1, "n_true is a constant")
+    rows.foreach { case (t, nTrue, nFound, micro) =>
+      assert(nFound <= nTrue, s"t=$t found exceeds truth")
+      assert(micro === nFound * 1000000L / nTrue)
+    }
+    assert(rows.map(_._3).sliding(2).forall(p => p.head <= p.last),
+      "adding tables can only find more pairs")
+    // the 6-table endpoint is exactly what the declared q45 pipeline finds
+    val q45 = Vectors.lshNearDup(spark, sfDir).count()
+    assert(rows.last._3 === q45,
+      s"sweep endpoint ${rows.last._3} != q45 pair count $q45")
+  }
+
   test("two-stage rerank: exact cosines, shortlist ⊆ ADC candidates, no self") {
     val rer = Vectors.pqRerank(spark, sfDir, shortlist = 8, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
