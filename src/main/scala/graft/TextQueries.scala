@@ -569,6 +569,34 @@ object TextQueries {
          |  COUNT(DISTINCT text_md5) AS n_distinct
          |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // q107: MinHash band tuning table — measured recall per band prefix;
+    // every exact q34 pair tagged with the first band that catches it.
+    // PAIR_CTES supplies sh/shh/mh/bands/sizes/inter; its cand0/pairs
+    // CTEs go unreferenced and are pruned.
+    QueryDef("q107_band_recall_sweep", (s, d) => bandRecallSweep(s, d), Some(
+      s"""WITH $PAIR_CTES,
+         |exact AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5),
+         |mt AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, MIN(a.band) AS min_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT exact.d1, exact.d2, mt.min_b
+         |      FROM exact LEFT JOIN mt USING (d1, d2)),
+         |tot AS (SELECT COUNT(*) AS n_true FROM j),
+         |ts AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT) AS n_bands)
+         |SELECT n_bands, n_true,
+         |  CAST(SUM(CASE WHEN j.min_b < ts.n_bands THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_found,
+         |  (CAST(SUM(CASE WHEN j.min_b < ts.n_bands THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // n_true AS recall_micro
+         |FROM ts CROSS JOIN tot CROSS JOIN j
+         |GROUP BY n_bands, n_true ORDER BY n_bands""".stripMargin)),
+
     // q103: cluster-aware leakage-safe split — every doc inherits its
     // q67 cluster representative's content-hash bucket, so near-dup
     // groups never straddle splits; n_moved counts the docs the naive

@@ -284,31 +284,40 @@ object Text {
       minhashLshPairsBuild(s, dir, threshold))
       .orderBy(col("d1"), col("d2"))
 
-  private[graft] def minhashLshPairsBuild(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = shingles(s, dir)
-    val shh = sh.withColumn("h", hash60(col("sh")) % P)
-    // one pass computes the 8 minhashes AND the shingle-set size
+  /** One pass computes the 8 minhashes AND the shingle-set size. The
+    * minhash table feeds THREE consumers in the LSH build (bands, sizes
+    * s1, sizes s2) and the candidate table three more — without
+    * materialization each consumer replays the shingle explode + hash +
+    * aggregate (measured ~0.6 s/pass at sf0.1, the bulk of the
+    * pipeline's cost). One row per doc — never corpus-sized — so the
+    * eager local checkpoint is scale-safe; the corpus-sized shingle
+    * stream itself stays lazy.
+    */
+  private[graft] def minhashAgg(s: SparkSession, dir: String): DataFrame = {
+    val shh = shingles(s, dir).withColumn("h", hash60(col("sh")) % P)
     val mhCols = (0 until 8).map(j =>
       min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j")) :+
       count(lit(1)).as("n_sh")
-    // the minhash table feeds THREE consumers (bands, sizes s1, sizes
-    // s2) and the candidate table three more — without materialization
-    // each consumer replays the shingle explode + hash + aggregate
-    // (measured ~0.6 s/pass at sf0.1, the bulk of the pipeline's cost).
-    // Both tables are one row per doc / per candidate pair — never
-    // corpus-sized — so eager local checkpoints are scale-safe; the
-    // corpus-sized shingle stream itself stays lazy (recomputed once for
-    // the candidate-only verify, not persisted).
-    val mh = shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
       .localCheckpoint(true)
-    // explode, not union: one pass over the minhash aggregate instead of
-    // re-evaluating its subtree once per band
+  }
+
+  /** (doc_id, band, sig) — explode, not union: one pass over the minhash
+    * aggregate instead of re-evaluating its subtree once per band.
+    */
+  private[graft] def mhBands(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws("_", col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("sig"))
     }
-    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  private[graft] def minhashLshPairsBuild(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = shingles(s, dir)
+    val mh = minhashAgg(s, dir)
+    val bands = mhBands(mh)
     val cand = bands.toDF("d1", "band", "sig")
       .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
       .filter(col("d1") < col("d2"))
@@ -334,6 +343,35 @@ object Text {
         round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** MinHash band tuning table (q107) — the text twin of the vector
+    * recall sweep (q106): every true near-dup pair ([[ngramJaccardPairs]]
+    * exact ground truth, read from the landed intersection stage) is
+    * tagged with the FIRST band that catches it; cumulative counts per
+    * band prefix give measured recall at 1..4 bands in one pass. The
+    * report that justifies (or indicts) the 4×2 banding at a given
+    * Jaccard threshold.
+    */
+  def bandRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val bands = mhBands(minhashAgg(s, dir))
+    val minB = bands.toDF("d1", "band", "sig")
+      .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(min(col("band")).as("min_b"))
+    val tagged = ngramJaccardPairs(s, dir, threshold).select(col("d1"), col("d2"))
+      .join(minB, Seq("d1", "d2"), "left")
+    val hist = tagged.groupBy(col("min_b")).agg(count(lit(1)).as("c"))
+    val tot = tagged.agg(count(lit(1)).as("n_true"))
+    s.range(1, 5).select(col("id").as("n_bands"))
+      .crossJoin(broadcast(hist))
+      .groupBy(col("n_bands"))
+      .agg(sum(when(col("min_b") < col("n_bands"), col("c"))
+        .otherwise(0L)).as("n_found"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_bands"), col("n_true"), col("n_found"),
+        expr("(n_found * 1000000) div n_true").as("recall_micro"))
+      .orderBy(col("n_bands"))
   }
 
   /** Near-dup CLUSTERING: connected components over the verified

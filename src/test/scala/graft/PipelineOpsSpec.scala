@@ -227,6 +227,21 @@ class PipelineOpsSpec extends SparkSpec {
       s"sweep endpoint ${rows.last._3} != q45 pair count $q45")
   }
 
+  test("band recall sweep: monotone, bounded, endpoint equals the q35 pipeline") {
+    val sweep = Text.bandRecallSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1).toSeq === (1L to 4L))
+    sweep.foreach { case (b, nTrue, nFound, micro) =>
+      assert(nFound <= nTrue, s"bands=$b found exceeds truth")
+      assert(micro === nFound * 1000000L / nTrue)
+    }
+    assert(sweep.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    val q35 = Text.minhashLshPairs(spark, sfDir).count()
+    assert(sweep.last._3 === q35,
+      s"sweep endpoint ${sweep.last._3} != q35 pair count $q35")
+  }
+
   test("two-stage rerank: exact cosines, shortlist ⊆ ADC candidates, no self") {
     val rer = Vectors.pqRerank(spark, sfDir, shortlist = 8, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
