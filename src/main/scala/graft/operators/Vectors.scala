@@ -104,9 +104,19 @@ object Vectors {
     * as a hash join on (cell, block) keys rather than a single
     * BroadcastNestedLoopJoin. `blocks` sub-salts the join key so
     * parallelism is cells·blocks, not cells.
+    *
+    * The exact pair table lands once per (dir, threshold) via
+    * [[Materialize]] — q42 reads it ordered; the q106 recall sweep reads
+    * it as ground truth.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
-      cells: Int = 8, blocks: Int = 8): DataFrame = {
+      cells: Int = 8, blocks: Int = 8): DataFrame =
+    Materialize.table(s, s"vec_exact_${dir}_${threshold}_${cells}_$blocks",
+      embedNearDupBuild(s, dir, threshold, cells, blocks))
+      .orderBy(col("id1"), col("id2"))
+
+  private[graft] def embedNearDupBuild(s: SparkSession, dir: String, threshold: Double,
+      cells: Int, blocks: Int): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
     // round(cos,6) >= t keeps raw cos >= t - 5e-7; acos is then padded
     // against double rounding — slack only ever ADMITS extra candidates
@@ -162,7 +172,6 @@ object Vectors {
       .withColumn("cos", round(cosine(dot("e1", "e2"), col("n1"), col("n2")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
-      .orderBy(col("id1"), col("id2"))
   }
 
   /** Sign-random-projection LSH: 8 deterministic integer hyperplanes

@@ -40,15 +40,22 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(formatted("q8_top_customers").contains("TakeOrderedAndProject"))
   }
 
+  // q42 is served from the materialized exact-pair table, so both
+  // assertions run on the BUILD pipeline — the plan that actually does
+  // the scoring and pair generation.
+  private def q42BuildPlan: String = graft.operators.Vectors
+    .embedNearDupBuild(spark, sfDir, 0.4, 8, 8)
+    .queryExecution.explainString(FormattedMode)
+
   test("q42 near-dup scoring runs the codegen'd float_dot, not interpreted HOFs") {
-    val plan = formatted("q42_embed_neardup")
+    val plan = q42BuildPlan
     assert(plan.contains("float_dot"))
     assert(!plan.contains("aggregate(zip_with"),
       "hot path must not fall back to higher-order functions")
   }
 
   test("q42: pair generation is an equi-join, never an N×N nested loop") {
-    val plan = formatted("q42_embed_neardup")
+    val plan = q42BuildPlan
     assert(!plan.contains("CartesianProduct"))
     // The only nested-loop joins allowed are the deliberate O(cells)
     // centroid expansions (unconditioned, broadcast side = `vec_id < 8`
