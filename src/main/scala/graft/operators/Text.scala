@@ -354,11 +354,13 @@ object Text {
     * Jaccard threshold.
     */
   def bandRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val bands = mhBands(minhashAgg(s, dir))
-    val minB = bands.toDF("d1", "band", "sig")
-      .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
-      .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(min(col("band")).as("min_b"))
+    val minB = Materialize.table(s, s"text_minband_$dir", {
+      val bands = mhBands(minhashAgg(s, dir))
+      bands.toDF("d1", "band", "sig")
+        .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(min(col("band")).as("min_b"))
+    })
     val tagged = ngramJaccardPairs(s, dir, threshold).select(col("d1"), col("d2"))
       .join(minB, Seq("d1", "d2"), "left")
     val hist = tagged.groupBy(col("min_b")).agg(count(lit(1)).as("c"))

@@ -283,14 +283,16 @@ object Vectors {
   def lshRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.4,
       tables: Int = 6, bits: Int = 3): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
-    val tb = (0 until tables).map(t =>
-      struct(lit(t).as("t"), bucketCol(t, bits).as("b")))
-    val buckets = base.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
-    val minT = buckets.toDF("id1", "t", "b")
-      .join(buckets.toDF("id2", "t", "b"), Seq("t", "b"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(min(col("t")).as("min_t"))
+    val minT = Materialize.table(s, s"vec_mintable_${dir}_${tables}_$bits", {
+      val tb = (0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketCol(t, bits).as("b")))
+      val buckets = base.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      buckets.toDF("id1", "t", "b")
+        .join(buckets.toDF("id2", "t", "b"), Seq("t", "b"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(min(col("t")).as("min_t"))
+    })
     val tagged = embedNearDup(s, dir, threshold).select(col("id1"), col("id2"))
       .join(minT, Seq("id1", "id2"), "left")
     val hist = tagged.groupBy(col("min_t")).agg(count(lit(1)).as("c"))
