@@ -597,6 +597,18 @@ object TextQueries {
          |FROM ts CROSS JOIN tot CROSS JOIN j
          |GROUP BY n_bands, n_true ORDER BY n_bands""".stripMargin)),
 
+    // q108: near-dup graph degree histogram over the verified pair
+    // table — hub mass (template farms) vs chain mass (drift).
+    QueryDef("q108_pair_degrees", (s, d) => pairDegreeHist(s, d), Some(
+      s"""WITH $PAIR_CTES,
+         |deg AS (
+         |  SELECT doc_id, COUNT(*) AS degree FROM (
+         |    SELECT d1 AS doc_id FROM pairs
+         |    UNION ALL SELECT d2 FROM pairs)
+         |  GROUP BY doc_id)
+         |SELECT degree, COUNT(*) AS n_docs
+         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin)),
+
     // q103: cluster-aware leakage-safe split — every doc inherits its
     // q67 cluster representative's content-hash bucket, so near-dup
     // groups never straddle splits; n_moved counts the docs the naive

@@ -376,6 +376,23 @@ object Text {
       .orderBy(col("n_bands"))
   }
 
+  /** Near-dup graph degree histogram (q108): for each degree d (number
+    * of verified near-dup partners), how many docs have it — the
+    * second chart of the dedup report after q99's cluster sizes. A
+    * near-clique hub (template farm) shows as high-degree mass;
+    * chain-like drift shows as degree ~2. Two keyed aggregations over
+    * the landed O(true-pairs) table — the corpus is never touched.
+    */
+  def pairDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir).select(col("d1"), col("d2"))
+    val deg = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the verified
     * MinHash-LSH pair graph, labeling every clustered doc with the
     * smallest doc_id reachable from it — the canonical representative a

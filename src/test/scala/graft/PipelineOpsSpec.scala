@@ -227,6 +227,19 @@ class PipelineOpsSpec extends SparkSpec {
       s"sweep endpoint ${rows.last._3} != q45 pair count $q45")
   }
 
+  test("pair degree histogram: handshake identity against the pair table") {
+    val hist = Text.pairDegreeHist(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = Text.minhashLshPairs(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.nonEmpty && pairs.nonEmpty)
+    assert(hist.map { case (d, n) => d * n }.sum === 2L * pairs.length,
+      "sum of degrees must equal twice the edge count")
+    val docs = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.length
+    assert(hist.map(_._2).sum === docs,
+      "every doc in the pair graph appears exactly once in the histogram")
+  }
+
   test("band recall sweep: monotone, bounded, endpoint equals the q35 pipeline") {
     val sweep = Text.bandRecallSweep(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
