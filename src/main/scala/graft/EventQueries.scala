@@ -198,6 +198,23 @@ object EventQueries {
         |    4 * (n_hours * ss - s * s) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_anomalous
         |FROM h JOIN m USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q109: inter-event gap percentiles per event type — the tuning
+    // table for the q23 session gap and watermark delay. Gap = ms since
+    // the same user's previous event, attributed to the later event.
+    QueryDef("q109_gap_percentiles", (s, d) => gapPercentiles(s, d), Some(
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  round(quantile_cont(gap_ms, 0.5), 6) AS p50_ms,
+        |  round(quantile_cont(gap_ms, 0.9), 6) AS p90_ms,
+        |  round(quantile_cont(gap_ms, 0.99), 6) AS p99_ms,
+        |  CAST(MAX(gap_ms) AS BIGINT) AS max_ms
+        |FROM g WHERE gap_ms IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -418,4 +418,31 @@ object EventWindows {
         coalesce(unix_millis(col("last_click")), lit(-1L)).as("last_click_ms"))
       .orderBy(col("user_id"), col("purchase_ms"), col("event_id"))
   }
+
+  /** Inter-event gap distribution per event type (q109) — the tuning
+    * table for the session-window gap (q23) and the watermark delay: a
+    * session gap should sit between the p90/p99 within-session gap and
+    * the typical between-session gap, and this is the report that shows
+    * where that knee is. Gap = time since the same USER's previous
+    * event (any type), attributed to the later event's type.
+    *
+    * Shape at scale: the lag window partitions by user_id — state is one
+    * previous-row per user per partition, fully parallel (contrast a
+    * global ORDER BY). Exact interpolated percentiles over integer
+    * millisecond gaps match DuckDB's `quantile_cont` at 6 dp.
+    */
+  def gapPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_ms", unix_millis(col("ts")) - unix_millis(col("prev")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_ms, 0.5)"), 6).as("p50_ms"),
+        round(expr("percentile(gap_ms, 0.9)"), 6).as("p90_ms"),
+        round(expr("percentile(gap_ms, 0.99)"), 6).as("p99_ms"),
+        max(col("gap_ms")).as("max_ms"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -76,6 +76,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("gap percentiles: ordered quantiles; totals match a brute-force recount") {
+    val out = operators.EventWindows.gapPercentiles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, n, p50, p90, p99, mx) =>
+      assert(n > 0 && p50 <= p90 && p90 <= p99 && p99 <= mx.toDouble,
+        s"$t: quantiles out of order ($p50, $p90, $p99, $mx)")
+      assert(p50 >= 0, s"$t: negative gap — ordering bug")
+    }
+    // brute-force: every event except each user's first contributes a gap
+    val evs = events
+    val expected = evs.groupBy(_._1).values.map(_.length - 1).sum
+    assert(out.map(_._2).sum === expected,
+      "every non-first event per user must contribute exactly one gap")
+  }
+
   test("hourly anomalies: integer z-test matches the float 2-sigma rule") {
     val rows = EventWindows.hourlyAnomalies(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
