@@ -597,6 +597,26 @@ object TextQueries {
          |FROM ts CROSS JOIN tot CROSS JOIN j
          |GROUP BY n_bands, n_true ORDER BY n_bands""".stripMargin)),
 
+    // q110: dedup threshold sensitivity — pair volume and docs touched
+    // across a Jaccard threshold grid, all post-filters over the same
+    // landed intersection stage.
+    QueryDef("q110_threshold_sensitivity", (s, d) => thresholdSensitivity(s, d), Some(
+      s"""WITH $SHINGLES,
+         |$SIZES,
+         |$INTER,
+         |p AS (
+         |  SELECT d1, d2, round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) AS j
+         |  FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2),
+         |ts AS (SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8] AS DOUBLE[])) AS threshold),
+         |x AS (
+         |  SELECT threshold, u.doc_id
+         |  FROM ts JOIN p ON p.j >= ts.threshold, UNNEST([d1, d2]) AS u(doc_id))
+         |SELECT threshold, COUNT(*) // 2 AS n_pairs,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin)),
+
     // q108: near-dup graph degree histogram over the verified pair
     // table — hub mass (template farms) vs chain mass (drift).
     QueryDef("q108_pair_degrees", (s, d) => pairDegreeHist(s, d), Some(

@@ -376,6 +376,30 @@ object Text {
       .orderBy(col("n_bands"))
   }
 
+  /** Dedup threshold sensitivity (q110): how the near-dup pair volume
+    * and the docs touched move across a Jaccard threshold grid — the
+    * report that justifies a pipeline's chosen threshold (a cliff
+    * between two grid points means the corpus has a near-dup band
+    * there; flat means the choice is safe). All thresholds are
+    * post-filters over the SAME landed intersection stage
+    * ([[shingleInter]]), so the whole grid costs one table scan per
+    * threshold row — the corpus is never re-shingled.
+    */
+  def thresholdSensitivity(s: SparkSession, dir: String): DataFrame = {
+    val inter = shingleInter(s, dir)
+      .withColumn("jaccard",
+        round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
+    val grid = Seq(0.5, 0.6, 0.7, 0.8)
+    val ts = s.createDataFrame(grid.map(Tuple1(_))).toDF("threshold")
+    ts.crossJoin(inter)
+      .filter(col("jaccard") >= col("threshold"))
+      .select(col("threshold"), explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Near-dup graph degree histogram (q108): for each degree d (number
     * of verified near-dup partners), how many docs have it — the
     * second chart of the dedup report after q99's cluster sizes. A

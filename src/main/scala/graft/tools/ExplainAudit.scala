@@ -27,7 +27,8 @@ object ExplainAudit {
       "q100_bigram_lm", "q101_dataset_card", "q102_pq_rerank",
       "q103_cluster_split", "q104_crossmodal", "q105_market_share",
       "q106_lsh_recall_sweep", "q107_band_recall_sweep",
-      "q108_pair_degrees", "q109_gap_percentiles")
+      "q108_pair_degrees", "q109_gap_percentiles",
+      "q110_threshold_sensitivity")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -227,6 +227,17 @@ class PipelineOpsSpec extends SparkSpec {
       s"sweep endpoint ${rows.last._3} != q45 pair count $q45")
   }
 
+  test("threshold sensitivity: monotone shrink; 0.5 row equals the q34 pair count") {
+    val rows = Text.thresholdSensitivity(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0.5, 0.6, 0.7, 0.8))
+    assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      "raising the threshold can only shrink the pair set")
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    val q34 = Text.ngramJaccardPairs(spark, sfDir, 0.5).count()
+    assert(rows.head._2 === q34, s"0.5 row ${rows.head._2} != q34 count $q34")
+  }
+
   test("pair degree histogram: handshake identity against the pair table") {
     val hist = Text.pairDegreeHist(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
