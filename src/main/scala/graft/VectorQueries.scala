@@ -370,6 +370,94 @@ object VectorQueries {
          |SELECT qid, rnk, neighbor_id, round(cos, 6) AS cos
          |FROM ranked2 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin)),
 
+    // q111: ANN quality scoreboard — recall@3 of IVF, PQ-ADC and the
+    // two-stage rerank against brute-force truth. The oracle composes
+    // the q40/q48/q74/q102 chains in one WITH (renamed where needed).
+    QueryDef("q111_ann_scoreboard", (s, d) => annScoreboard(s, d), Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
+         |q0 AS (SELECT vec_id AS qid, e AS qe, nsq AS qn FROM base WHERE vec_id IN $QIDS),
+         |bscored AS (
+         |  SELECT qid, vec_id AS neighbor_id,
+         |    list_dot_product(qe, e) / sqrt(qn * nsq) AS cos
+         |  FROM q0 CROSS JOIN base WHERE vec_id != qid),
+         |bt AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM bscored) WHERE rnk <= 3),
+         |cent0 AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |ascored AS (
+         |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
+         |  FROM base CROSS JOIN cent0),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |    FROM ascored) WHERE rnk = 1),
+         |ext AS (SELECT base.vec_id, e, nsq, cid FROM base JOIN assign USING (vec_id)),
+         |qi AS (SELECT vec_id AS qid, e AS qe, nsq AS qn, cid FROM ext
+         |       WHERE vec_id IN $QIDS),
+         |iscored AS (
+         |  SELECT qid, c.vec_id AS neighbor_id,
+         |    list_dot_product(qe, c.e) / sqrt(qn * c.nsq) AS cos
+         |  FROM qi JOIN ext c USING (cid) WHERE c.vec_id != qid),
+         |it AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM iscored) WHERE rnk <= 3),
+         |sub AS (SELECT vec_id, s, list_slice(e, s*16+1, s*16+16) AS v
+         |        FROM base, UNNEST(generate_series(0, 3)) AS u(s)),
+         |centS AS (SELECT vec_id AS c, s, v AS cv FROM sub WHERE vec_id < 8),
+         |d AS (SELECT sub.vec_id, sub.s, c,
+         |        list_dot_product(cv, cv) + list_dot_product(v, v)
+         |          - 2 * list_dot_product(v, cv) AS d2
+         |      FROM sub JOIN centS ON sub.s = centS.s),
+         |code AS (SELECT vec_id, s, c FROM (
+         |  SELECT vec_id, s, c,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
+         |  FROM d) WHERE rk = 1),
+         |qp AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id IN $QIDS),
+         |lut AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id IN $QIDS),
+         |cand AS (SELECT qid, a.vec_id AS neighbor_id
+         |         FROM qp JOIN assign a USING (cid) WHERE a.vec_id != qid),
+         |adc AS (
+         |  SELECT cand.qid, neighbor_id,
+         |    SUM(CAST(round(l.d2, 6) AS DECIMAL(18,6))) AS adc_dec
+         |  FROM cand
+         |  JOIN code ON code.vec_id = neighbor_id
+         |  JOIN lut l ON l.qid = cand.qid AND l.s = code.s AND l.c = code.c
+         |  GROUP BY cand.qid, neighbor_id),
+         |pt AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dec, neighbor_id) AS rnk
+         |  FROM adc) WHERE rnk <= 3),
+         |short AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dec, neighbor_id) AS srnk
+         |  FROM adc) WHERE srnk <= 8),
+         |rer AS (
+         |  SELECT sh.qid, sh.neighbor_id,
+         |    list_dot_product(qb.e, nb.e) / sqrt(qb.nsq * nb.nsq) AS cos
+         |  FROM short sh
+         |  JOIN base qb ON qb.vec_id = sh.qid
+         |  JOIN base nb ON nb.vec_id = sh.neighbor_id),
+         |rt AS (SELECT qid, neighbor_id FROM (
+         |  SELECT qid, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM rer) WHERE rnk <= 3),
+         |tot AS (SELECT COUNT(*) AS n_truth FROM bt)
+         |SELECT method, n_truth, n_hits,
+         |  (n_hits * 1000000) // n_truth AS recall_micro
+         |FROM (
+         |  SELECT 'ivf' AS method, tot.n_truth,
+         |    (SELECT COUNT(*) FROM bt JOIN it USING (qid, neighbor_id)) AS n_hits
+         |  FROM tot
+         |  UNION ALL SELECT 'pq_adc', tot.n_truth,
+         |    (SELECT COUNT(*) FROM bt JOIN pt USING (qid, neighbor_id)) FROM tot
+         |  UNION ALL SELECT 'pq_rerank', tot.n_truth,
+         |    (SELECT COUNT(*) FROM bt JOIN rt USING (qid, neighbor_id)) FROM tot)
+         |ORDER BY method""".stripMargin)),
+
     // q75: k-means training (Lloyd) — assignment/update/assignment in
     // exact integer micro-space: floor(x*1e6) components, integer argmin
     // distances, exact integer centroid means (OFF-shifted division so

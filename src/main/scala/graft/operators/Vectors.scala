@@ -518,6 +518,30 @@ object Vectors {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** ANN quality scoreboard (q111): recall@k of every approximate
+    * retrieval path against the brute-force ground truth, one row per
+    * method — the acceptance report a vector store publishes before a
+    * cheaper index replaces a more exact one. Composes the landed
+    * operators ([[ivfKnn]], [[pqSearch]], [[pqRerank]], [[knnBrute]])
+    * instead of re-deriving them; each method's cost is its own
+    * documented story, the scoreboard itself is three tiny id-set
+    * joins. Recall in exact integer micro-units.
+    */
+  def annScoreboard(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val brute = knnBrute(s, dir, k).select(col("qid"), col("neighbor_id"))
+    def recallOf(name: String, m: DataFrame): DataFrame =
+      brute.join(m.select(col("qid"), col("neighbor_id")),
+        Seq("qid", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(name).as("method"), col("n_truth"), col("n_hits"),
+          expr("(n_hits * 1000000) div n_truth").as("recall_micro"))
+    recallOf("ivf", ivfKnn(s, dir))
+      .unionByName(recallOf("pq_adc", pqSearch(s, dir)))
+      .unionByName(recallOf("pq_rerank", pqRerank(s, dir)))
+      .orderBy(col("method"))
+  }
+
   /** Distributed k-means TRAINING (Lloyd's algorithm) — the step that
     * produces the coarse centroids the IVF/PQ queries (q44/q48/q72/q74)
     * consume as given. Two assignment passes with one centroid update

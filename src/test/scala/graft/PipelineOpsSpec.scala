@@ -266,6 +266,22 @@ class PipelineOpsSpec extends SparkSpec {
       s"sweep endpoint ${sweep.last._3} != q35 pair count $q35")
   }
 
+  test("ANN scoreboard: recalls bounded; exact rerank dominates raw ADC") {
+    val rows = Vectors.annScoreboard(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m.keySet === Set("ivf", "pq_adc", "pq_rerank"))
+    rows.foreach { case (name, t, h, micro) =>
+      assert(h <= t, s"$name: hits exceed truth")
+      assert(micro === h * 1000000L / t, s"$name: recall arithmetic")
+    }
+    // a global-truth neighbor found in the shortlist always survives the
+    // exact rerank (at most 2 vectors beat it anywhere), so rerank hits
+    // can never be fewer than ADC's
+    assert(m("pq_rerank")._3 >= m("pq_adc")._3,
+      "exact rerank lost a truth neighbor the ADC ordering had")
+  }
+
   test("two-stage rerank: exact cosines, shortlist ⊆ ADC candidates, no self") {
     val rer = Vectors.pqRerank(spark, sfDir, shortlist = 8, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
