@@ -18,6 +18,23 @@ object MultimodalQueries {
         |    i -> hex(encode(substr(text, i, 1)))), '') AS sample_hex
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // q112: CAS accounting — per-source blob-store economics (unique
+    // blobs by checksum, bytes saved by content addressing).
+    QueryDef("q112_cas_accounting", (s, d) => casAccounting(s, d), Some(
+      """WITH b AS (
+        |  SELECT source, md5(text) AS h, CAST(n_chars AS BIGINT) AS nb
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, h, COUNT(*) AS copies, MAX(nb) AS b
+        |  FROM b GROUP BY source, h)
+        |SELECT source,
+        |  CAST(SUM(copies) AS BIGINT) AS n_blobs,
+        |  CAST(SUM(copies * b) AS BIGINT) AS total_bytes,
+        |  COUNT(*) AS n_unique,
+        |  CAST(SUM(b) AS BIGINT) AS unique_bytes,
+        |  CAST(SUM(copies * b) - SUM(b) AS BIGINT) AS saved_bytes
+        |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
     QueryDef("q51_frame_sample", (s, d) => frameSample(s, d), Some(
       """SELECT doc_id,
         |  CAST((i - 1) // 64 AS BIGINT) AS frame_no,

@@ -54,6 +54,27 @@ object Multimodal {
           "i -> hex(substring(payload, i, 1))))").as("sample_hex"))
       .orderBy(col("doc_id"))
 
+  /** Content-addressable-store accounting (q112): what a CAS blob store
+    * would hold per source — blob count, raw bytes, unique blobs (by
+    * checksum), unique bytes, and the bytes dedup saves. The economics
+    * report behind "store media once, reference it everywhere"; at
+    * 100 TB the group-by runs on (source, 16-byte checksum) rows, the
+    * payloads themselves never shuffle.
+    */
+  def casAccounting(s: SparkSession, dir: String): DataFrame =
+    blobs(s, dir)
+      .select(col("source"), col("meta.checksum").as("h"),
+        col("meta.n_bytes").as("nb"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("copies"), max(col("nb")).as("b"))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).cast(LongType).as("n_blobs"),
+        sum(col("copies") * col("b")).cast(LongType).as("total_bytes"),
+        count(lit(1)).as("n_unique"),
+        sum(col("b")).cast(LongType).as("unique_bytes"))
+      .withColumn("saved_bytes", col("total_bytes") - col("unique_bytes"))
+      .orderBy(col("source"))
+
   /** Frame sampling: 16-byte "frames" at stride 64 (first 4 per blob) —
     * the video-keyframe access pattern expressed on binary columns.
     */

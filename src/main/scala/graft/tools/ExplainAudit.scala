@@ -28,7 +28,8 @@ object ExplainAudit {
       "q103_cluster_split", "q104_crossmodal", "q105_market_share",
       "q106_lsh_recall_sweep", "q107_band_recall_sweep",
       "q108_pair_degrees", "q109_gap_percentiles",
-      "q110_threshold_sensitivity", "q111_ann_scoreboard")
+      "q110_threshold_sensitivity", "q111_ann_scoreboard",
+      "q112_cas_accounting")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
