@@ -597,6 +597,26 @@ object TextQueries {
          |FROM ts CROSS JOIN tot CROSS JOIN j
          |GROUP BY n_bands, n_true ORDER BY n_bands""".stripMargin)),
 
+    // q113: vocabulary growth (Heaps' law) — terms charged to their
+    // first content-hash slice; cumulative per prefix.
+    QueryDef("q113_vocab_growth", (s, d) => vocabGrowth(s, d), Some(
+      s"""WITH d AS (
+         |  SELECT ${h60("text")} % 10 AS bk, string_split(text, ' ') AS w
+         |  FROM documents),
+         |terms AS (SELECT bk, unnest(list_distinct(w)) AS term FROM d),
+         |firstb AS (SELECT term, MIN(bk) AS first_bk FROM terms GROUP BY term),
+         |news AS (SELECT first_bk, COUNT(*) AS n_new FROM firstb GROUP BY first_bk),
+         |tok AS (SELECT bk, CAST(SUM(len(w)) AS BIGINT) AS n_tokens FROM d GROUP BY bk),
+         |bks AS (SELECT unnest(generate_series(0, 9)) AS bk)
+         |SELECT bks.bk, tok.n_tokens,
+         |  CAST(COALESCE(news.n_new, 0) AS BIGINT) AS n_new_terms,
+         |  CAST(COALESCE((SELECT SUM(n_new) FROM news
+         |                 WHERE first_bk <= bks.bk), 0) AS BIGINT) AS cum_terms
+         |FROM bks
+         |JOIN tok ON tok.bk = bks.bk
+         |LEFT JOIN news ON news.first_bk = bks.bk
+         |ORDER BY bks.bk""".stripMargin)),
+
     // q110: dedup threshold sensitivity — pair volume and docs touched
     // across a Jaccard threshold grid, all post-filters over the same
     // landed intersection stage.

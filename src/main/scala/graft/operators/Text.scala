@@ -376,6 +376,42 @@ object Text {
       .orderBy(col("n_bands"))
   }
 
+  /** Vocabulary growth curve (q113) — Heaps' law measured on this
+    * corpus: docs are ordered by content hash (a deterministic stand-in
+    * for ingest order, stable across engines and partitionings) into
+    * `buckets` equal hash slices; each term is charged to the FIRST
+    * slice containing it, and the cumulative count per slice prefix is
+    * the vocabulary-vs-tokens curve. The report that predicts
+    * vocabulary (and hash-table) sizes at a 100× scale-up before
+    * running it.
+    *
+    * Shape at scale: one doc-distinct term explode + a min-bucket
+    * aggregation (shuffle on term); the curve math runs on the
+    * O(buckets) summary via a broadcast prefix sum — no partition-less
+    * window, no second corpus pass.
+    */
+  def vocabGrowth(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select((hash60(col("text")) % buckets).as("bk"), words.as("w"))
+    val firstB = d.select(col("bk"), explode(array_distinct(col("w"))).as("term"))
+      .groupBy(col("term")).agg(min(col("bk")).as("first_bk"))
+    val news = firstB.groupBy(col("first_bk")).agg(count(lit(1)).as("n_new"))
+    val tok = d.select(col("bk"), size(col("w")).cast(LongType).as("n"))
+      .groupBy(col("bk")).agg(sum(col("n")).as("n_tokens"))
+    val bks = s.range(0, buckets).select(col("id").as("bk"))
+    val cum = bks.crossJoin(broadcast(news))
+      .groupBy(col("bk"))
+      .agg(sum(when(col("first_bk") <= col("bk"), col("n_new"))
+        .otherwise(0L)).as("cum_terms"))
+    bks.join(tok, Seq("bk"))
+      .join(news.withColumnRenamed("first_bk", "bk"), Seq("bk"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .join(cum, Seq("bk"))
+      .select(col("bk"), col("n_tokens"), col("n_new").as("n_new_terms"),
+        col("cum_terms"))
+      .orderBy(col("bk"))
+  }
+
   /** Dedup threshold sensitivity (q110): how the near-dup pair volume
     * and the docs touched move across a Jaccard threshold grid — the
     * report that justifies a pipeline's chosen threshold (a cliff

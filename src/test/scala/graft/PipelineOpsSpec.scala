@@ -227,6 +227,24 @@ class PipelineOpsSpec extends SparkSpec {
       s"sweep endpoint ${rows.last._3} != q45 pair count $q45")
   }
 
+  test("vocab growth: cumulative ends at the global vocabulary; tokens partition") {
+    val rows = Text.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 9L))
+    assert(rows.map(_._4).sliding(2).forall(p => p.head <= p.last),
+      "cumulative vocabulary can only grow")
+    assert(rows.map(_._3).sum === rows.last._4,
+      "new-term counts must sum to the final cumulative vocabulary")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).collect().head.getLong(0)
+    assert(rows.last._4 === vocab, "curve must end at the global distinct-term count")
+    val tokens = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(rows.map(_._2).sum === tokens, "token counts must partition the corpus")
+  }
+
   test("threshold sensitivity: monotone shrink; 0.5 row equals the q34 pair count") {
     val rows = Text.thresholdSensitivity(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
