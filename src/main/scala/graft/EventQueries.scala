@@ -200,6 +200,29 @@ object EventQueries {
         |FROM h JOIN m USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // q114: watermark-delay audit — late-drop rate per candidate delay;
+    // arrival order = event_id, watermark = running max ts minus delay.
+    QueryDef("q114_watermark_audit", (s, d) => watermarkAudit(s, d), Some(
+      """WITH e AS (
+        |  SELECT event_id, epoch_ms(ts) AS ms,
+        |    epoch_ms(ts) + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 10000 AS arrival
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, ms,
+        |    MAX(ms) OVER (ORDER BY arrival, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |  FROM e),
+        |ds AS (SELECT unnest(CAST([500, 1000, 5000, 30000] AS BIGINT[])) AS delay_ms)
+        |SELECT delay_ms, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN prior IS NOT NULL AND ms < prior - delay_ms
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  (CAST(SUM(CASE WHEN prior IS NOT NULL AND ms < prior - delay_ms
+        |            THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*)
+        |    AS late_micro
+        |FROM ds CROSS JOIN r
+        |GROUP BY delay_ms ORDER BY delay_ms""".stripMargin)),
+
     // q109: inter-event gap percentiles per event type — the tuning
     // table for the q23 session gap and watermark delay. Gap = ms since
     // the same user's previous event, attributed to the later event.

@@ -419,6 +419,56 @@ object EventWindows {
       .orderBy(col("user_id"), col("purchase_ms"), col("event_id"))
   }
 
+  /** Watermark-delay audit (q114) — the tuning table for the
+    * reference's W2 bounded out-of-orderness: for each candidate delay
+    * D, how many events would arrive LATE (event time below the
+    * watermark max-seen-ts − D at their arrival position) and be
+    * silently dropped (W3). The generator emits in event-time order, so
+    * out-of-orderness is modeled the way it arises in production — a
+    * deterministic per-event transit jitter (hash of the event id,
+    * 0–10 s) reorders arrivals; the watermark then tracks the max EVENT
+    * time in ARRIVAL order. The reference hardcodes 500 ms; this is the
+    * report that justifies or indicts that choice.
+    *
+    * Shape at scale: the running "max ts so far" is computed WITHOUT a
+    * partition-less window — arrivals bucket by hour, the window runs
+    * inside each bucket, and a broadcast prefix-max over the O(buckets)
+    * summary lifts local maxima to global ones (the q89 two-pass
+    * pattern). The delay grid multiplies only the final count, not the
+    * corpus.
+    */
+  def watermarkAudit(s: SparkSession, dir: String,
+      jitterMs: Long = 10000): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("arrival",
+        col("ms") + graft.operators.Text.hash60(
+          col("event_id").cast(StringType)) % jitterMs)
+      .withColumn("bk", expr("arrival div 3600000"))
+    val w = Window.partitionBy(col("bk")).orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ev.withColumn("lmax", max(col("ms")).over(w))
+    val bmax = ev.groupBy(col("bk")).agg(max(col("ms")).as("m"))
+    val pmax = bmax.select(col("bk"))
+      .join(bmax.toDF("bkp", "mp"), col("bkp") < col("bk"), "left")
+      .groupBy(col("bk")).agg(max(col("mp")).as("pmax"))
+    // greatest() skips nulls in Spark: prior is null only for the very
+    // first arrivals (nothing seen yet -> never late)
+    val run = local.join(broadcast(pmax), Seq("bk"), "left")
+      .withColumn("prior", greatest(col("lmax"), col("pmax")))
+    val delays = s.createDataFrame(Seq(500L, 1000L, 5000L, 30000L)
+      .map(Tuple1(_))).toDF("delay_ms")
+    delays.crossJoin(run)
+      .groupBy(col("delay_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("prior").isNotNull &&
+          col("ms") < col("prior") - col("delay_ms"), 1L)
+          .otherwise(0L)).as("n_late"))
+      .select(col("delay_ms"), col("n_events"), col("n_late"),
+        expr("(n_late * 1000000) div n_events").as("late_micro"))
+      .orderBy(col("delay_ms"))
+  }
+
   /** Inter-event gap distribution per event type (q109) — the tuning
     * table for the session-window gap (q23) and the watermark delay: a
     * session gap should sit between the p90/p99 within-session gap and

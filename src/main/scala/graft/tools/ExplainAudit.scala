@@ -29,7 +29,8 @@ object ExplainAudit {
       "q106_lsh_recall_sweep", "q107_band_recall_sweep",
       "q108_pair_degrees", "q109_gap_percentiles",
       "q110_threshold_sensitivity", "q111_ann_scoreboard",
-      "q112_cas_accounting", "q113_vocab_growth")
+      "q112_cas_accounting", "q113_vocab_growth",
+      "q114_watermark_audit")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

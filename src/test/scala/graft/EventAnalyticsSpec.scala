@@ -93,6 +93,20 @@ class EventAnalyticsSpec extends SparkSpec {
       "every non-first event per user must contribute exactly one gap")
   }
 
+  test("watermark audit: drop rate decreases with delay; bounded by the jitter") {
+    val rows = operators.EventWindows.watermarkAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(500L, 1000L, 5000L, 30000L))
+    assert(rows.map(_._2).distinct.length === 1, "every delay sees all events")
+    assert(rows.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "a longer delay can only drop fewer events")
+    assert(rows.head._3 > 0,
+      "the 10s transit jitter must produce SOME late data at 500ms")
+    assert(rows.last._3 === 0,
+      "a delay beyond the max jitter can never drop anything")
+  }
+
   test("hourly anomalies: integer z-test matches the float 2-sigma rule") {
     val rows = EventWindows.hourlyAnomalies(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
