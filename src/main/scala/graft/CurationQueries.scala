@@ -111,6 +111,37 @@ object CurationQueries {
         |    AS dup_ratio
         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)),
 
+    // q115: shuffle-key skew report — cardinality, heaviest-key share
+    // and top-10 share for the hot join/aggregation key families.
+    QueryDef("q115_skew_report", (s, d) => Curation.skewReport(s, d), Some {
+      def block(name: String, cte: String): String =
+        s"""SELECT '$name' AS relation, COUNT(*) AS n_keys,
+           |  CAST(SUM(c) AS BIGINT) AS n_rows,
+           |  (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT)
+           |    AS max_share_micro,
+           |  (CAST((SELECT SUM(c) FROM
+           |     (SELECT c FROM $cte ORDER BY c DESC, k LIMIT 10)) AS BIGINT)
+           |    * 1000000) // CAST(SUM(c) AS BIGINT) AS top10_share_micro
+           |FROM $cte""".stripMargin
+      s"""WITH ${TextQueries.SHINGLES},
+         |c1 AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+         |       FROM events GROUP BY 1),
+         |c2 AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, COUNT(*) AS c
+         |       FROM lineitem GROUP BY 1),
+         |c3 AS (SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS c
+         |       FROM orders GROUP BY 1),
+         |c4 AS (SELECT sh AS k, COUNT(*) AS c FROM sh GROUP BY 1)
+         |SELECT * FROM (
+         |${block("events.user_id", "c1")}
+         |UNION ALL
+         |${block("lineitem.l_suppkey", "c2")}
+         |UNION ALL
+         |${block("orders.o_custkey", "c3")}
+         |UNION ALL
+         |${block("shingles.sh", "c4")})
+         |ORDER BY relation""".stripMargin
+    }),
+
     // q104: cross-modal retention — text-LSH canonicality × embedding-LSH
     // canonicality × q39 quality, for docs carrying an embedding. The
     // oracle runs BOTH recursive CC walks in one WITH (the embed chain's

@@ -13,7 +13,7 @@ object TextQueries {
   private def h60(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
-  private val SHINGLES =
+  private[graft] val SHINGLES =
     """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(w)-2),

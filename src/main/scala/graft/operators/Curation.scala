@@ -247,6 +247,39 @@ object Curation {
       .withColumn("dup_ratio", round(col("total_dup_tokens") / col("total_words"), 6))
       .orderBy(col("source"))
 
+  /** Shuffle-key skew report (q115) — the diagnostics behind every
+    * salting decision: for each hot join/aggregation key family, the
+    * key cardinality and how much of the row mass the heaviest key and
+    * the top-10 keys hold. A max share near 1e6/parallelism means one
+    * straggler task; the fix ladder is AQE skew-join → explicit salt →
+    * the prefix-filter/LSH redesigns the text ops already ship. Each
+    * relation costs one keyed count plus a TakeOrdered over the
+    * O(distinct-keys) summary — never a second corpus pass.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    def keyStats(name: String, keyed: DataFrame): DataFrame = {
+      val cnt = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val top = cnt.orderBy(col("c").desc, col("k")).limit(10)
+        .agg(sum(col("c")).as("top10"))
+      cnt.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("mx"))
+        .crossJoin(top)
+        .select(lit(name).as("relation"), col("n_keys"),
+          col("n_rows").cast(LongType).as("n_rows"),
+          expr("(mx * 1000000) div n_rows").as("max_share_micro"),
+          expr("(top10 * 1000000) div n_rows").as("top10_share_micro"))
+    }
+    keyStats("events.user_id",
+      Tables.events(s, dir).select(col("user_id").cast(StringType).as("k")))
+      .unionByName(keyStats("lineitem.l_suppkey",
+        Tables.lineitem(s, dir).select(col("l_suppkey").cast(StringType).as("k"))))
+      .unionByName(keyStats("orders.o_custkey",
+        Tables.orders(s, dir).select(col("o_custkey").cast(StringType).as("k"))))
+      .unionByName(keyStats("shingles.sh",
+        Text.shinglesOf(Tables.documents(s, dir)).select(col("sh").as("k"))))
+      .orderBy(col("relation"))
+  }
+
   /** Cross-modal retention (q104): for docs that carry an embedding
     * (doc_id = vec_id), combine the THREE independent curation signals a
     * production pipeline votes with — text near-dup canonicality
