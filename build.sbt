@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes straight to this process's stdout/stderr instead of
+// through sbt's logger: the driver parses the LAST bare `{...}` line of
+// stdout, and the logger's "[info] " prefix kept BENCH_r1-r4 `parsed:null`.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -7,6 +7,15 @@ import org.apache.spark.sql.SparkSession
   * queries) pays the one-time JVM/codegen/parquet-footer cost so the
   * per-query numbers reflect steady-state engine throughput, which is
   * what the 100 TB comparison cares about.
+  *
+  * Cold vs warm: several pipelines land shared stages as parquet via
+  * [[graft.operators.Materialize]] (pair tables, CC labels, IVF/ADC
+  * stages), so pass 1 pays each stage's build — charged to whichever
+  * query triggers it — and pass 2 reads the landed tables. Both numbers
+  * are real and BOTH are reported: `value` (min-of-2, steady-state — a
+  * production DAG reads landed stages) is the headline; `cold_total`
+  * (pass-1 sum, includes every stage build) is the end-to-end
+  * first-run cost. Per-stage build seconds land in bench_full.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,27 +63,47 @@ object Bench {
       val (t1, t2) = (pass1(n), pass2(n))
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
+    val warm = results.toMap
     // The driver keeps only the last 2000 chars of stdout before parsing,
-    // and sbt appends a "[success] Total time" line after ours. With full
-    // query names and raw nanosecond-derived doubles the line is ~2900
-    // chars, so its head fell outside the window and the driver recorded
-    // parsed=null in rounds 1-3. Short keys (the qNN prefix, per the
-    // driver contract's own example) and 3-decimal seconds keep the whole
-    // line near 1300 chars — comfortably inside the window.
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // and sbt appends a "[success] Total time" line after ours. Short keys
+    // (the qNN prefix, per the driver contract's own example) and rounded
+    // seconds keep the whole line near 1500 chars — comfortably inside
+    // the window even with the trailing sbt line.
+    def fmt(v: Double, dp: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     def shortKey(n: String): String = n.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // Registry guards full-name duplicates; the JSON keys are the short
+    // qNN prefixes, so a reused number would silently drop one timing.
+    require(names.map(shortKey).distinct.size == names.size,
+      "duplicate qNN bench keys would silently drop a timing")
+    def qmap(m: String => Double, dp: Int): String =
+      names.map(n => "\"" + shortKey(n) + "\":" + fmt(m(n), dp))
+        .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
     val nOk = results.count(_._2 >= 0)
     // With errors, the sum covers an unequal query set and totals would
     // be incomparable across runs — report null so nobody compares them;
     // n_ok says how much of the set the run covered either way.
-    val total =
-      if (nOk == results.size) fmt(results.map(_._2).sum) else "null"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":$nOk,"n_queries":${results.size},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def totalOf(vs: Seq[Double]): String =
+      if (vs.forall(_ >= 0)) fmt(vs.sum, 3) else "null"
+    val total = totalOf(results.map(_._2))
+    val coldTotal = totalOf(names.map(pass1))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_ok":$nOk,"n_queries":${results.size},"queries":${qmap(warm, 2)},"errors":$errs,"sf":"$sfDir"}"""
+    // Full detail (3-dp warm AND cold per query, plus per-stage landed-
+    // table build seconds) goes to a file: the stdout line must stay
+    // inside the driver's 2000-char tail window.
+    val mat = graft.operators.Materialize.buildSeconds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_ok":$nOk,"n_queries":${results.size},"warm":${qmap(warm, 3)},"cold":${qmap(pass1, 3)},"materialize_s":$mat,"errors":$errs,"sf":"$sfDir"}"""
+    for ((f, s) <- Seq("bench.json" -> line, "bench_full.json" -> full)) {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(s) finally w.close()
+    }
     spark.stop()
+    // LAST stdout line (after spark.stop so no late executor chatter can
+    // interleave); build.sbt's StdoutOutput strategy keeps it bare.
+    println(line)
   }
 }

@@ -31,8 +31,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialize {
   private val runtime = java.lang.management.ManagementFactory.getRuntimeMXBean
+  private val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
   private val base =
-    s"${System.getProperty("java.io.tmpdir")}/graft_mat_${runtime.getName.replace('@', '_')}_${runtime.getStartTime}"
+    s"$tmpRoot/graft_mat_${runtime.getName.replace('@', '_')}_${runtime.getStartTime}"
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  // Landed tables are per-process scratch, not a cache shared across
+  // runs — delete our own dir on JVM exit, and sweep dirs left behind by
+  // processes that died before their hook ran (kill -9, OOM). A dir is
+  // stale iff its embedding process is gone: the name carries the owner
+  // pid (graft_mat_<pid>_<host>_<startms>) and /proc/<pid> existence is
+  // the liveness test — never delete a LIVE concurrent run's tables.
+  java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    deleteRecursively(new java.io.File(base))))
+  locally {
+    val mine = new java.io.File(base).getName
+    val stale = Option(tmpRoot.listFiles()).getOrElse(Array.empty).filter { f =>
+      f.getName.startsWith("graft_mat_") && f.getName != mine &&
+        !f.getName.drop("graft_mat_".length).takeWhile(_.isDigit).toLongOption
+          .exists(pid => new java.io.File(s"/proc/$pid").exists())
+    }
+    stale.foreach(deleteRecursively)
+  }
   // per-key monitors rather than computeIfAbsent(build): one stage's
   // build may materialize another stage (labels build reads the pairs
   // table), and recursive computeIfAbsent on one ConcurrentHashMap is
@@ -40,6 +64,17 @@ object Materialize {
   // are acyclic
   private val locks = new ConcurrentHashMap[String, Object]()
   private val built = ConcurrentHashMap.newKeySet[String]()
+  private val buildSecs = new ConcurrentHashMap[String, Double]()
+
+  /** Wall seconds spent BUILDING each landed stage this process (key →
+    * sec). Bench reports these next to the warm per-query numbers so the
+    * one-time pipeline cost of the stage graph is auditable rather than
+    * hidden inside whichever query happened to trigger the build.
+    */
+  def buildSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.toMap
+  }
 
   /** Return `key`'s materialized table, building and landing it on first
     * use. `build` must be deterministic for the key (all inputs encoded
@@ -51,7 +86,9 @@ object Materialize {
     val lock = locks.computeIfAbsent(safe, _ => new Object)
     lock.synchronized {
       if (!built.contains(safe)) {
+        val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(path)
+        buildSecs.put(safe, (System.nanoTime() - t0) / 1e9)
         built.add(safe)
       }
     }
