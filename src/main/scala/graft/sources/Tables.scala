@@ -25,17 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS): Spark 4 reads it (only) as a
-    * nanosecond long under `spark.sql.legacy.parquet.nanosAsLong`. Convert
-    * to TimestampType by floor-division to microseconds — the same
-    * truncation DuckDB applies, so event-time semantics agree with the
-    * oracle exactly.
+  /** `events.ts` has shipped in several physical parquet encodings across
+    * driver testdata generations; normalize ALL of them to `TimestampType`
+    * so every downstream `unix_millis`/`unix_micros`/`window()` call sees
+    * one canonical type:
+    *   - TIMESTAMP(NANOS): Spark 4 reads it (only) as a nanosecond long
+    *     under `spark.sql.legacy.parquet.nanosAsLong`; floor-divide to
+    *     micros — the same truncation DuckDB applies.
+    *   - timestamp[us] without timezone: Spark 4 reads TIMESTAMP_NTZ;
+    *     cast to TimestampType. The session timezone is UTC, so the NTZ
+    *     wall time maps to the identical UTC instant the DuckDB oracle
+    *     sees for its naive timestamps.
+    *   - timestamp[us, tz=UTC]: already TimestampType; pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => raw
+      case LongType            => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                   => raw
     }
   }
   // NOTE: the driver testdata ships each table as ONE parquet row group,

@@ -31,9 +31,12 @@ object EventStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    // same physical-encoding normalization as Tables.events: nanos-long,
+    // TIMESTAMP_NTZ, or already-TZ — all canonicalized to TimestampType
     batchSchema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => raw
+      case LongType            => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                   => raw
     }
   }
 
