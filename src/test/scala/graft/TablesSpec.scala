@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Ingest-robustness gate for the `events` table: the driver has shipped
+  * `ts` in THREE different physical parquet encodings across testdata
+  * regenerations (TIMESTAMP(NANOS) → read as nanos-long under
+  * `nanosAsLong`, `timestamp[us]` without tz → TIMESTAMP_NTZ, and
+  * `timestamp[us, tz=UTC]` → TimestampType). Round 5 lost 9 oracle
+  * queries + 15 specs when a regeneration switched encodings and the
+  * reader only normalized the old one. This spec pins the contract:
+  * whatever the physical encoding, `Tables.events` surfaces a
+  * `TimestampType` column holding the same UTC instant.
+  */
+class TablesSpec extends SparkSpec {
+
+  // one canonical instant: 2024-03-01T12:34:56.789Z
+  private val micros = 1709296496789000L
+
+  private def writeAndRead(encode: org.apache.spark.sql.Column): Timestamp = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tables_spec_").toString
+    Seq((1L, micros, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", encode)
+      .drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType == TimestampType,
+      s"events.ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
+    df.select(col("ts")).head().getTimestamp(0)
+  }
+
+  private val expected = new Timestamp(micros / 1000)
+
+  test("events.ts: TIMESTAMP_NTZ parquet encoding normalizes to TimestampType") {
+    // session tz is UTC, so the NTZ wall time is the same UTC instant
+    val got = writeAndRead(timestamp_micros(col("us")).cast(TimestampNTZType))
+    assert(got == expected, s"NTZ instant mismatch: $got vs $expected")
+  }
+
+  test("events.ts: UTC-adjusted timestamp parquet encoding passes through") {
+    val got = writeAndRead(timestamp_micros(col("us")))
+    assert(got == expected, s"TZ instant mismatch: $got vs $expected")
+  }
+
+  test("events.ts: nanos-as-long encoding converts by floor-division to micros") {
+    // TIMESTAMP(NANOS) parquet surfaces to the reader as LongType (Spark 4
+    // reads it only under spark.sql.legacy.parquet.nanosAsLong); a BIGINT
+    // ts column takes the identical LongType branch in Tables.events.
+    val got = writeAndRead((col("us") * lit(1000L) + lit(999L)).cast(LongType))
+    assert(got == expected, s"nanos instant mismatch: $got vs $expected")
+  }
+}
