@@ -83,7 +83,9 @@ object CurationQueries {
          |  FROM per_src),
          |rates AS (
          |  SELECT source, n_docs,
-         |    least(1000000, (w_micro * n_total * 1000000) // (total_w * n_docs))
+         |    least(1000000, CAST(
+         |      (CAST(w_micro AS HUGEINT) * n_total * 1000000)
+         |        // (CAST(total_w AS HUGEINT) * n_docs) AS BIGINT))
          |      AS accept_micro
          |  FROM per_src, tot)
          |SELECT d.source, COUNT(*) AS n_docs,

@@ -111,26 +111,42 @@ object Curation {
     *
     * Exactness: weights are integer micro-units of √n_s (IEEE sqrt is
     * correctly rounded, so both engines agree bit-for-bit), the
-    * acceptance rate is pure BIGINT arithmetic with one non-negative
-    * `div`, and no float ever crosses an aggregation.
+    * acceptance rate is exact integer arithmetic — DECIMAL(38,0)-widened
+    * product, one non-negative `div` (see [[acceptRates]] for the
+    * overflow bound) — and no float ever crosses an aggregation.
     *
     * Scale: the rate table is |sources| rows — broadcast back to the
     * corpus scan; one aggregation per side, no shuffle of the corpus
     * beyond its own groupBy.
     */
+  /** α = 0.5 acceptance-rate table from per-source counts: (source,
+    * n_docs) → (source, accept_micro). accept = min(1, p_s·N/n_s) with
+    * p_s = w_s/Σw, all in integer micros:
+    * floor((w_micro·N·1e6) / (total_w·n_s)); operands non-negative so
+    * Spark `div` == DuckDB `//`. The triple product is widened to
+    * DECIMAL(38,0) (oracle: HUGEINT) — in BIGINT it wraps once
+    * w_micro·N·1e6 ≳ 9.2e18, i.e. ~8.5e6 docs in one source at corpus
+    * N = 1e9 (√8.5e6·1e6 · 1e9 · 1e6 ≈ 2.9e21); DECIMAL(38,0) holds
+    * through N ≈ 1e15 docs (product ≈ 3e34 < 1e38). Spark's `div` on
+    * decimal operands returns BIGINT, and accept_micro ≤ 1e6, so the
+    * output stays a plain long.
+    */
+  private[graft] def acceptRates(perSrc: DataFrame): DataFrame = {
+    val weighted = perSrc
+      .withColumn("w_micro", round(sqrt(col("n_docs")) * 1e6).cast(LongType))
+    val tot = weighted.agg(sum(col("w_micro")).as("total_w"),
+      sum(col("n_docs")).as("n_total"))
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("accept_micro", least(lit(1000000L),
+        expr("(CAST(w_micro AS DECIMAL(38,0)) * n_total * 1000000) div " +
+          "(CAST(total_w AS DECIMAL(38,0)) * n_docs)")))
+      .select(col("source"), col("accept_micro"))
+  }
+
   def tempSample(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("w_micro", round(sqrt(col("n_docs")) * 1e6).cast(LongType))
-    val tot = perSrc.agg(sum(col("w_micro")).as("total_w"),
-      sum(col("n_docs")).as("n_total"))
-    // accept = min(1, p_s·N/n_s) with p_s = w_s/Σw, all in integer micros:
-    // floor((w_micro·N·1e6) / (total_w·n_s)); operands non-negative so
-    // Spark `div` == DuckDB `//`.
-    val rates = perSrc.crossJoin(broadcast(tot))
-      .withColumn("accept_micro", least(lit(1000000L),
-        expr("(w_micro * n_total * 1000000L) div (total_w * n_docs)")))
-      .select(col("source"), col("accept_micro"))
+    val rates = acceptRates(perSrc)
     docs
       .join(broadcast(rates), Seq("source"))
       .withColumn("kept",

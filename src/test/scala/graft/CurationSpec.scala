@@ -127,6 +127,34 @@ class CurationSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("q58 acceptance rates: exact at adversarial magnitudes (no BIGINT wrap)") {
+    import spark.implicits._
+    // 20 sources, one dominating at ~1e9 docs: w_micro·N·1e6 ≈ 3.5e22
+    // here — far past Long.MaxValue (9.2e18), where the pre-DECIMAL
+    // spelling silently wrapped negative (accept_micro = 0 for every
+    // head source while DuckDB raises).
+    val counts = (1 to 19).map(i => (s"src$i", i.toLong * 1000L * i)) :+
+      ("srcBig", 1100000007L)
+    val got = Curation.acceptRates(counts.toDF("source", "n_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference recompute with BigInt (exact, unbounded)
+    val w = counts.map { case (s, n) =>
+      s -> BigInt(math.rint(math.sqrt(n.toDouble) * 1e6).toLong)
+    }.toMap
+    val totalW = w.values.sum
+    val nTotal = BigInt(counts.map(_._2).sum)
+    counts.foreach { case (src, n) =>
+      val expected = (w(src) * nTotal * 1000000 / (totalW * n)) min 1000000
+      assert(got(src) == expected.toLong,
+        s"$src: got ${got(src)} expected $expected")
+      assert(got(src) >= 0L && got(src) <= 1000000L)
+    }
+    // the flattening property must survive the magnitudes: the giant
+    // source is thinned hardest, tiny sources keep everything
+    assert(got("srcBig") < got("src1"))
+    assert(got("src1") == 1000000L)
+  }
+
   test("q104 cross-modal retention: conjunction bounds and full coverage") {
     val out = Curation.crossmodalRetention(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
