@@ -449,9 +449,13 @@ object EventWindows {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ev.withColumn("lmax", max(col("ms")).over(w))
     val bmax = ev.groupBy(col("bk")).agg(max(col("ms")).as("m"))
-    val pmax = bmax.select(col("bk"))
-      .join(bmax.toDF("bkp", "mp"), col("bkp") < col("bk"), "left")
-      .groupBy(col("bk")).agg(max(col("mp")).as("pmax"))
+    // prefix-max over the O(buckets) summary: a partition-less running-max
+    // window is fine HERE because bmax is bucket-granular (corpus hours),
+    // not data-sized — the q24/q89 two-pass spelling, O(B) not O(B²)
+    val wb = Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val pmax = bmax
+      .withColumn("pmax", max(col("m")).over(wb))
+      .select(col("bk"), col("pmax"))
     // greatest() skips nulls in Spark: prior is null only for the very
     // first arrivals (nothing seen yet -> never late)
     val run = local.join(broadcast(pmax), Seq("bk"), "left")

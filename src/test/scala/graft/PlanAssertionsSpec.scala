@@ -414,4 +414,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("minhash") && !plan.contains("Window"),
       "no signature re-derivation inside the datasheet query")
   }
+
+  test("q114 watermark audit: bucket prefix-max is a running window, not an O(B²) self-join") {
+    val plan = formatted("q114_watermark_audit")
+    // the only permitted nested-loop is the unconditioned ×4 delay-grid
+    // crossJoin; the old `bkp < bk` prefix-max join must never return
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(bnlj.forall(l => !l.contains("<") && !l.contains("=")),
+      s"conditioned nested-loop joins are banned here: $bnlj")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
