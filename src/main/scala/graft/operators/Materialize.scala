@@ -43,19 +43,31 @@ object Materialize {
   // Landed tables are per-process scratch, not a cache shared across
   // runs — delete our own dir on JVM exit, and sweep dirs left behind by
   // processes that died before their hook ran (kill -9, OOM). A dir is
-  // stale iff its embedding process is gone: the name carries the owner
-  // pid (graft_mat_<pid>_<host>_<startms>) and /proc/<pid> existence is
-  // the liveness test — never delete a LIVE concurrent run's tables.
+  // stale iff its embedding process is provably gone — never delete a
+  // LIVE concurrent run's tables.
   java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
     deleteRecursively(new java.io.File(base))))
+
+  /** Fail-SAFE staleness test for a scratch dir name: delete only when
+    * the name parses to an owner pid (graft_mat_<pid>_<host>_<startms>),
+    * /proc liveness semantics exist on this system, AND /proc/<pid> is
+    * absent. An unparseable name or a missing /proc (non-Linux) keeps
+    * the dir — a disk leak beats deleting a live run's landed tables.
+    * Known accepted gap: pid reuse can keep a dead run's dir around
+    * until the recycled pid exits (bounded leak, fail-safe direction).
+    */
+  private[graft] def isStale(name: String,
+      procRoot: java.io.File = new java.io.File("/proc")): Boolean =
+    name.startsWith("graft_mat_") &&
+      procRoot.isDirectory &&
+      name.drop("graft_mat_".length).takeWhile(_.isDigit).toLongOption
+        .exists(pid => !new java.io.File(procRoot, pid.toString).exists())
+
   locally {
     val mine = new java.io.File(base).getName
-    val stale = Option(tmpRoot.listFiles()).getOrElse(Array.empty).filter { f =>
-      f.getName.startsWith("graft_mat_") && f.getName != mine &&
-        !f.getName.drop("graft_mat_".length).takeWhile(_.isDigit).toLongOption
-          .exists(pid => new java.io.File(s"/proc/$pid").exists())
-    }
-    stale.foreach(deleteRecursively)
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName != mine && isStale(f.getName))
+      .foreach(deleteRecursively)
   }
   // per-key monitors rather than computeIfAbsent(build): one stage's
   // build may materialize another stage (labels build reads the pairs
