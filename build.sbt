@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] means up to 32 concurrent tasks, their shuffle buffers,
+  // broadcasts and localCheckpoint storage blocks all share this one
+  // heap; 48g gives the heaviest landed-stage builds headroom on the
+  // 125 GiB box (measured equal to 8g at sf0.1 — the margin matters at
+  // larger SFs, not here). On a real cluster this maps to per-executor
+  // memory, not driver memory.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

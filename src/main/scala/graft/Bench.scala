@@ -28,6 +28,12 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // cold_total charges every landed-stage build to the pass-1 query
+    // that triggers it; a warmup query touching a materialized stage
+    // would silently shift that cost out of both cold numbers
+    require(graft.operators.Materialize.buildSeconds.isEmpty,
+      "warmup queries must not touch Materialize stages: " +
+        graft.operators.Materialize.buildSeconds.keys.mkString(", "))
     // best-of-2 per query, with the two timing passes INTERLEAVED (run
     // every query once, then every query again) rather than back-to-back:
     // single-JVM local mode shows one-off GC spikes, and the machine can
@@ -101,9 +107,14 @@ object Bench {
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(s) finally w.close()
     }
-    spark.stop()
     // LAST stdout line (after spark.stop so no late executor chatter can
-    // interleave); build.sbt's StdoutOutput strategy keeps it bare.
+    // interleave); build.sbt's StdoutOutput strategy keeps it bare. A
+    // shutdown failure must never eat the result line — bench.json is on
+    // disk already, but the driver parses stdout.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     println(line)
   }
 }

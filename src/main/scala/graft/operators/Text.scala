@@ -314,14 +314,30 @@ object Text {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Shared banded-LSH collision stage: every doc pair sharing ANY band
+    * signature, tagged with the FIRST (minimum) band that catches it —
+    * landed once per corpus ([[Materialize]]) and read by BOTH the
+    * pair-verification build (as the candidate set, band dropped) and
+    * the q107 band recall sweep (as the min_b histogram). One band
+    * self-join per corpus, not one per consumer — at 100 TB the
+    * collision join is the dominant cost of the LSH pipeline, so
+    * replaying it per consumer would double the most expensive stage.
+    */
+  private[graft] def bandCollisionPairs(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"text_minband_$dir", {
+      val bands = mhBands(minhashAgg(s, dir))
+      bands.toDF("d1", "band", "sig")
+        .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(min(col("band")).as("min_b"))
+    })
+
   private[graft] def minhashLshPairsBuild(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val sh = shingles(s, dir)
     val mh = minhashAgg(s, dir)
-    val bands = mhBands(mh)
-    val cand = bands.toDF("d1", "band", "sig")
-      .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct().localCheckpoint(true)
+    // the landed collision stage IS the candidate set (already distinct
+    // by construction of its groupBy)
+    val cand = bandCollisionPairs(s, dir).select(col("d1"), col("d2"))
     // exact-Jaccard verification touches ONLY candidate docs' shingles —
     // at scale the candidate set is tiny vs. the corpus, so the verify
     // join stays proportional to true near-dups, not to corpus size
@@ -354,15 +370,8 @@ object Text {
     * Jaccard threshold.
     */
   def bandRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val minB = Materialize.table(s, s"text_minband_$dir", {
-      val bands = mhBands(minhashAgg(s, dir))
-      bands.toDF("d1", "band", "sig")
-        .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
-        .filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(min(col("band")).as("min_b"))
-    })
     val tagged = ngramJaccardPairs(s, dir, threshold).select(col("d1"), col("d2"))
-      .join(minB, Seq("d1", "d2"), "left")
+      .join(bandCollisionPairs(s, dir), Seq("d1", "d2"), "left")
     val hist = tagged.groupBy(col("min_b")).agg(count(lit(1)).as("c"))
     val tot = tagged.agg(count(lit(1)).as("n_true"))
     s.range(1, 5).select(col("id").as("n_bands"))
