@@ -355,6 +355,11 @@ object EventWindows {
       .withColumn("r_days",
         expr("(unix_millis(mx) - unix_millis(last_ts)) div 86400000"))
       .withColumn("m_cents", expr("CAST(m_total * 100 AS BIGINT)"))
+      // one row per purchasing user — eager-checkpoint so the THREE
+      // chained rank passes (each with a bucket-offsets branch that
+      // re-reads this table) start from landed blocks instead of each
+      // replaying the corpus-sized purchase aggregation
+      .localCheckpoint(true)
     val n = u.agg(count(lit(1)).as("n_total"))
 
     // global rank without a global window: in-bucket rank + broadcast

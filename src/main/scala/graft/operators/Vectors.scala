@@ -528,7 +528,11 @@ object Vectors {
     * joins. Recall in exact integer micro-units.
     */
   def annScoreboard(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // |Q|·k rows — eager-checkpoint: the truth set feeds SIX subtrees
+    // (three recall joins + three n_truth counts), each of which would
+    // otherwise replay the corpus-sized brute-force scan
     val brute = knnBrute(s, dir, k).select(col("qid"), col("neighbor_id"))
+      .localCheckpoint(true)
     def recallOf(name: String, m: DataFrame): DataFrame =
       brute.join(m.select(col("qid"), col("neighbor_id")),
         Seq("qid", "neighbor_id"))
