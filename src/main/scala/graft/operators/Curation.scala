@@ -187,17 +187,23 @@ object Curation {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
         .as("pair"))
-    val terms = docs.select(explode(words).as("term"))
-    val uni = terms.groupBy(col("term")).agg(count(lit(1)).as("c1"))
-    val vocab = terms.agg(countDistinct(col("term")).as("v"))
-    val scores = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+    // collapse FIRST, checkpoint the collapsed tables: one token-explode
+    // pass feeds everything downstream. c12 derives from the doc-pair
+    // counts (Σn over docs) and V from the unigram table's row count, so
+    // neither needs a second corpus explode — 4 corpus passes become 2.
+    val docPairs = pairs.groupBy(col("doc_id"), col("pair"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val uni = docs.select(explode(words).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1")).localCheckpoint(true)
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val scores = docPairs.groupBy(col("pair")).agg(sum(col("n")).as("c12"))
       .withColumn("w1", split(col("pair"), " ").getItem(0))
       .join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("pair"),
         round(-log((col("c12") + 1) / (col("c1") + col("v"))) * 1e6)
           .cast(LongType).as("surprisal_micro"))
-    pairs.groupBy(col("doc_id"), col("pair")).agg(count(lit(1)).as("n"))
+    docPairs
       .join(scores, Seq("pair"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_pairs"),
@@ -274,7 +280,11 @@ object Curation {
     */
   def skewReport(s: SparkSession, dir: String): DataFrame = {
     def keyStats(name: String, keyed: DataFrame): DataFrame = {
+      // key-count table feeds the top-10 branch AND the summary agg;
+      // land it once per relation (for shingles it is vocab-sized and
+      // its build is a corpus explode + shuffle)
       val cnt = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val top = cnt.orderBy(col("c").desc, col("k")).limit(10)
         .agg(sum(col("c")).as("top10"))
       cnt.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),

@@ -744,9 +744,13 @@ object Text {
   def tfidfTop(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val terms = Tables.documents(s, dir)
       .select(col("doc_id"), explode(words).as("term"))
+    // ONE token-explode pass: len (Σcnt per doc) and df (rows per term —
+    // tf is already doc-distinct) both derive from the checkpointed tf
+    // table instead of replaying the corpus explode per consumer
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
-    val len = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     // integer micro-units: Spark rounds doubles through exact BigDecimal
     // while DuckDB rounds through float math — near a 6dp boundary they
@@ -774,8 +778,13 @@ object Text {
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val terms = Tables.documents(s, dir)
       .select(col("doc_id"), explode(words).as("term"))
-    val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = terms.agg(count(lit(1)).as("total"))
+    // collapse to (doc, term, n) once — frequencies, the corpus total,
+    // and the per-doc score join all derive from the checkpointed table,
+    // so the corpus token explode runs once instead of three times
+    val dt = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val freq = dt.groupBy(col("term")).agg(sum(col("n")).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
     // surprisal in integer micro-nats (−ln p ≥ 0): per-term rounding is
     // the only float step; sums and the floor-divided mean stay exact
     // 64-bit integers on any engine (see tfidfTop for why)
@@ -783,10 +792,10 @@ object Text {
       .select(col("term"),
         round(-log(col("cnt") / col("total")) * 1e6).cast(LongType)
           .as("surprisal_micro"))
-    terms.join(broadcast(logp), "term")
+    dt.join(broadcast(logp), "term")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("surprisal_micro")).as("sum_surprisal_micro"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("surprisal_micro")).as("sum_surprisal_micro"))
       .withColumn("avg_surprisal_micro",
         expr("sum_surprisal_micro div n_words"))
       .orderBy(col("doc_id"))
@@ -912,11 +921,13 @@ object Text {
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("gram")).distinct()
     val train = grams.filter(col("doc_id") % evalMod =!= 0)
-    val hits = train.join(broadcast(evalGrams), "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_hit"))
+    // ONE train-side pass: the broadcast eval dictionary left-joins as a
+    // hit marker, so gram totals and hit counts come from the same
+    // aggregation instead of two corpus-sized gram explodes
+    train.join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
       .withColumn("contaminated",
         when(col("n_hit") > 0, lit(1L)).otherwise(lit(0L)))
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("contaminated"))
@@ -1006,11 +1017,14 @@ object Text {
   def bm25Top(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val terms = Tables.documents(s, dir)
       .select(col("doc_id"), explode(words).as("term"))
+    // ONE token-explode pass (same construction as tfidfTop): len, df
+    // and the corpus token total all derive from the checkpointed tf
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
-    val len = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = Tables.documents(s, dir)
-      .agg(count(lit(1)).as("ndocs")).crossJoin(terms.agg(count(lit(1)).as("total")))
+      .agg(count(lit(1)).as("ndocs")).crossJoin(tf.agg(sum(col("cnt")).as("total")))
     val scored = tf.join(len, "doc_id").join(broadcast(df), "term")
       .crossJoin(broadcast(totals))
       .withColumn("idf_micro",
@@ -1263,6 +1277,10 @@ object Text {
       .select(col("doc_id"), col("source"),
         size(split(col("chunk"), " ")).cast(LongType).as("n_words"),
         hash60(col("chunk")).as("chunk_hash"))
+      // the md5-per-word chunking fold is the expensive part and feeds
+      // BOTH the corpus-wide frequency aggregation and the join side —
+      // land it once
+      .localCheckpoint(true)
     // corpus-wide: in how many distinct docs does each chunk occur?
     val freq = chunks.groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
@@ -1389,6 +1407,10 @@ object Text {
       )).as("sh"))
       .select(col("source"), hash60(col("sh")).as("h"))
       .distinct()
+      // distinct (source, hash) pairs feed THREE consumers (sizes + both
+      // self-join sides); eager-checkpoint so the corpus-sized shingle
+      // explode and dedup shuffle run once, not three times
+      .localCheckpoint(true)
     val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     h.select(col("source").as("s1"), col("h"))
       .join(h.select(col("source").as("s2"), col("h")), "h")
