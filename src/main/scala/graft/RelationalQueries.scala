@@ -210,8 +210,8 @@ object RelationalQueries {
         |SELECT o_year,
         |  CAST(tot_dec AS DOUBLE) AS total_revenue,
         |  CAST(nat_dec AS DOUBLE) AS nation_revenue,
-        |  CAST(floor(nat_dec * 100) AS BIGINT) * 1000000
-        |    // CAST(floor(tot_dec * 100) AS BIGINT) AS share_micro
+        |  CAST((CAST(floor(nat_dec * 100) AS HUGEINT) * 1000000)
+        |    // CAST(floor(tot_dec * 100) AS HUGEINT) AS BIGINT) AS share_micro
         |FROM agg ORDER BY o_year""".stripMargin))
   )
 }

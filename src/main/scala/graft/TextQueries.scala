@@ -341,8 +341,9 @@ object TextQueries {
         |         (SELECT COUNT(*) FROM t) AS total),
         |s AS (
         |  SELECT tf.doc_id, tf.term,
-        |    (CAST(round(ln(ndocs / df) * 1000000) AS BIGINT) * 22 * cnt * total)
-        |      // (10 * total * cnt + 3 * total + 9 * len * ndocs) AS bm25_micro
+        |    CAST((CAST(round(ln(ndocs / df) * 1000000) AS HUGEINT) * 22 * cnt * total)
+        |      // (CAST(10 AS HUGEINT) * total * cnt + 3 * total + 9 * len * ndocs)
+        |      AS BIGINT) AS bm25_micro
         |  FROM tf JOIN len USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
         |r AS (
         |  SELECT *, CAST(ROW_NUMBER() OVER (

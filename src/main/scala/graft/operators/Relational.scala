@@ -407,7 +407,11 @@ object Relational {
       .select(col("o_year"),
         col("tot_dec").cast(DoubleType).as("total_revenue"),
         col("nat_dec").cast(DoubleType).as("nation_revenue"),
-        expr("(nat_c * 1000000) div tot_c").as("share_micro"))
+        // cents·1e6 wraps BIGINT once yearly revenue ≥ ~$9.2e10 (TPC-H
+        // sf ≳ 40 already); DECIMAL(38,0) (oracle: HUGEINT) is exact to
+        // 1e38 — `div` on decimals returns BIGINT and the share ≤ 1e6
+        expr("(CAST(nat_c AS DECIMAL(38,0)) * 1000000) div tot_c")
+          .as("share_micro"))
       .orderBy(col("o_year"))
   }
 }

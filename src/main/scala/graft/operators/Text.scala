@@ -1029,8 +1029,12 @@ object Text {
       .crossJoin(broadcast(totals))
       .withColumn("idf_micro",
         round(log(col("ndocs") / col("df")) * 1e6).cast(LongType))
+      // the numerator carries the corpus token total (≈2.5e13 at 100 TB
+      // of text) — in BIGINT it wraps at ~1e9 tokens; DECIMAL(38,0)
+      // (oracle: HUGEINT) holds to 1e38 and `div` lands back in BIGINT
       .withColumn("bm25_micro", expr(
-        "(idf_micro * 22 * cnt * total) div (10 * total * cnt + 3 * total + 9 * len * ndocs)"))
+        "(CAST(idf_micro AS DECIMAL(38,0)) * 22 * cnt * total) div " +
+          "(CAST(10 AS DECIMAL(38,0)) * total * cnt + 3 * total + 9 * len * ndocs)"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("bm25_micro").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
