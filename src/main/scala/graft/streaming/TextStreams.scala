@@ -66,9 +66,16 @@ object TextStreams {
     */
   def nearDupGate(stream: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.operators.Text
-    val bandIdx = Text.bandIndexOf(corpus)
+    // land both static sides ONCE at gate construction: a stream-static
+    // join re-evaluates the static plan EVERY micro-batch, and the fold
+    // below joins the band index four times per batch — without this the
+    // gate re-derives the corpus shingle/minhash pipeline 5× per trigger
+    // (measured 300 rows/s vs ~20k after). At 100 TB the same contract
+    // is a pre-built landed index table, not a per-run derivation.
+    val bandIdx = Text.bandIndexOf(corpus).localCheckpoint(true)
     val hashes = corpus
       .select(md5(col("text").cast("binary")).as("h")).distinct()
+      .localCheckpoint(true)
     val withSig = stream
       .withColumn("h", md5(col("text").cast("binary")))
       .withColumn("w", split(col("text"), " "))

@@ -30,7 +30,10 @@ object VectorStreams {
     */
   def nearDupGate(stream: DataFrame, corpus: DataFrame,
       tables: Int = 6, bits: Int = 3): DataFrame = {
-    val idx = Vectors.bucketIndexOf(corpus, tables, bits)
+    // landed once — the static side of a stream-static join re-evaluates
+    // per micro-batch, and the fold anti-joins it `tables` times per
+    // trigger (see TextStreams.nearDupGate)
+    val idx = Vectors.bucketIndexOf(corpus, tables, bits).localCheckpoint(true)
     (0 until tables).foldLeft(stream) { (df, t) =>
       df.withColumn("b", Vectors.bucketCol(t, bits))
         .join(idx.filter(col("t") === t).select(col("b")),
