@@ -53,7 +53,23 @@ object Tables {
   // the parallelism win at this data size) — don't re-add it; at real
   // scale the scan has row-group splits and parallelism comes for free.
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** `embeddings.embedding` is parquet `list<float>` today; normalize a
+    * `list<double>` regeneration to `array<float>` so the codegen'd
+    * float_dot surface (and every ANN query) keeps analyzing instead of
+    * erroring 40 queries at once (the events-NTZ failure mode). Caveat,
+    * deliberately accepted: if the generator ever emits true doubles,
+    * the narrowed floats can disagree with a DuckDB oracle computing on
+    * the raw doubles near floor/round boundaries — a few hash
+    * mismatches to fix, against a whole suite that still runs.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case _ => raw
+    }
+  }
 
   // ---------------------------------------------------------------------
   // Reference user-activity shape (SURVEY §1, §2.1)

@@ -51,6 +51,17 @@ class TablesSpec extends SparkSpec {
     assert(got == expected, s"TZ instant mismatch: $got vs $expected")
   }
 
+  test("embeddings.embedding: double-array regeneration normalizes to array<float>") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tables_spec_").toString
+    Seq((1L, Seq(0.5d, -0.25d), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Tables.embeddings(spark, dir)
+    assert(df.schema("embedding").dataType == ArrayType(FloatType),
+      s"embedding must normalize to array<float>, got ${df.schema("embedding").dataType}")
+    assert(df.select(col("embedding")).head().getSeq[Float](0) == Seq(0.5f, -0.25f))
+  }
+
   test("events.ts: nanos-as-long encoding converts by floor-division to micros") {
     // TIMESTAMP(NANOS) parquet surfaces to the reader as LongType (Spark 4
     // reads it only under spark.sql.legacy.parquet.nanosAsLong); a BIGINT
