@@ -343,8 +343,17 @@ object Vectors {
     * At 100 TB the centroid side stays broadcast and the argmax is the
     * same single aggregation — no extra shuffle of the big side.
     */
-  /** (vec_id, cid, cos): each vector's max-cosine coarse centroid. */
-  private def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, cid, cos): each vector's max-cosine coarse centroid —
+    * LANDED once per corpus ([[Materialize]]): this is the IVF index a
+    * vector store builds once and queries many times; six registry
+    * queries (q44/q48/q74/q102/q111 and the retention composites) read
+    * it, and rebuilding a corpus-sized assignment per query is exactly
+    * the re-derivation the materialized stage graph exists to prevent.
+    */
+  private def ivfAssignments(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"vec_ivf_$dir", ivfAssignmentsBuild(s, dir))
+
+  private def ivfAssignmentsBuild(s: SparkSession, dir: String): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
     val cent = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nsq").as("cn"))
@@ -388,7 +397,7 @@ object Vectors {
     * (argmin per (vec, s) = the code) and [[pqSearch]] (rows at query ids
     * = the ADC lookup table).
     */
-  private def pqDistances(s: SparkSession, dir: String, subspaces: Int,
+  private[graft] def pqDistances(s: SparkSession, dir: String, subspaces: Int,
                           nCentroids: Int): DataFrame = {
     val subLen = 64 / subspaces
     val base = Tables.embeddings(s, dir)
@@ -406,15 +415,20 @@ object Vectors {
       .select(col("vec_id"), col("s"), col("c"), col("d2"))
   }
 
-  /** (vec_id, s, c, d2): each subvector's argmin-L2 codeword. */
+  /** (vec_id, s, c, d2): each subvector's argmin-L2 codeword — LANDED
+    * once per (corpus, subspaces, nCentroids): the PQ code table IS the
+    * compressed index, built once and scanned by every ADC consumer
+    * (q72/q74/q102/q111).
+    */
   private def pqCodes(s: SparkSession, dir: String, subspaces: Int,
-                      nCentroids: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("d2"), col("c"))
-    pqDistances(s, dir, subspaces, nCentroids)
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("s"), col("c"), col("d2"))
-  }
+                      nCentroids: Int): DataFrame =
+    Materialize.table(s, s"vec_pqcodes_${dir}_${subspaces}_$nCentroids", {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d2"), col("c"))
+      pqDistances(s, dir, subspaces, nCentroids)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("s"), col("c"), col("d2"))
+    })
 
   def pqAssign(s: SparkSession, dir: String, subspaces: Int = 4,
                nCentroids: Int = 8): DataFrame = {

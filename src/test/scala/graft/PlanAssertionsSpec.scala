@@ -119,11 +119,19 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("q72 PQ assign: codebooks broadcast; distances stay in codegen float_dot") {
-    val plan = formatted("q72_pq_assign")
-    assert(plan.contains("BroadcastHashJoin"),
+    // the code table is a LANDED stage now — assert the codegen and
+    // broadcast properties on its BUILD plan, and that query time reads
+    // the landed parquet instead of re-deriving it
+    val build = graft.operators.Vectors.pqDistances(spark, sfDir, 4, 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(build.contains("BroadcastHashJoin"),
       "the 32-row codebook must broadcast — the corpus never shuffles for it")
-    assert(plan.contains("float_dot") && !plan.contains("aggregate(zip_with"),
+    assert(build.contains("float_dot") && !build.contains("aggregate(zip_with"),
       "d2 terms must run the codegen'd float_dot")
+    assert(!build.contains("CartesianProduct"))
+    val plan = formatted("q72_pq_assign")
+    assert(plan.contains("graft_mat"),
+      "q72 must read the landed PQ code stage, not re-derive it")
     assert(!plan.contains("CartesianProduct"))
   }
 
