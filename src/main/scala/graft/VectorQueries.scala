@@ -15,6 +15,39 @@ object VectorQueries {
   /** Fixed KNN query-id set — mirrors [[graft.operators.Vectors.KnnQueryIds]]. */
   private val QIDS = graft.operators.Vectors.KnnQueryIds.mkString("(", ", ", ")")
 
+  /** Shared trained-coarse-centroid chain (mirrors
+    * [[graft.operators.Vectors.kmeansCentroids]]): the q75 k-means c1
+    * table — first-8 init, one exact-integer Lloyd update — surfaced as
+    * DOUBLE[] centroids `cent(cid, ce, cn)`. Every IVF consumer
+    * (q44/q48/q74/q102/q111) assigns against THESE centroids; the
+    * BIGINT/1e6 division is the identical IEEE operation on both
+    * engines, so centroid doubles (and cosines against them) match
+    * bit-for-bit. CTE names are `k`-prefixed to coexist with each
+    * consumer's own CTEs.
+    */
+  private val KCENT: String = {
+    val OFF = 1L << 31
+    s"""kxm AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |kx AS (SELECT vec_id, d, xm[d] AS v
+       |       FROM kxm, UNNEST(generate_series(1, len(xm))) AS u(d)),
+       |kc0 AS (SELECT vec_id AS cid, d, v AS cv FROM kx WHERE vec_id < 8),
+       |kd1 AS (SELECT kx.vec_id, cid, SUM((v - cv) * (v - cv)) AS d2
+       |        FROM kx JOIN kc0 USING (d) GROUP BY 1, 2),
+       |ka1 AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+       |  FROM kd1) WHERE rk = 1),
+       |kc1 AS (SELECT cid, d,
+       |          CAST((SUM(v) + COUNT(*) * $OFF) // COUNT(*) - $OFF AS BIGINT) AS cv
+       |        FROM kx JOIN ka1 USING (vec_id) GROUP BY cid, d),
+       |kcl AS (SELECT cid, list(cv / 1000000.0 ORDER BY d) AS ce
+       |        FROM kc1 GROUP BY cid),
+       |cent AS (SELECT cid, ce, list_dot_product(ce, ce) AS cn FROM kcl)""".stripMargin
+  }
+
   /** q69/q98 shared chain: q45's multi-table LSH candidate generation +
     * cosine verify at 0.4, then the recursive reachability walk `r`
     * whose per-node MIN(lab) equals Spark's min-label-propagation
@@ -220,18 +253,22 @@ object VectorQueries {
     QueryDef("q48_ivf_knn", (s, d) => ivfKnn(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |$KCENT,
          |ascored AS (
          |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
          |  FROM base CROSS JOIN cent),
+         |probes AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM ascored WHERE vec_id IN $QIDS) WHERE rnk <= 2),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
          |    FROM ascored) WHERE rnk = 1),
          |ext AS (SELECT base.vec_id, e, nsq, cid FROM base JOIN assign USING (vec_id)),
-         |q AS (SELECT vec_id AS qid, e AS qe, nsq AS qn, cid FROM ext
-         |      WHERE vec_id IN $QIDS),
+         |q AS (SELECT p.vec_id AS qid, e AS qe, nsq AS qn, p.cid
+         |      FROM probes p JOIN base ON base.vec_id = p.vec_id),
          |scored AS (
          |  SELECT qid, c.vec_id AS neighbor_id,
          |    list_dot_product(qe, c.e) / sqrt(qn * c.nsq) AS cos
@@ -273,10 +310,14 @@ object VectorQueries {
     QueryDef("q74_pq_search", (s, d) => pqSearch(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
-         |cent0 AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |$KCENT,
          |ascored AS (
          |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
-         |  FROM base CROSS JOIN cent0),
+         |  FROM base CROSS JOIN cent),
+         |probes AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM ascored WHERE vec_id IN $QIDS) WHERE rnk <= 2),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -293,7 +334,7 @@ object VectorQueries {
          |  SELECT vec_id, s, c,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
          |  FROM d) WHERE rk = 1),
-         |q AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id IN $QIDS),
+         |q AS (SELECT vec_id AS qid, cid FROM probes),
          |lut AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id IN $QIDS),
          |cand AS (SELECT qid, a.vec_id AS neighbor_id
          |         FROM q JOIN assign a USING (cid) WHERE a.vec_id != qid),
@@ -319,10 +360,14 @@ object VectorQueries {
     QueryDef("q102_pq_rerank", (s, d) => pqRerank(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
-         |cent0 AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |$KCENT,
          |ascored AS (
          |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
-         |  FROM base CROSS JOIN cent0),
+         |  FROM base CROSS JOIN cent),
+         |probes AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM ascored WHERE vec_id IN $QIDS) WHERE rnk <= 2),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -339,7 +384,7 @@ object VectorQueries {
          |  SELECT vec_id, s, c,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
          |  FROM d) WHERE rk = 1),
-         |q AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id IN $QIDS),
+         |q AS (SELECT vec_id AS qid, cid FROM probes),
          |lut AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id IN $QIDS),
          |cand AS (SELECT qid, a.vec_id AS neighbor_id
          |         FROM q JOIN assign a USING (cid) WHERE a.vec_id != qid),
@@ -385,18 +430,22 @@ object VectorQueries {
          |  SELECT qid, neighbor_id,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM bscored) WHERE rnk <= 3),
-         |cent0 AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |$KCENT,
          |ascored AS (
          |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
-         |  FROM base CROSS JOIN cent0),
+         |  FROM base CROSS JOIN cent),
+         |probes AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
+         |  FROM ascored WHERE vec_id IN $QIDS) WHERE rnk <= 2),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rnk
          |    FROM ascored) WHERE rnk = 1),
          |ext AS (SELECT base.vec_id, e, nsq, cid FROM base JOIN assign USING (vec_id)),
-         |qi AS (SELECT vec_id AS qid, e AS qe, nsq AS qn, cid FROM ext
-         |       WHERE vec_id IN $QIDS),
+         |qi AS (SELECT p.vec_id AS qid, e AS qe, nsq AS qn, p.cid
+         |       FROM probes p JOIN base ON base.vec_id = p.vec_id),
          |iscored AS (
          |  SELECT qid, c.vec_id AS neighbor_id,
          |    list_dot_product(qe, c.e) / sqrt(qn * c.nsq) AS cos
@@ -416,7 +465,7 @@ object VectorQueries {
          |  SELECT vec_id, s, c,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk
          |  FROM d) WHERE rk = 1),
-         |qp AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id IN $QIDS),
+         |qp AS (SELECT vec_id AS qid, cid FROM probes),
          |lut AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id IN $QIDS),
          |cand AS (SELECT qid, a.vec_id AS neighbor_id
          |         FROM qp JOIN assign a USING (cid) WHERE a.vec_id != qid),
@@ -498,7 +547,7 @@ object VectorQueries {
     QueryDef("q44_ivf_assign", (s, d) => ivfAssign(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, e AS ce, nsq AS cn FROM base WHERE vec_id < 8),
+         |$KCENT,
          |scored AS (
          |  SELECT vec_id, cid, list_dot_product(e, ce) / sqrt(nsq * cn) AS cos
          |  FROM base CROSS JOIN cent),

@@ -337,11 +337,14 @@ object Vectors {
       .orderBy(col("label"))
   }
 
-  /** IVF-style cell assignment: the 8 vectors with vec_id 0..7 act as
-    * fixed coarse centroids; each vector joins its max-cosine centroid.
-    * Per-cell occupancy + mean similarity (decimal-exact accumulation).
-    * At 100 TB the centroid side stays broadcast and the argmax is the
-    * same single aggregation — no extra shuffle of the big side.
+  /** IVF-style cell assignment against TRAINED coarse centroids: each
+    * vector joins its max-cosine centroid from [[kmeansCentroids]] (the
+    * q75 Lloyd-updated table — an IVF index built from k-means is the
+    * production construction; round 6 used the first 8 raw vectors,
+    * which is the k-means INIT, not the index). Per-cell occupancy +
+    * mean similarity (decimal-exact accumulation). At 100 TB the
+    * centroid side stays broadcast and the argmax is the same single
+    * aggregation — no extra shuffle of the big side.
     */
   /** (vec_id, cid, cos): each vector's max-cosine coarse centroid —
     * LANDED once per corpus ([[Materialize]]): this is the IVF index a
@@ -353,17 +356,47 @@ object Vectors {
   private def ivfAssignments(s: SparkSession, dir: String): DataFrame =
     Materialize.table(s, s"vec_ivf_$dir", ivfAssignmentsBuild(s, dir))
 
-  private def ivfAssignmentsBuild(s: SparkSession, dir: String): DataFrame = {
+  /** Trained centroids as DOUBLE vectors with norms: (cid, ce, cn).
+    * Components are exact integers/1e6 — both engines perform the
+    * identical BIGINT→DOUBLE division, so the centroid doubles (and
+    * every cosine against them) are bit-identical.
+    */
+  private def centDoubles(s: SparkSession, dir: String): DataFrame =
+    kmeansCentroids(s, dir)
+      .select(col("cid"),
+        expr("transform(cm, v -> v / CAST(1000000.0 AS DOUBLE))").as("ce"))
+      .withColumn("cn", expr("float_dot(ce, ce)"))
+
+  private[graft] def ivfAssignmentsBuild(s: SparkSession, dir: String): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
-    val cent = base.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nsq").as("cn"))
     val scored = base.select(col("vec_id"), col("embedding"), col("nsq"))
-      .join(broadcast(cent))
+      .join(broadcast(centDoubles(s, dir)))
       .withColumn("cos", cosine(dot("embedding", "ce"), col("nsq"), col("cn")))
     // argmax by (cos desc, cid): deterministic and engine-portable
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
       .select(col("vec_id"), col("cid"), col("cos"))
+  }
+
+  /** (qid, cid): the `nprobe` highest-cosine cells per KNN query vector —
+    * the multi-probe read path of a trained IVF index. k-means balances
+    * cells, which splits a query's true neighbors across cell borders
+    * more often than the degenerate first-8-raw-vector cells did (one
+    * giant cell ≈ accidental brute force); probing the top-2 cells
+    * restores and then beats the old recall (measured at sf0.01:
+    * IVF 366666 → 500000 micro-recall@3) at 2× the in-cell candidate
+    * cost — the classic nprobe knob. O(|Q|·k) work: the query side is
+    * the fixed constant-size id set, centroids broadcast.
+    */
+  private def queryProbes(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+    val base = withNorm(Tables.embeddings(s, dir))
+      .filter(col("vec_id").isin(KnnQueryIds: _*))
+    val scored = base.select(col("vec_id"), col("embedding"), col("nsq"))
+      .join(broadcast(centDoubles(s, dir)))
+      .withColumn("cos", cosine(dot("embedding", "ce"), col("nsq"), col("cn")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
   }
 
   def ivfAssign(s: SparkSession, dir: String): DataFrame = {
@@ -466,8 +499,9 @@ object Vectors {
   private def adcScores(s: SparkSession, dir: String, subspaces: Int,
                         nCentroids: Int): DataFrame = {
     val assign = ivfAssignments(s, dir).select(col("vec_id"), col("cid"))
-    val q = assign.filter(col("vec_id").isin(KnnQueryIds: _*))
-      .select(col("vec_id").as("qid"), col("cid"))
+    // multi-probe: candidates come from each query's top-2 cells; every
+    // candidate appears once (the index assigns each vector to ONE cell)
+    val q = queryProbes(s, dir)
     val cand = broadcast(q).join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"))
@@ -560,10 +594,50 @@ object Vectors {
       .orderBy(col("method"))
   }
 
+  /** Micro-int view used by k-means: xm[d] = floor(x·1e6), exact. */
+  private def microVecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0D))"
+    ).as("xm"))
+
+  /** Min-L2 assignment of micro vectors to a broadcast centroid table. */
+  private def kmAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.join(broadcast(cent))
+      .withColumn("d2", expr("long_l2(xm, cm)"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("d2")),
+        struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+
+  /** (cid, cm: array<bigint>): the TRAINED coarse centroids — one Lloyd
+    * update from the first-k init, in exact integer micro-space (see
+    * [[kmeansTrain]] for the determinism story). LANDED once per
+    * (corpus, k): this table is the model artifact the IVF index
+    * ([[ivfAssignments]]) and the q75 training report both consume —
+    * training runs once, not once per consumer.
+    */
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    Materialize.table(s, s"vec_kmcent_${dir}_$k", {
+      val vecs = microVecs(s, dir)
+      val cent0 = vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("xm").as("cm"))
+      val a1 = kmAssign(vecs, cent0)
+      // exact integer per-dimension mean; OFF = 2^31 dwarfs any |Σ xm|/n
+      vecs.join(a1.select(col("vec_id"), col("cid")), "vec_id")
+        .select(col("cid"), posexplode(col("xm")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg(expr(s"(sum(v) + count(1) * ${1L << 31}L) div count(1) - ${1L << 31}L")
+          .as("cv"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, cv))), p -> p.cv)")
+          .as("cm"))
+    })
+
   /** Distributed k-means TRAINING (Lloyd's algorithm) — the step that
-    * produces the coarse centroids the IVF/PQ queries (q44/q48/q72/q74)
-    * consume as given. Two assignment passes with one centroid update
-    * between them, all in exact integer micro-space so every argmin and
+    * produces the coarse centroids the IVF consumers (q44/q48/q74/q102/
+    * q111) read via [[kmeansCentroids]]. Two assignment passes with one
+    * centroid update between them, all in exact integer micro-space so
+    * every argmin and
     * every learned centroid is bit-identical on any engine:
     *
     *   - components quantize once to xm[d] = floor(x[d]·10⁶) (one IEEE
@@ -586,31 +660,8 @@ object Vectors {
     * constant; each extra Lloyd pass is the same two stages again.
     */
   def kmeansTrain(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val vecs = Tables.embeddings(s, dir).select(col("vec_id"), expr(
-      "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0D))"
-    ).as("xm"))
-
-    def assign(cent: DataFrame): DataFrame =
-      vecs.join(broadcast(cent))
-        .withColumn("d2", expr("long_l2(xm, cm)"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cid"), col("d2")),
-          struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
-
-    val cent0 = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("xm").as("cm"))
-    val a1 = assign(cent0)
-    // exact integer per-dimension mean; OFF = 2^31 dwarfs any |Σ xm|/n
-    val cent1 = vecs.join(a1.select(col("vec_id"), col("cid")), "vec_id")
-      .select(col("cid"), posexplode(col("xm")).as(Seq("d", "v")))
-      .groupBy(col("cid"), col("d"))
-      .agg(expr(s"(sum(v) + count(1) * ${1L << 31}L) div count(1) - ${1L << 31}L")
-        .as("cv"))
-      .groupBy(col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(d, cv))), p -> p.cv)")
-        .as("cm"))
-    val a2 = assign(cent1)
+    val cent1 = kmeansCentroids(s, dir, k)
+    val a2 = kmAssign(microVecs(s, dir), cent1)
     a2.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(expr("d2 div 1000000")).cast(LongType).as("inertia_mu"))
@@ -622,19 +673,23 @@ object Vectors {
   }
 
   /** IVF-probed ANN: top-k neighbors searched ONLY within the query's
-    * coarse cell — the probe path that makes ANN sub-linear at scale
-    * (brute force runs per cell, never globally). Recall vs. global
-    * brute force depends on cell quality; precision is exact.
+    * top-2 probed cells ([[queryProbes]]) — the probe path that makes
+    * ANN sub-linear at scale (brute force runs per probed cell, never
+    * globally). Recall vs. global brute force depends on cell quality
+    * and nprobe; precision is exact.
     */
   def ivfKnn(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val assign = ivfAssignments(s, dir).select(col("vec_id"), col("cid"))
     val base = withNorm(Tables.embeddings(s, dir))
-      .join(assign, "vec_id")
-    val q = base.filter(col("vec_id").isin(KnnQueryIds: _*))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nsq").as("qn"), col("cid"))
-    val c = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      col("nsq").as("cn"), col("cid"))
+    // query side: the fixed id set × its top-2 probed cells (constant
+    // size, broadcast); candidate side: the landed one-cell-per-vector
+    // index, so each candidate joins a query at most once
+    val q = queryProbes(s, dir)
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nsq").as("qn")), "qid")
+    val c = base.join(assign, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nsq").as("cn"), col("cid"))
     val scored = broadcast(q).join(c, Seq("cid"))
       .filter(col("qid") =!= col("neighbor_id"))
       .withColumn("cos", cosine(dot("qe", "ce"), col("qn"), col("cn")))

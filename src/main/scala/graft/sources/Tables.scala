@@ -53,21 +53,27 @@ object Tables {
   // the parallelism win at this data size) — don't re-add it; at real
   // scale the scan has row-group splits and parallelism comes for free.
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  /** `embeddings.embedding` is parquet `list<float>` today; normalize a
-    * `list<double>` regeneration to `array<float>` so the codegen'd
-    * float_dot surface (and every ANN query) keeps analyzing instead of
-    * erroring 40 queries at once (the events-NTZ failure mode). Caveat,
-    * deliberately accepted: if the generator ever emits true doubles,
-    * the narrowed floats can disagree with a DuckDB oracle computing on
-    * the raw doubles near floor/round boundaries — a few hash
-    * mismatches to fix, against a whole suite that still runs.
+  /** `embeddings.embedding` is parquet `list<float>` today; a
+    * `list<double>` regeneration passes through at its NATIVE width —
+    * no narrowing. Every distance in the engine runs through the
+    * width-polymorphic `float_dot` ([[graft.functions.FloatDot]]), which
+    * widens floats exactly and takes doubles as-is, matching the DuckDB
+    * oracle's `CAST(embedding AS DOUBLE[])` bit-for-bit at either width.
+    * (Round 6 narrowed doubles to float here, which kept queries
+    * analyzing but would silently disagree with the oracle on true
+    * doubles near round/floor boundaries — the last single-point
+    * mass-breakage vector; see TablesSpec's preservation cases.)
+    * Any other element type (a hypothetical decimal/int regeneration)
+    * casts to double — the oracle's computation type.
     */
   def embeddings(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "embeddings")
     raw.schema("embedding").dataType match {
-      case ArrayType(DoubleType, _) =>
-        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
-      case _ => raw
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => raw
+      case ArrayType(_, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding must be an array column, got ${other.simpleString}")
     }
   }
 

@@ -51,15 +51,54 @@ class TablesSpec extends SparkSpec {
     assert(got == expected, s"TZ instant mismatch: $got vs $expected")
   }
 
-  test("embeddings.embedding: double-array regeneration normalizes to array<float>") {
+  test("embeddings.embedding: float-array encoding passes through unchanged") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_tables_spec_").toString
-    Seq((1L, Seq(0.5d, -0.25d), 0)).toDF("vec_id", "embedding", "label")
+    Seq((1L, Seq(0.5f, -0.25f), 0)).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val df = Tables.embeddings(spark, dir)
-    assert(df.schema("embedding").dataType == ArrayType(FloatType),
-      s"embedding must normalize to array<float>, got ${df.schema("embedding").dataType}")
+    assert(df.schema("embedding").dataType == ArrayType(FloatType))
     assert(df.select(col("embedding")).head().getSeq[Float](0) == Seq(0.5f, -0.25f))
+  }
+
+  test("embeddings.embedding: true-double regeneration is preserved EXACTLY") {
+    // 0.1 and 1e-200 are not float-representable (0.1f round-trips to a
+    // different double; 1e-200 underflows float to 0). Round 6 narrowed
+    // these to float at ingest — a silent-precision-loss path that could
+    // hash-mismatch 40+ ANN queries against a DuckDB oracle computing on
+    // the raw doubles. The contract now: doubles pass through untouched.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tables_spec_").toString
+    val vals = Seq(0.1d, 1e-200, 1.0 + 1e-15)
+    Seq((1L, vals, 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Tables.embeddings(spark, dir)
+    assert(df.schema("embedding").dataType == ArrayType(DoubleType),
+      s"true doubles must be preserved, got ${df.schema("embedding").dataType}")
+    val got = df.select(col("embedding")).head().getSeq[Double](0)
+    assert(got == vals, s"double payload must survive bit-exact: $got vs $vals")
+    assert(got.head != 0.1f.toDouble, "sentinel: 0.1 must NOT be the float round-trip")
+  }
+
+  test("float_dot computes identically on float, double, and mixed-width arrays") {
+    // the width-polymorphic dot is what makes the no-narrowing ingest
+    // safe: every consumer goes through float_dot, so a double corpus
+    // against float literal planes must still analyze and be exact
+    val rows = spark.sql(
+      """SELECT
+        |  float_dot(array(CAST(0.5 AS FLOAT), CAST(-2 AS FLOAT)),
+        |            array(CAST(4 AS FLOAT), CAST(3 AS FLOAT))) AS ff,
+        |  float_dot(array(0.5D, -2D), array(4D, 3D)) AS dd,
+        |  float_dot(array(0.5D, -2D),
+        |            array(CAST(4 AS FLOAT), CAST(3 AS FLOAT))) AS df,
+        |  float_dot(array(0.1D), array(1D)) AS exact_double
+        |""".stripMargin).head()
+    assert(rows.getDouble(0) == -4.0)
+    assert(rows.getDouble(1) == -4.0)
+    assert(rows.getDouble(2) == -4.0)
+    // a narrowed 0.1f*1.0 would give 0.10000000149011612, not 0.1
+    assert(rows.getDouble(3) == 0.1d,
+      s"double inputs must not be narrowed: got ${rows.getDouble(3)}")
   }
 
   test("events.ts: nanos-as-long encoding converts by floor-division to micros") {
