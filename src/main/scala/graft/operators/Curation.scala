@@ -301,8 +301,10 @@ object Curation {
         Tables.lineitem(s, dir).select(col("l_suppkey").cast(StringType).as("k"))))
       .unionByName(keyStats("orders.o_custkey",
         Tables.orders(s, dir).select(col("o_custkey").cast(StringType).as("k"))))
+      // the shingle family reads the LANDED corpus shingle stage shared
+      // with q87/minhash instead of replaying the corpus explode
       .unionByName(keyStats("shingles.sh",
-        Text.shinglesOf(Tables.documents(s, dir)).select(col("sh").as("k"))))
+        Text.docShingles(s, dir).select(col("sh").as("k"))))
       .orderBy(col("relation"))
   }
 

@@ -44,8 +44,31 @@ object Text {
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
         ))).as("sh"))
 
+  /** The corpus shingle stage, LANDED once per corpus ([[Materialize]]):
+    * per-doc-distinct word-3-grams with provenance and the shared 60-bit
+    * hash — (doc_id, source, sh, h). Every shingle consumer in the
+    * library derives from this one table instead of replaying the
+    * corpus-sized tokenize + explode + per-doc dedup per consumer:
+    * [[shingles]] (string joins: the exact-intersection stage),
+    * [[minhashAgg]] (h % P), q87's distinct (source, h) overlap matrix,
+    * and q115's shingle-key skew counts. At 100 TB the explode is a full
+    * corpus pass — landing it converts four passes into one write plus
+    * three column-pruned parquet reads (consumers that don't touch `sh`
+    * never deserialize the string column).
+    */
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"text_docsh_$dir",
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), words.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+          ))).as("sh"))
+        .withColumn("h", hash60(col("sh"))))
+
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.documents(s, dir))
+    docShingles(s, dir).select(col("doc_id"), col("sh"))
 
   /** Per-language corpus profile: volume, length, source spread. */
   def langStats(s: SparkSession, dir: String): DataFrame =
@@ -294,7 +317,9 @@ object Text {
     * stream itself stays lazy.
     */
   private[graft] def minhashAgg(s: SparkSession, dir: String): DataFrame = {
-    val shh = shingles(s, dir).withColumn("h", hash60(col("sh")) % P)
+    // reads only (doc_id, h) from the landed shingle stage — the string
+    // column is pruned at the parquet scan
+    val shh = docShingles(s, dir).select(col("doc_id"), (col("h") % P).as("h"))
     val mhCols = (0 until 8).map(j =>
       min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j")) :+
       count(lit(1)).as("n_sh")
@@ -1403,17 +1428,16 @@ object Text {
     * growth widens the hash table, never the fan-out.
     */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val h = Tables.documents(s, dir)
-      .select(col("source"), words.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
-      )).as("sh"))
-      .select(col("source"), hash60(col("sh")).as("h"))
+    // derives from the LANDED corpus shingle stage ([[docShingles]]):
+    // only (source, h) is read — the string column prunes away — and the
+    // per-doc-distinct explode never replays here. Per-doc dedup before
+    // source-level dedup changes nothing: distinct is idempotent.
+    val h = docShingles(s, dir)
+      .select(col("source"), col("h"))
       .distinct()
       // distinct (source, hash) pairs feed THREE consumers (sizes + both
-      // self-join sides); eager-checkpoint so the corpus-sized shingle
-      // explode and dedup shuffle run once, not three times
+      // self-join sides); eager-checkpoint so the dedup shuffle runs
+      // once, not three times
       .localCheckpoint(true)
     val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     h.select(col("source").as("s1"), col("h"))
