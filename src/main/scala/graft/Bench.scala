@@ -62,9 +62,32 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (ok) elapsed else -1.0
     }
+    // Host-load telemetry: the 1-minute loadavg sampled at pass
+    // boundaries, plus each pass's wall total. These numbers exist so a
+    // reader can tell contention-inflated runs from real regressions —
+    // round 5's artifact carried numbers 2–60x inflated by a loaded
+    // host and was indistinguishable from a regression without them.
+    // A loadavg far above this process's own footprint (or a pass wall
+    // total far above the per-query sum) says: re-run on a quiet host
+    // before reading the numbers as engine throughput.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def fmt(v: Double, dp: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val load0 = loadavg()
+    val wall0 = System.nanoTime()
     val pass1 = names.map(n => n -> once(n)).toMap
+    val load1 = loadavg()
+    val wall1 = System.nanoTime()
     val half = names.size / 2
     val pass2 = (names.drop(half) ++ names.take(half)).map(n => n -> once(n)).toMap
+    val load2 = loadavg()
+    val wall2 = System.nanoTime()
+    def loadJson = s"""{"start":${fmt(load0, 2)},"mid":${fmt(load1, 2)},"end":${fmt(load2, 2)},"cpus":$cpus}"""
+    def wallJson = s"""{"pass1":${fmt((wall1 - wall0) / 1e9, 1)},"pass2":${fmt((wall2 - wall1) / 1e9, 1)}}"""
     val results = names.map { n =>
       val (t1, t2) = (pass1(n), pass2(n))
       n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
@@ -75,8 +98,6 @@ object Bench {
     // (the qNN prefix, per the driver contract's own example) and rounded
     // seconds keep the whole line near 1500 chars — comfortably inside
     // the window even with the trailing sbt line.
-    def fmt(v: Double, dp: Int): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     def shortKey(n: String): String = n.takeWhile(_ != '_')
     // Registry guards full-name duplicates; the JSON keys are the short
     // qNN prefixes, so a reused number would silently drop one timing.
@@ -95,14 +116,14 @@ object Bench {
       if (vs.forall(_ >= 0)) fmt(vs.sum, 3) else "null"
     val total = totalOf(results.map(_._2))
     val coldTotal = totalOf(names.map(pass1))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_ok":$nOk,"n_queries":${results.size},"queries":${qmap(warm, 2)},"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_ok":$nOk,"n_queries":${results.size},"queries":${qmap(warm, 2)},"load":$loadJson,"wall_s":$wallJson,"errors":$errs,"sf":"$sfDir"}"""
     // Full detail (3-dp warm AND cold per query, plus per-stage landed-
     // table build seconds) goes to a file: the stdout line must stay
     // inside the driver's 2000-char tail window.
     val mat = graft.operators.Materialize.buildSeconds.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_ok":$nOk,"n_queries":${results.size},"warm":${qmap(warm, 3)},"cold":${qmap(pass1, 3)},"materialize_s":$mat,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_ok":$nOk,"n_queries":${results.size},"warm":${qmap(warm, 3)},"cold":${qmap(pass1, 3)},"materialize_s":$mat,"load":$loadJson,"wall_s":$wallJson,"errors":$errs,"sf":"$sfDir"}"""
     for ((f, s) <- Seq("bench.json" -> line, "bench_full.json" -> full)) {
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(s) finally w.close()
