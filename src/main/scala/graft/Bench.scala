@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   * production DAG reads landed stages) is the headline; `cold_total`
   * (pass-1 sum, includes every stage build) is the end-to-end
   * first-run cost. Per-stage build seconds land in bench_full.json.
+  * Materialize reuses fingerprint-matched stages landed by EARLIER
+  * processes over identical data; when that happens the cold pass
+  * measured a warm lake, and bench_full.json discloses exactly which
+  * stages came pre-built (`materialize_reused`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -123,7 +127,12 @@ object Bench {
     val mat = graft.operators.Materialize.buildSeconds.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_ok":$nOk,"n_queries":${results.size},"warm":${qmap(warm, 3)},"cold":${qmap(pass1, 3)},"materialize_s":$mat,"load":$loadJson,"wall_s":$wallJson,"errors":$errs,"sf":"$sfDir"}"""
+    // stages reused from a previous process (fingerprint-matched landed
+    // tables): when non-empty, this run's "cold" pass measured a warm
+    // lake — the artifact must say so
+    val matReused = graft.operators.Materialize.reusedKeys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n_ok":$nOk,"n_queries":${results.size},"warm":${qmap(warm, 3)},"cold":${qmap(pass1, 3)},"materialize_s":$mat,"materialize_reused":$matReused,"load":$loadJson,"wall_s":$wallJson,"errors":$errs,"sf":"$sfDir"}"""
     for ((f, s) <- Seq("bench.json" -> line, "bench_full.json" -> full)) {
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(s) finally w.close()

@@ -57,7 +57,7 @@ object Text {
     * never deserialize the string column).
     */
   private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
-    Materialize.table(s, s"text_docsh_$dir",
+    Materialize.table(s, s"text_docsh_$dir", dir,
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), words.as("w"))
         .filter(size(col("w")) >= 3)
@@ -153,7 +153,7 @@ object Text {
     * threshold is a post-filter, so one landed table serves all callers.
     */
   private[graft] def shingleInter(s: SparkSession, dir: String): DataFrame =
-    Materialize.table(s, s"text_inter_$dir", {
+    Materialize.table(s, s"text_inter_$dir", dir, {
       val sh = shingles(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.toDF("d1", "sh").hint("SHUFFLE_HASH")
@@ -303,7 +303,7 @@ object Text {
   }
 
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    Materialize.table(s, s"text_pairs_${dir}_$threshold",
+    Materialize.table(s, s"text_pairs_${dir}_$threshold", dir,
       minhashLshPairsBuild(s, dir, threshold))
       .orderBy(col("d1"), col("d2"))
 
@@ -349,7 +349,7 @@ object Text {
     * replaying it per consumer would double the most expensive stage.
     */
   private[graft] def bandCollisionPairs(s: SparkSession, dir: String): DataFrame =
-    Materialize.table(s, s"text_minband_$dir", {
+    Materialize.table(s, s"text_minband_$dir", dir, {
       val bands = mhBands(minhashAgg(s, dir))
       bands.toDF("d1", "band", "sig")
         .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
@@ -497,7 +497,7 @@ object Text {
     * min-label propagation (see its notes for the scale story).
     */
   def neardupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    Materialize.table(s, s"text_labels_${dir}_$threshold",
+    Materialize.table(s, s"text_labels_${dir}_$threshold", dir,
       Graph.connectedComponents(
         minhashLshPairs(s, dir, threshold).select(col("d1"), col("d2")), "doc_id"))
       .orderBy(col("doc_id"))

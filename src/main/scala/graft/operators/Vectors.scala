@@ -111,7 +111,7 @@ object Vectors {
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
       cells: Int = 8, blocks: Int = 8): DataFrame =
-    Materialize.table(s, s"vec_exact_${dir}_${threshold}_${cells}_$blocks",
+    Materialize.table(s, s"vec_exact_${dir}_${threshold}_${cells}_$blocks", dir,
       embedNearDupBuild(s, dir, threshold, cells, blocks))
       .orderBy(col("id1"), col("id2"))
 
@@ -222,7 +222,7 @@ object Vectors {
     */
   def lshNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
       tables: Int = 6, bits: Int = 3): DataFrame =
-    Materialize.table(s, s"vec_pairs_${dir}_${threshold}_${tables}_$bits",
+    Materialize.table(s, s"vec_pairs_${dir}_${threshold}_${tables}_$bits", dir,
       lshNearDupBuild(s, dir, threshold, tables, bits))
       .orderBy(col("id1"), col("id2"))
 
@@ -283,7 +283,7 @@ object Vectors {
   def lshRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.4,
       tables: Int = 6, bits: Int = 3): DataFrame = {
     val base = withNorm(Tables.embeddings(s, dir))
-    val minT = Materialize.table(s, s"vec_mintable_${dir}_${tables}_$bits", {
+    val minT = Materialize.table(s, s"vec_mintable_${dir}_${tables}_$bits", dir, {
       val tb = (0 until tables).map(t =>
         struct(lit(t).as("t"), bucketCol(t, bits).as("b")))
       val buckets = base.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
@@ -314,7 +314,7 @@ object Vectors {
     * same retention step as text q67, over the vector modality.
     */
   def embedClusters(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
-    Materialize.table(s, s"vec_labels_${dir}_$threshold",
+    Materialize.table(s, s"vec_labels_${dir}_$threshold", dir,
       Graph.connectedComponents(
         lshNearDup(s, dir, threshold).select(col("id1"), col("id2")), "vec_id"))
       .orderBy(col("vec_id"))
@@ -354,7 +354,7 @@ object Vectors {
     * the re-derivation the materialized stage graph exists to prevent.
     */
   private def ivfAssignments(s: SparkSession, dir: String): DataFrame =
-    Materialize.table(s, s"vec_ivf_$dir", ivfAssignmentsBuild(s, dir))
+    Materialize.table(s, s"vec_ivf_$dir", dir, ivfAssignmentsBuild(s, dir))
 
   /** Trained centroids as DOUBLE vectors with norms: (cid, ce, cn).
     * Components are exact integers/1e6 — both engines perform the
@@ -455,7 +455,7 @@ object Vectors {
     */
   private def pqCodes(s: SparkSession, dir: String, subspaces: Int,
                       nCentroids: Int): DataFrame =
-    Materialize.table(s, s"vec_pqcodes_${dir}_${subspaces}_$nCentroids", {
+    Materialize.table(s, s"vec_pqcodes_${dir}_${subspaces}_$nCentroids", dir, {
       val w = Window.partitionBy(col("vec_id"), col("s"))
         .orderBy(col("d2"), col("c"))
       pqDistances(s, dir, subspaces, nCentroids)
@@ -617,7 +617,7 @@ object Vectors {
     * training runs once, not once per consumer.
     */
   private[graft] def kmeansCentroids(s: SparkSession, dir: String, k: Int = 8): DataFrame =
-    Materialize.table(s, s"vec_kmcent_${dir}_$k", {
+    Materialize.table(s, s"vec_kmcent_${dir}_$k", dir, {
       val vecs = microVecs(s, dir)
       val cent0 = vecs.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("xm").as("cm"))

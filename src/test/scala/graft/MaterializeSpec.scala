@@ -4,42 +4,166 @@ import java.nio.file.Files
 
 import graft.operators.{Materialize, Text}
 
-/** Contracts for the shared-stage materializer: the fail-safe stale-dir
-  * sweep (never delete a live or unidentifiable dir) and the key
-  * discipline (every semantic parameter of a build is encoded in its
-  * key, so a parameter change can never serve a stale landed stage).
+/** Contracts for the shared-stage materializer: cross-run reuse keyed
+  * by a source-data fingerprint (reuse on identical data, rebuild on
+  * any change), the fail-safe stale-dir sweeps (never delete a live or
+  * unidentifiable dir), and the key discipline (every semantic
+  * parameter of a build is encoded in its key, so a parameter change
+  * can never serve a stale landed stage).
   */
 class MaterializeSpec extends SparkSpec {
 
+  private def tmpDirWith(content: String): java.io.File = {
+    val d = Files.createTempDirectory("mat_src_").toFile
+    Files.writeString(d.toPath.resolve("data.txt"), content)
+    d
+  }
+
+  private def safeKey(key: String, fp: String): String =
+    key.map(c => if (c.isLetterOrDigit) c else '_') + "__" + fp
+
+  private val sharedBase = new java.io.File(
+    new java.io.File(System.getProperty("java.io.tmpdir")), "graft_mat_v2")
+
   // ------------------------------------------------------------------
-  // stale-dir sweep: fail-safe in every ambiguous case
+  // source-data fingerprint
   // ------------------------------------------------------------------
 
-  test("sweep: dir with live owner pid is NOT stale") {
+  test("fingerprint: stable on identical data, changes on any file change") {
+    val d = tmpDirWith("hello")
+    val fp1 = Materialize.fingerprint(d.toString)
+    assert(fp1 == Materialize.fingerprint(d.toString), "must be deterministic")
+    Files.writeString(d.toPath.resolve("data.txt"), "hello2")
+    assert(Materialize.fingerprint(d.toString) != fp1,
+      "a size change must change the fingerprint")
+    Files.writeString(d.toPath.resolve("extra.txt"), "x")
+    val fp3 = Materialize.fingerprint(d.toString)
+    Files.delete(d.toPath.resolve("extra.txt"))
+    assert(Materialize.fingerprint(d.toString) != fp3,
+      "adding/removing a file must change the fingerprint")
+  }
+
+  test("fingerprint: missing source dir yields the nosrc sentinel") {
+    assert(Materialize.fingerprint("/definitely/not/a/dir") == "nosrc")
+  }
+
+  // ------------------------------------------------------------------
+  // cross-run reuse: a stage landed by a "previous process" is read,
+  // not rebuilt; changed data never serves the old stage
+  // ------------------------------------------------------------------
+
+  test("a stage landed by a previous process is reused, not rebuilt") {
+    val src = tmpDirWith("corpus-v1")
+    val key = s"spec_reuse_${System.nanoTime}"
+    val safe = safeKey(key, Materialize.fingerprint(src.toString))
+    // emulate the previous process's atomic publish
+    val landed = new java.io.File(sharedBase, safe)
+    spark.range(1).toDF("x").write.parquet(landed.toString)
+    Files.writeString(landed.toPath.resolve("_graft_src"), src.toString)
+    // the build must NOT run — reuse means reading the landed table
+    val out = Materialize.table(spark, key, src.toString,
+      sys.error("build must not run: stage is landed for identical data"))
+    assert(out.count() == 1)
+    assert(Materialize.reusedKeys.contains(safe),
+      s"reused stage must be reported; reused=${Materialize.reusedKeys}")
+  }
+
+  test("fingerprint invalidation: changed source data rebuilds the stage") {
+    val src = tmpDirWith("corpus-v1")
+    val key = s"spec_invalid_${System.nanoTime}"
+    // previous process landed a 1-row stage over v1 data...
+    val landed = new java.io.File(sharedBase,
+      safeKey(key, Materialize.fingerprint(src.toString)))
+    spark.range(1).toDF("x").write.parquet(landed.toString)
+    Files.writeString(landed.toPath.resolve("_graft_src"), src.toString)
+    // ...then the data changed in place BEFORE this process first saw it
+    Files.writeString(src.toPath.resolve("data.txt"), "corpus-v2-regenerated")
+    val out = Materialize.table(spark, key, src.toString,
+      spark.range(2).toDF("x"))
+    assert(out.count() == 2,
+      "a regeneration must build fresh, never serve the old landed stage")
+  }
+
+  // ------------------------------------------------------------------
+  // shared-root sweep: fail-safe in every ambiguous case
+  // ------------------------------------------------------------------
+
+  test("shared sweep: published stage over unchanged data is kept") {
+    val src = tmpDirWith("keep-me")
+    val d = new java.io.File(sharedBase,
+      safeKey("spec_sweep_keep", Materialize.fingerprint(src.toString)))
+    d.mkdirs()
+    Files.writeString(d.toPath.resolve("_graft_src"), src.toString)
+    assert(!Materialize.isStaleShared(d))
+  }
+
+  test("shared sweep: published stage over changed or deleted data is stale") {
+    val src = tmpDirWith("v1")
+    val fp = Materialize.fingerprint(src.toString)
+    val d = new java.io.File(sharedBase, safeKey("spec_sweep_stale", fp))
+    d.mkdirs()
+    Files.writeString(d.toPath.resolve("_graft_src"), src.toString)
+    Files.writeString(src.toPath.resolve("data.txt"), "v2")
+    assert(Materialize.isStaleShared(d), "changed data must sweep the stage")
+    Files.delete(src.toPath.resolve("data.txt"))
+    Files.delete(src.toPath)
+    assert(Materialize.isStaleShared(d), "deleted source must sweep the stage")
+  }
+
+  test("shared sweep: dir without a readable marker is kept (fail safe)") {
+    val d = new java.io.File(sharedBase, "spec_sweep_nomarker__deadbeef")
+    d.mkdirs()
+    assert(!Materialize.isStaleShared(d))
+  }
+
+  test("shared sweep: abandoned temp dir of a dead pid is stale; live pid kept") {
     val proc = Files.createTempDirectory("fake_proc_").toFile
     Files.createDirectory(proc.toPath.resolve("4242"))
-    assert(!Materialize.isStale("graft_mat_4242_host_123", proc))
+    val dead = new java.io.File(sharedBase, "spec_x__ab.tmp_9999999_1")
+    val live = new java.io.File(sharedBase, "spec_x__ab.tmp_4242_1")
+    dead.mkdirs(); live.mkdirs()
+    assert(Materialize.isStaleShared(dead, proc))
+    assert(!Materialize.isStaleShared(live, proc))
   }
 
-  test("sweep: dir with dead owner pid IS stale") {
+  // ------------------------------------------------------------------
+  // legacy per-process scratch sweep
+  // ------------------------------------------------------------------
+
+  test("legacy sweep: dir with live owner pid is NOT stale") {
     val proc = Files.createTempDirectory("fake_proc_").toFile
-    assert(Materialize.isStale("graft_mat_4242_host_123", proc))
+    Files.createDirectory(proc.toPath.resolve("4242"))
+    assert(!Materialize.isStale("graft_mat_4242_host_123", proc, host = "host"))
   }
 
-  test("sweep: unparseable pid prefix is kept (fail safe), not deleted") {
+  test("legacy sweep: dir with dead owner pid on THIS host IS stale") {
     val proc = Files.createTempDirectory("fake_proc_").toFile
-    assert(!Materialize.isStale("graft_mat_nopid_host_123", proc))
-    assert(!Materialize.isStale("graft_mat_", proc))
+    assert(Materialize.isStale("graft_mat_4242_host_123", proc, host = "host"))
   }
 
-  test("sweep: missing /proc (non-Linux) keeps every dir") {
+  test("legacy sweep: dir from ANOTHER host is kept (shared scratch)") {
+    // on NFS-shared scratch a remote run's pid is meaningless in the
+    // local /proc — absence there must not delete a live remote run
+    val proc = Files.createTempDirectory("fake_proc_").toFile
+    assert(!Materialize.isStale("graft_mat_4242_otherhost_123", proc,
+      host = "thishost"))
+  }
+
+  test("legacy sweep: unparseable pid prefix is kept (fail safe), not deleted") {
+    val proc = Files.createTempDirectory("fake_proc_").toFile
+    assert(!Materialize.isStale("graft_mat_nopid_host_123", proc, host = "host"))
+    assert(!Materialize.isStale("graft_mat_", proc, host = "host"))
+  }
+
+  test("legacy sweep: missing /proc (non-Linux) keeps every dir") {
     val gone = new java.io.File("/definitely/not/proc")
-    assert(!Materialize.isStale("graft_mat_4242_host_123", gone))
+    assert(!Materialize.isStale("graft_mat_4242_host_123", gone, host = "host"))
   }
 
-  test("sweep: non-graft names are never candidates") {
+  test("legacy sweep: non-graft names and the shared root are never candidates") {
     val proc = Files.createTempDirectory("fake_proc_").toFile
-    assert(!Materialize.isStale("other_scratch_4242", proc))
+    assert(!Materialize.isStale("other_scratch_4242", proc, host = "host"))
+    assert(!Materialize.isStale("graft_mat_v2", proc, host = "host"))
   }
 
   // ------------------------------------------------------------------
@@ -52,8 +176,9 @@ class MaterializeSpec extends SparkSpec {
     // second call would silently serve the first call's pairs
     Text.minhashLshPairs(spark, sfDir, threshold = 0.5).count()
     Text.minhashLshPairs(spark, sfDir, threshold = 0.7).count()
-    val keys = Materialize.buildSeconds.keySet.filter(_.startsWith("text_pairs_"))
-    assert(keys.exists(_.endsWith("_0_5")) && keys.exists(_.endsWith("_0_7")),
+    val keys = (Materialize.buildSeconds.keySet ++ Materialize.reusedKeys)
+      .filter(_.startsWith("text_pairs_"))
+    assert(keys.exists(_.contains("_0_5__")) && keys.exists(_.contains("_0_7__")),
       s"threshold must be part of the stage key; built: $keys")
   }
 
