@@ -27,6 +27,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+val defaultHeap: String = {
+  val memTotalGiB: Long =
+    try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong }
+      kb.map(_ / (1024L * 1024L)).getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+  if (memTotalGiB >= 96) "48g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -34,7 +44,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // broadcasts and localCheckpoint storage blocks all share this one
   // heap; 48g gives the heaviest landed-stage builds headroom on the
   // 125 GiB box (measured equal to 8g at sf0.1 — the margin matters at
-  // larger SFs, not here). On a real cluster this maps to per-executor
-  // memory, not driver memory.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // larger SFs, not here). The big default is GATED on the host
+  // actually having the RAM (≥96 GiB physical): on a smaller machine a
+  // 48g heap invites OOM-kills, so the default drops to 8g there —
+  // SPARK_DRIVER_MEM overrides either way. On a real cluster this maps
+  // to per-executor memory, not driver memory.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

@@ -83,9 +83,9 @@ object CurationQueries {
          |  FROM per_src),
          |rates AS (
          |  SELECT source, n_docs,
-         |    least(1000000, CAST(
+         |    CAST(least(CAST(1000000 AS HUGEINT),
          |      (CAST(w_micro AS HUGEINT) * n_total * 1000000)
-         |        // (CAST(total_w AS HUGEINT) * n_docs) AS BIGINT))
+         |        // (CAST(total_w AS HUGEINT) * n_docs)) AS BIGINT)
          |      AS accept_micro
          |  FROM per_src, tot)
          |SELECT d.source, COUNT(*) AS n_docs,

@@ -129,7 +129,11 @@ object Curation {
     * N = 1e9 (√8.5e6·1e6 · 1e9 · 1e6 ≈ 2.9e21); DECIMAL(38,0) holds
     * through N ≈ 1e15 docs (product ≈ 3e34 < 1e38). Spark's `div` on
     * decimal operands returns BIGINT, and accept_micro ≤ 1e6, so the
-    * output stays a plain long.
+    * output stays a plain long. Past the Long-quotient bound the two
+    * engines must degrade identically, so the oracle clamps BEFORE
+    * narrowing (least in HUGEINT, then CAST to BIGINT) — mirroring
+    * Spark, where an over-Long `div` nulls and `least` skips the null,
+    * clamping to 1e6 — instead of raising on the HUGEINT→BIGINT cast.
     */
   private[graft] def acceptRates(perSrc: DataFrame): DataFrame = {
     val weighted = perSrc

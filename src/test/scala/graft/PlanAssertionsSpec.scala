@@ -12,6 +12,33 @@ class PlanAssertionsSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(FormattedMode)
 
+  /** Every BroadcastNestedLoopJoin in the plan must be UNCONDITIONED
+    * (a deliberate tiny-side cross join, e.g. a 1-row scalar or a
+    * constant grid). FormattedMode prints the join condition in the
+    * numbered details section, NOT on the operator line, so this scans
+    * both: the operator lines (legacy check) and each BNLJ detail
+    * block's `Join condition:` entry — a conditioned BNLJ (`<`/`=`
+    * predicate evaluated per row-pair, the O(n·m) shape) fails.
+    */
+  private def assertBnljUnconditioned(plan: String): Unit = {
+    val opLines = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
+    assert(opLines.forall(l => !l.contains("<") && !l.contains("=")),
+      s"conditioned nested-loop joins are banned here: $opLines")
+    val blocks = plan.split("\n\\s*\n").toSeq.filter(
+      _.linesIterator.nextOption().exists(l =>
+        l.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")))
+    // guard against vacuous passes: a BNLJ in the tree must have a
+    // parsable detail block, else FormattedMode's layout changed and
+    // this check is silently checking nothing
+    assert(opLines.isEmpty || blocks.nonEmpty,
+      "BNLJ present in plan tree but no detail block parsed")
+    blocks.foreach { b =>
+      val cond = b.linesIterator.find(_.startsWith("Join condition:"))
+      assert(cond.forall(_.trim == "Join condition: None"),
+        s"BNLJ detail block must carry no join condition:\n$b")
+    }
+  }
+
   test("q1: shipdate filter is pushed into the parquet scan; columns pruned") {
     val plan = formatted("q1_pricing_summary")
     assert(plan.contains("LessThanOrEqual(l_shipdate"), "filter not pushed down")
@@ -408,9 +435,7 @@ class PlanAssertionsSpec extends SparkSpec {
   test("q100 bigram LM: score join is keyed; only the 1-row V scalar may nested-loop") {
     val plan = formatted("q100_bigram_lm")
     assert(!plan.contains("CartesianProduct"))
-    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
-    assert(bnlj.forall(l => !l.contains("<") && !l.contains("=")),
-      s"only the unconditioned scalar V join may nested-loop: $bnlj")
+    assertBnljUnconditioned(plan)
     assert("HashAggregate".r.findAllIn(plan).size >= 4,
       "bigram and per-doc aggregations must both partial-aggregate")
   }
@@ -427,9 +452,7 @@ class PlanAssertionsSpec extends SparkSpec {
     val plan = formatted("q114_watermark_audit")
     // the only permitted nested-loop is the unconditioned ×4 delay-grid
     // crossJoin; the old `bkp < bk` prefix-max join must never return
-    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
-    assert(bnlj.forall(l => !l.contains("<") && !l.contains("=")),
-      s"conditioned nested-loop joins are banned here: $bnlj")
+    assertBnljUnconditioned(plan)
     assert(!plan.contains("CartesianProduct"))
   }
 }
