@@ -197,8 +197,10 @@ object Curation {
     // neither needs a second corpus explode — 4 corpus passes become 2.
     val docPairs = pairs.groupBy(col("doc_id"), col("pair"))
       .agg(count(lit(1)).as("n")).localCheckpoint(true)
-    val uni = docs.select(explode(words).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("c1")).localCheckpoint(true)
+    // unigram counts roll up from the landed TF stage — the second
+    // corpus token explode this pipeline used to pay is gone
+    val uni = Text.tfStage(s, dir)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("c1")).localCheckpoint(true)
     val vocab = uni.agg(count(lit(1)).as("v"))
     val scores = docPairs.groupBy(col("pair")).agg(sum(col("n")).as("c12"))
       .withColumn("w1", split(col("pair"), " ").getItem(0))
@@ -235,8 +237,8 @@ object Curation {
       countDistinct(col("source")).as("n_sources"),
       (count(lit(1)) - countDistinct(md5(col("text").cast(BinaryType))))
         .as("n_exact_dup_docs"))
-    val vocab = docs.select(explode(words).as("t"))
-      .agg(countDistinct(col("t")).as("n_vocab"))
+    val vocab = Text.tfStage(s, dir)
+      .agg(countDistinct(col("term")).as("n_vocab"))
     val pairs = Text.minhashLshPairs(s, dir, 0.5)
     val pairStats = pairs.agg(count(lit(1)).as("n_neardup_pairs"))
     val docsInPairs = pairs.select(col("d1").as("d"))

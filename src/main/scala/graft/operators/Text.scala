@@ -70,6 +70,29 @@ object Text {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docShingles(s, dir).select(col("doc_id"), col("sh"))
 
+  /** Landed corpus term-frequency stage `text_tf`: one row per
+    * (doc_id, term) with the whitespace-token count, plus the doc's
+    * source and lang denormalized in (dictionary-encoded strings —
+    * near-free in parquet, and they save every per-source/per-lang
+    * consumer a corpus-sized join back to `documents`). This is THE
+    * bag-of-words artifact of a curation DAG: TF-IDF (q47), BM25
+    * (q64), the unigram LM (q61), Zipf coverage (q78), source KL
+    * (q80), count-min (q90), token stats (q32), HLL vocabulary (q46),
+    * SimHash (q36/q68), the bigram LM's unigram side (q100) and the
+    * dataset card's vocabulary (q101) all derive from this one landed
+    * table — none replays the corpus token explode. At 100 TB that
+    * collapses ~10 trillion-token explode+shuffle passes into one
+    * write plus column-pruned reads of a table bounded by
+    * Σ_doc |vocab(doc)| ≪ token count.
+    */
+  private[graft] def tfStage(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"text_tf_$dir", dir,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(words).as("term"))
+        .groupBy(col("doc_id"), col("source"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("cnt")))
+
   /** Per-language corpus profile: volume, length, source spread. */
   def langStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -112,9 +135,11 @@ object Text {
       size(expr("filter(split(text, '[^a-z]+'), x -> x != '')")).as("n_re"))
       .groupBy(col("lang"))
       .agg(sum(col("n_ws")).as("n_tokens_ws"), sum(col("n_re")).as("n_tokens_re"))
-    val vocab = base.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    // vocabulary from the landed TF stage — term is already
+    // (doc,term)-distinct there, so countDistinct sees the same set
+    val vocab = tfStage(s, dir)
       .groupBy(col("lang"))
-      .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+      .agg(countDistinct(col("term")).as("n_distinct_tokens"))
     perDoc.join(vocab, "lang").orderBy(col("lang"))
   }
 
@@ -648,11 +673,14 @@ object Text {
     * sums positive. Bucket-equal simhashes → near-dup candidates at scale.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val wordsHashed = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(words).as("tok"))
-      .select(col("doc_id"), hash60(col("tok")).as("h"))
+    // multiplicity-weighted votes off the landed TF stage: Σ_occurrences
+    // (±1) per bit ≡ Σ_distinct-terms cnt·(±1) — same signature, no
+    // corpus token explode
+    val wordsHashed = tfStage(s, dir)
+      .select(col("doc_id"), hash60(col("term")).as("h"), col("cnt"))
     val votes = (0 until 16).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$b")
     }
     wordsHashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
@@ -750,12 +778,14 @@ object Text {
     * oracle-hashed.
     */
   def approxVocab(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("lang"), explode(words).as("tok"))
+    // off the landed TF stage: HLL registers depend only on the set of
+    // distinct hashed values, so feeding the (doc,term)-distinct rows
+    // instead of the raw token stream yields the identical sketch
+    tfStage(s, dir)
       .groupBy(col("lang"))
       .agg(
-        approx_count_distinct(col("tok"), rsd = 0.02).as("approx_distinct"),
-        countDistinct(col("tok")).as("exact_distinct")
+        approx_count_distinct(col("term"), rsd = 0.02).as("approx_distinct"),
+        countDistinct(col("term")).as("exact_distinct")
       )
       .orderBy(col("lang"))
 
@@ -767,13 +797,9 @@ object Text {
     * score with the term as tie-break.
     */
   def tfidfTop(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val terms = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(words).as("term"))
-    // ONE token-explode pass: len (Σcnt per doc) and df (rows per term —
-    // tf is already doc-distinct) both derive from the checkpointed tf
-    // table instead of replaying the corpus explode per consumer
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    // len (Σcnt per doc) and df (rows per term — tf is doc-distinct)
+    // both derive from the LANDED tf stage — zero corpus explodes here
+    val tf = tfStage(s, dir).select(col("doc_id"), col("term"), col("cnt"))
     val len = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
@@ -801,13 +827,10 @@ object Text {
     * rounds to 6 dp, and the per-doc sum accumulates DECIMALs.
     */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(words).as("term"))
-    // collapse to (doc, term, n) once — frequencies, the corpus total,
-    // and the per-doc score join all derive from the checkpointed table,
-    // so the corpus token explode runs once instead of three times
-    val dt = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+    // (doc, term, n) is the LANDED tf stage — frequencies, the corpus
+    // total, and the per-doc score join all read it; zero explodes here
+    val dt = tfStage(s, dir)
+      .select(col("doc_id"), col("term"), col("cnt").as("n"))
     val freq = dt.groupBy(col("term")).agg(sum(col("n")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
     // surprisal in integer micro-nats (−ln p ≥ 0): per-term rounding is
@@ -1040,12 +1063,9 @@ object Text {
     *         = idf_micro · 22·tf·total // (10·total·tf + 3·total + 9·len·N)
     */
   def bm25Top(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val terms = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(words).as("term"))
-    // ONE token-explode pass (same construction as tfidfTop): len, df
-    // and the corpus token total all derive from the checkpointed tf
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    // len, df and the corpus token total all derive from the LANDED tf
+    // stage (same construction as tfidfTop) — zero corpus explodes here
+    val tf = tfStage(s, dir).select(col("doc_id"), col("term"), col("cnt"))
     val len = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = Tables.documents(s, dir)
@@ -1138,9 +1158,10 @@ object Text {
     * is bounded by vocab size, never corpus size.
     */
   def zipfCoverage(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
-      .select(col("lang"), explode(words).as("term"))
-      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    // per-(lang, term) frequencies roll up from the landed TF stage:
+    // the aggregation input is vocab-bounded rows, not the token stream
+    val tf = tfStage(s, dir)
+      .groupBy(col("lang"), col("term")).agg(sum(col("cnt")).as("cnt"))
     val tot = tf.groupBy(col("lang"))
       .agg(sum(col("cnt")).cast(LongType).as("total_tokens"),
         count(lit(1)).as("n_terms"))
@@ -1234,13 +1255,15 @@ object Text {
     * the corpus by term twice.
     */
   def sourceKl(s: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(s, dir)
-      .select(col("source"), explode(words).as("term"))
-    val st = terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    // both distributions roll up from the landed TF stage — the corpus
+    // token stream is never re-exploded, and all aggregation inputs are
+    // vocab-bounded (doc,term) rows
+    val dt = tfStage(s, dir)
+    val st = dt.groupBy(col("source"), col("term")).agg(sum(col("cnt")).as("cnt"))
     val stot = st.groupBy(col("source"))
       .agg(sum(col("cnt")).cast(LongType).as("n_tokens"), count(lit(1)).as("n_terms"))
-    val ct = terms.groupBy(col("term")).agg(count(lit(1)).as("ccnt"))
-    val ctot = terms.agg(count(lit(1)).as("ctotal"))
+    val ct = dt.groupBy(col("term")).agg(sum(col("cnt")).as("ccnt"))
+    val ctot = dt.agg(sum(col("cnt")).as("ctotal"))
     st.join(stot, "source")
       .join(broadcast(ct), "term")
       .crossJoin(broadcast(ctot))
@@ -1341,9 +1364,10 @@ object Text {
     */
   def countMinSketch(s: SparkSession, dir: String): DataFrame = {
     val w = CountMinWidth
-    val freq = Tables.documents(s, dir)
-      .select(explode(words).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    // true frequencies roll up from the landed TF stage (vocab-bounded
+    // input rows) — the corpus token stream is never re-exploded
+    val freq = tfStage(s, dir)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
     val expanded = freq
       .select(col("term"), col("cnt"),
         explode(array((0 until 4).map(lit): _*)).as("j"))
