@@ -89,7 +89,7 @@ object VectorQueries {
   }
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q40_knn_cosine", (s, d) => knnBrute(s, d), Some(
+    QueryDef("q40_knn_cosine", (s, d) => knnTruth(s, d), Some(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, $NSQ AS nsq FROM embeddings),
          |q AS (SELECT vec_id AS qid, e AS qe, nsq AS qn FROM base WHERE vec_id IN $QIDS),

@@ -51,10 +51,12 @@ class GlobalPlanAuditSpec extends SparkSpec {
 
   /** Queries whose conditioned BNLJ is the deliberate algorithm, with
     * the condition shape pinned: q40 is the brute-force KNN TRUTH
-    * baseline — a constant 8-row broadcast query set crossed against
+    * baseline — a constant 20-row broadcast query set crossed against
     * the corpus is the definition of brute force (the scale path is
     * the landed IVF/PQ index; q40 exists to measure their recall
     * against), and its only condition is the self-pair exclusion.
+    * (q40 now reads the LANDED truth table, so its entry only engages
+    * if the landing is ever removed and the build plan resurfaces.)
     */
   private val conditionedBnljAllowed: Map[String, String] =
     Map(

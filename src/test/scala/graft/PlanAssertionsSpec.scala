@@ -59,8 +59,12 @@ class PlanAssertionsSpec extends SparkSpec {
       "segment filter must reach the customer scan")
   }
 
-  test("q40 KNN: rank filter pushes partial top-k below the shuffle") {
-    assert(formatted("q40_knn_cosine").contains("WindowGroupLimit"))
+  // q40 is served from the landed truth table, so the assertion runs on
+  // the BUILD pipeline — the plan that actually does the brute scoring
+  test("q40 KNN build: rank filter pushes partial top-k below the shuffle") {
+    val plan = graft.operators.Vectors.knnBrute(spark, sfDir, 5)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("WindowGroupLimit"))
   }
 
   test("q8 top-k: sort+limit plans as TakeOrderedAndProject, not a global sort") {
