@@ -85,14 +85,11 @@ object Curation {
     * is the same single-shuffle plan over the re-tokenized corpus.
     */
   def wordBigrams(s: SparkSession, dir: String, k: Int = 32): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
-        .as("pair"))
+    // (doc_id, pair) rows are unique in the landed stage, so the doc
+    // count is a plain count — no distinct aggregation needed
+    Text.bigramStage(s, dir)
       .groupBy(col("pair"))
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("n")).as("n_occ"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occ").desc, col("pair"))
       .limit(k)
 
@@ -184,19 +181,11 @@ object Curation {
     * distinct doc-pairs, not token instances.
     */
   def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val pairs = docs
-      .select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
-        .as("pair"))
-    // collapse FIRST, checkpoint the collapsed tables: one token-explode
-    // pass feeds everything downstream. c12 derives from the doc-pair
-    // counts (Σn over docs) and V from the unigram table's row count, so
-    // neither needs a second corpus explode — 4 corpus passes become 2.
-    val docPairs = pairs.groupBy(col("doc_id"), col("pair"))
-      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    // both corpus-sized inputs are LANDED stages now: per-doc bigram
+    // counts from text_bigram, unigram counts rolled up from text_tf.
+    // c12 derives from the doc-pair counts (Σn over docs) and V from
+    // the unigram table's row count — zero corpus explodes per call.
+    val docPairs = Text.bigramStage(s, dir)
     // unigram counts roll up from the landed TF stage — the second
     // corpus token explode this pipeline used to pay is gone
     val uni = Text.tfStage(s, dir)

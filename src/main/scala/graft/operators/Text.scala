@@ -93,6 +93,24 @@ object Text {
         .groupBy(col("doc_id"), col("source"), col("lang"), col("term"))
         .agg(count(lit(1)).as("cnt")))
 
+  /** Landed per-doc bigram counts `text_bigram`: (doc_id, pair, n) —
+    * the order-sensitive sibling of [[tfStage]] (bag-of-words can't
+    * derive it: adjacency is lost after the per-term collapse). One
+    * corpus bigram explode serves the collocation report (q56), the
+    * bigram LM (q100) and per-doc repetition (q65), which otherwise
+    * each replay it.
+    */
+  private[graft] def bigramStage(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"text_bigram_$dir", dir,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("pair"))
+        .groupBy(col("doc_id"), col("pair"))
+        .agg(count(lit(1)).as("n")))
+
   /** Per-language corpus profile: volume, length, source spread. */
   def langStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -893,16 +911,12 @@ object Text {
     * agg, fully partial-aggregated, scales linearly in corpus size.
     */
   def repetitionStats(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
-    g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    // the per-(doc, 2-gram) collapse IS the landed bigram stage
+    bigramStage(s, dir)
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_2grams"),
+      .agg(sum(col("n")).as("n_2grams"),
         count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_count"))
+        max(col("n")).as("top_count"))
       .select(col("doc_id"), col("n_2grams"), col("n_distinct"), col("top_count"),
         round((col("n_2grams") - col("n_distinct")) / col("n_2grams"), 6).as("dup_frac"),
         round(col("top_count") / col("n_2grams"), 6).as("top_frac"))
