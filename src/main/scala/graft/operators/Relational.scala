@@ -320,35 +320,31 @@ object Relational {
 
   /** TPC-H Q21 shape — EXISTS + NOT EXISTS correlation: suppliers whose
     * 'R'-flag lineitems sit in multi-supplier orders where NO other
-    * supplier also flagged 'R'. Spelled as a left-semi (the EXISTS) and
-    * a left-anti (the NOT EXISTS) join, both equi on the order key with
-    * the supplier inequality as residual condition — the decorrelation
-    * Spark plans as two hash joins instead of per-row subqueries.
+    * supplier also flagged 'R'. The correlated pair decorrelates all
+    * the way to per-order COUNTS: an R-flagged (order, supplier) row
+    * qualifies iff its order has ≥ 2 suppliers (the EXISTS) and exactly
+    * 1 R-supplier — which must then be this row (the NOT EXISTS). That
+    * turns two joins carrying a supplier-inequality residual (per-pair
+    * predicate work, hot-order skew risk) into one order-keyed
+    * aggregation plus one pure equi-join.
     */
   def soleReturnSuppliers(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    // ONE distinct-shuffle yields both join inputs: the per-(order,
-    // supplier) row with an any-R flag IS the `all` table, and its
-    // R-flagged subset is the `r` table — a filter, not a second pass
-    // over lineitem. The checkpoint IS lineitem-proportional, but it
-    // replaces three replays of the scan+aggregate with one
-    // materialization to executor-local storage (same residency class
-    // as the shuffle files the replays would write anyway).
+    // ONE distinct-shuffle feeds both sides: the per-(order, supplier)
+    // any-R row set, and its per-order rollup. The checkpoint IS
+    // lineitem-proportional, but it replaces two replays of the
+    // scan+aggregate with one materialization to executor-local
+    // storage (same residency class as the shuffle files the replays
+    // would write anyway).
     val g = li.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
       .localCheckpoint(true)
-    val all = g.select(col("l_orderkey"), col("l_suppkey"))
-    val r = g.filter(col("has_r") === 1)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val others = all.toDF("o_orderkey", "o_suppkey")
-    val hasOther = r.join(others,
-      r("l_orderkey") === others("o_orderkey") &&
-        r("l_suppkey") =!= others("o_suppkey"), "left_semi")
-    val r2 = r.toDF("r_orderkey", "r_suppkey")
-    val sole = hasOther.join(r2,
-      hasOther("l_orderkey") === r2("r_orderkey") &&
-        hasOther("l_suppkey") =!= r2("r_suppkey"), "left_anti")
+    val ord = g.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r"))
+      .filter(col("n_supp") >= 2 && col("n_r") === 1)
+      .select(col("l_orderkey"))
+    val sole = g.filter(col("has_r") === 1).join(ord, "l_orderkey")
     sole.groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_orders"))
       .join(broadcast(Tables.supplier(s, dir)

@@ -332,10 +332,15 @@ class PlanAssertionsSpec extends SparkSpec {
       "per-part and per-brand aggregations must partial-aggregate")
   }
 
-  test("q94 Q21-shape: EXISTS/NOT EXISTS plan as semi and anti hash joins") {
+  test("q94 Q21-shape: EXISTS/NOT EXISTS decorrelate to per-order counts") {
     val plan = formatted("q94_sole_return_supplier")
-    assert(plan.contains("LeftSemi"), "EXISTS must plan as a semi join")
-    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    // the correlated pair collapses to one order-keyed aggregation plus
+    // a pure equi-join — no join may carry a supplier-inequality
+    // residual (per-pair predicate work, hot-order skew risk)
+    assert(!plan.contains("NOT (l_suppkey") && !plan.contains("!= l_suppkey"),
+      "supplier inequality must not survive as a join residual")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "per-order rollup must partial-aggregate")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "correlation must stay equi-keyed on the order key")
