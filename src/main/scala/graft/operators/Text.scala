@@ -690,23 +690,31 @@ object Text {
     * bit b is set iff the (+1/−1) vote of all word-hash bits at position b
     * sums positive. Bucket-equal simhashes → near-dup candidates at scale.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    // multiplicity-weighted votes off the landed TF stage: Σ_occurrences
-    // (±1) per bit ≡ Σ_distinct-terms cnt·(±1) — same signature, no
-    // corpus token explode
-    val wordsHashed = tfStage(s, dir)
-      .select(col("doc_id"), hash60(col("term")).as("h"), col("cnt"))
-    val votes = (0 until 16).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"v$b")
-    }
-    wordsHashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash16"))
-      .orderBy(col("doc_id"))
-  }
+  /** LANDED signature table (one long per doc — the smallest index
+    * artifact in the stage graph): the q36 report and the q68
+    * pigeonhole pair join both read it instead of re-voting. Unordered
+    * — join consumers must not inherit a useless range exchange.
+    */
+  private[graft] def simhashTable(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"text_simhash_$dir", dir, {
+      // multiplicity-weighted votes off the landed TF stage:
+      // Σ_occurrences (±1) per bit ≡ Σ_distinct-terms cnt·(±1) — same
+      // signature, no corpus token explode
+      val wordsHashed = tfStage(s, dir)
+        .select(col("doc_id"), hash60(col("term")).as("h"), col("cnt"))
+      val votes = (0 until 16).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"v$b")
+      }
+      wordsHashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash16"))
+    })
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashTable(s, dir).orderBy(col("doc_id"))
 
   /** SimHash near-dup pairs at Hamming distance ≤ 2 via the PIGEONHOLE
     * chunk join (the simhash dedup construction of Manku-Jain-Sarma,
@@ -719,12 +727,9 @@ object Text {
     * into k+1 16-bit chunks — only the literals change.
     */
   def simhashNeardup(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
-    // materialize the signature table once: the self-join would otherwise
-    // scan + aggregate the corpus twice (no exchange reuse across the
-    // join sides). Costs ~0.25 s of checkpoint overhead at sf0.1 where
-    // the corpus is tiny; at 100 TB it halves corpus I/O — the signature
-    // table (~16 bytes/doc) is the artifact you'd persist and reuse.
-    val sim = simhash(s, dir).localCheckpoint(true)
+    // the signature table is LANDED (~16 bytes/doc — the artifact
+    // you'd persist and reuse); both self-join sides read the parquet
+    val sim = simhashTable(s, dir)
     val ch = sim.select(col("doc_id"), col("simhash16"), explode(array(
         struct(lit(0).as("j"), col("simhash16").bitwiseAND(31).as("c")),
         struct(lit(1).as("j"), shiftright(col("simhash16"), 5).bitwiseAND(31).as("c")),
