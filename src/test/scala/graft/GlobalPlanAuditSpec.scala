@@ -120,6 +120,41 @@ class GlobalPlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Queries allowed a partition-LESS Window — each runs it over a
+    * bounded summary, never a corpus-sized relation: q24/q114 over
+    * O(buckets) rows, q82 over O(funnel stages), q89 over O(value
+    * buckets) offsets ×3. Anything else moving all rows to one
+    * partition is a scale bug.
+    */
+  private val partitionlessWindowAllowed = Set(
+    "q24_count_trigger", "q82_funnel", "q89_rfm", "q114_watermark_audit")
+
+  test("partition-less Window ops appear only over bounded summaries") {
+    // in a windowspecdefinition the partition columns come first and
+    // carry no sort direction; a spec whose FIRST argument is already
+    // sort-directed has an empty partition spec
+    val headIsOrdered =
+      """windowspecdefinition\([^,()]*\s(ASC|DESC)\b""".r
+    var partitioned = 0
+    val offenders = plans.flatMap { case (name, plan) =>
+      val blocks = plan.split("\n\\s*\n").toSeq.filter(
+        _.linesIterator.nextOption().exists(_.matches("""\(\d+\) Window\b.*""")))
+      val hasPartitionless = blocks.exists { b =>
+        val arg = b.linesIterator.find(_.trim.startsWith("Arguments:")).getOrElse("")
+        val pless = headIsOrdered.findFirstIn(arg).isDefined
+        if (!pless && arg.nonEmpty) partitioned += 1
+        pless
+      }
+      if (hasPartitionless && !partitionlessWindowAllowed(name)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window over a possibly-corpus-sized input: $offenders")
+    // layout guard: the detector must still see keyed windows, else the
+    // Arguments format changed and the scan is blind
+    assert(partitioned > 10, "no partitioned Window parsed — audit is blind")
+  }
+
   test("every query reads the lake: a parquet scan (direct or landed stage)") {
     val offenders = plans.collect {
       // localCheckpoint boundaries surface as ExistingRDD scans of a
