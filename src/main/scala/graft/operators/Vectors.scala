@@ -511,9 +511,20 @@ object Vectors {
     */
   /** (qid, neighbor_id, adc_dec): every in-cell candidate's DECIMAL ADC
     * score — the stage [[pqSearch]] ranks directly and [[pqRerank]] uses
-    * as its shortlist generator.
+    * as its shortlist generator. LANDED once per (corpus, PQ config):
+    * the eval query set is fixed, so this is the offline evaluation
+    * score table — |Q|·(in-cell candidates) rows, smaller than the code
+    * table it joins — and q74, q102 and both q111 PQ arms read it
+    * instead of replaying the code-table join per consumer (previously
+    * 4 computations across 3 queries). DECIMAL(18,6) round-trips
+    * parquet exactly, so ranking on the landed column is bit-identical.
     */
   private def adcScores(s: SparkSession, dir: String, subspaces: Int,
+                        nCentroids: Int): DataFrame =
+    Materialize.table(s, s"vec_adc_${dir}_${subspaces}_$nCentroids", dir,
+      adcScoresBuild(s, dir, subspaces, nCentroids))
+
+  private[graft] def adcScoresBuild(s: SparkSession, dir: String, subspaces: Int,
                         nCentroids: Int): DataFrame = {
     val assign = ivfAssignments(s, dir).select(col("vec_id"), col("cid"))
     // multi-probe: candidates come from each query's top-2 cells; every

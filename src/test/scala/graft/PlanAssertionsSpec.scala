@@ -175,8 +175,11 @@ class PlanAssertionsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q74 IVF-PQ search: LUT broadcasts; distances stay in codegen float_dot") {
-    val plan = formatted("q74_pq_search")
+  // the ADC score table is landed, so the LUT/codebook assertions run
+  // on its BUILD plan — the plan that actually does the scoring
+  test("ADC build: LUT broadcasts; distances stay in codegen float_dot") {
+    val plan = graft.operators.Vectors.adcScoresBuild(spark, sfDir, 4, 8)
+      .queryExecution.explainString(FormattedMode)
     assert(plan.contains("float_dot") && !plan.contains("aggregate(zip_with"),
       "ADC d2 terms must run the codegen'd float_dot")
     assert(plan.contains("BroadcastHashJoin"),
@@ -187,11 +190,13 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("q102 rerank: query side broadcasts; exact stage stays candidate-bounded") {
+    // stage 1 (ADC scoring) is covered by the ADC-build test above;
+    // this pins stage 2 — the exact rerank over the landed shortlist
     val plan = formatted("q102_pq_rerank")
     assert(plan.contains("float_dot"),
       "stage-2 exact cosine must run the codegen'd float_dot")
     assert(plan.contains("BroadcastHashJoin"),
-      "the constant-size query/LUT sides must broadcast")
+      "the constant-size query side must broadcast")
     val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
     assert(bnlj.forall(l => !l.contains("<")),
       s"N×N nested-loop pair join found: $bnlj")
