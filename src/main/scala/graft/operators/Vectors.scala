@@ -705,7 +705,19 @@ object Vectors {
     * globally). Recall vs. global brute force depends on cell quality
     * and nprobe; precision is exact.
     */
+  /** LANDED for the fixed eval query set (same artifact discipline as
+    * [[knnTruth]] and the ADC table): q48 serves the landed result and
+    * the q111 scoreboard's IVF recall join reads it — the in-cell
+    * exact-cosine scan runs once per corpus, not once per consumer.
+    */
   def ivfKnn(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    require(k <= 3, s"landed IVF results hold top-3, asked for $k")
+    Materialize.table(s, s"vec_ivfknn_${dir}_3", dir, ivfKnnBuild(s, dir, 3))
+      .filter(col("rnk") <= k)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private[graft] def ivfKnnBuild(s: SparkSession, dir: String, k: Int): DataFrame = {
     val assign = ivfAssignments(s, dir).select(col("vec_id"), col("cid"))
     val base = withNorm(Tables.embeddings(s, dir))
     // query side: the fixed id set × its top-2 probed cells (constant
