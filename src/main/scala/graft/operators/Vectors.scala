@@ -876,8 +876,9 @@ object Vectors {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
         .as("cv"))
     val d2 = base.join(broadcast(cent))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(xs, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      // the engine's codegen'd long_l2 — identical exact-integer sum of
+      // squared diffs, minus the interpreted HOF lambda per row×label
+      .withColumn("d2", expr("long_l2(xs, cv)"))
     d2.groupBy(col("vec_id"), col("label"))
       .agg(min(struct(col("d2"), col("clab"))).as("best"))
       .groupBy(col("label"), col("best.clab").as("pred_label"))

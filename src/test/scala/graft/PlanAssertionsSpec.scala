@@ -373,6 +373,8 @@ class PlanAssertionsSpec extends SparkSpec {
     val plan = formatted("q97_centroid_probe")
     assert(plan.contains("BroadcastExchange"),
       "the O(labels) centroid table must broadcast")
+    assert(plan.contains("long_l2") && !plan.contains("aggregate(zip_with"),
+      "per-row distances must run the codegen'd long_l2, not an interpreted HOF")
     assert(!plan.contains("SortMergeJoin"),
       "the corpus side must never shuffle for the centroid join")
     assert(!plan.contains("Window"),
