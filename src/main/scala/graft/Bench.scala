@@ -78,19 +78,32 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Hypervisor STEAL seconds (aggregate over all vCPUs, from
+    // /proc/stat field 8): on this VM the host visibly throttles a
+    // saturating run — steal accumulated during a pass is wall time no
+    // engine change can recover, and the cleanest explanation when two
+    // identical runs differ 30%+ with an idle-looking loadavg.
+    def stealSec(): Double =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+        cpu(8).toDouble / 100.0 // USER_HZ=100 ticks/s
+      } catch { case _: Throwable => -1.0 }
     def fmt(v: Double, dp: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
 
-    val load0 = loadavg()
+    val load0 = loadavg(); val steal0 = stealSec()
     val wall0 = System.nanoTime()
     val pass1 = names.map(n => n -> once(n)).toMap
-    val load1 = loadavg()
+    val load1 = loadavg(); val steal1 = stealSec()
     val wall1 = System.nanoTime()
     val half = names.size / 2
     val pass2 = (names.drop(half) ++ names.take(half)).map(n => n -> once(n)).toMap
-    val load2 = loadavg()
+    val load2 = loadavg(); val steal2 = stealSec()
     val wall2 = System.nanoTime()
-    def loadJson = s"""{"start":${fmt(load0, 2)},"mid":${fmt(load1, 2)},"end":${fmt(load2, 2)},"cpus":$cpus}"""
+    def stealJ(a: Double, b: Double): String =
+      if (a < 0 || b < 0) "-1" else fmt(b - a, 1)
+    def loadJson = s"""{"start":${fmt(load0, 2)},"mid":${fmt(load1, 2)},"end":${fmt(load2, 2)},"cpus":$cpus,"steal_s":{"pass1":${stealJ(steal0, steal1)},"pass2":${stealJ(steal1, steal2)}}}"""
     def wallJson = s"""{"pass1":${fmt((wall1 - wall0) / 1e9, 1)},"pass2":${fmt((wall2 - wall1) / 1e9, 1)}}"""
     val results = names.map { n =>
       val (t1, t2) = (pass1(n), pass2(n))

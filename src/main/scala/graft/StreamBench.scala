@@ -29,6 +29,14 @@ object StreamBench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Hypervisor steal seconds (see Bench for the full story). */
+  private def stealSec(): Double =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      cpu(8).toDouble / 100.0
+    } catch { case _: Throwable => -1.0 }
+
   private def fmt(v: Double, dp: Int = 1): String =
     if (v.isNaN || v.isInfinite) "-1"
     else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
@@ -61,7 +69,7 @@ object StreamBench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val load0 = loadavg()
+    val load0 = loadavg(); val steal0 = stealSec()
 
     // stage 1: watermarked tumbling aggregation over the events replay
     val totalRows = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -84,10 +92,11 @@ object StreamBench {
       streaming.TextStreams.nearDupGate(arrivals, corpus),
       OutputMode.Append, gateIn)
 
-    val load1 = loadavg()
+    val load1 = loadavg(); val steal1 = stealSec()
+    val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s"""$tumbling,$gate,""" +
-      s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus},""" +
+      s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")
     try w.println(line) finally w.close()
