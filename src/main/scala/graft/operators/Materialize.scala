@@ -193,6 +193,21 @@ object Materialize {
     reused.asScala.toSet
   }
 
+  /** On-disk bytes of every PUBLISHED landed stage under the shared
+    * root (stage dir name → bytes). Bench reports this next to the
+    * build seconds: the stage graph trades disk for repeated corpus
+    * passes, and the artifact should show the price of that trade.
+    */
+  def stageBytes: Map[String, Long] = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+      else f.length()
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.contains(".tmp_"))
+      .map(d => d.getName -> sz(d)).toMap
+  }
+
   /** Return `key`'s materialized table for source data `srcDir`,
     * building and landing it on first use in any process. `build` must
     * be deterministic for (key, source data) — all semantic parameters
