@@ -954,11 +954,13 @@ object Text {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("gram"))
-    val per = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
-    val hits = grams.join(hot, "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-    per.join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_boiler"))
+    // ONE tagged pass yields both per-doc counts: total spans (all
+    // rows) and boilerplate spans (rows matching the hot dictionary) —
+    // previously three corpus gram passes (hot, per, hits) plus a
+    // doc-keyed join of the two count tables
+    grams.join(hot.withColumn("is_hot", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("is_hot")).as("n_boiler"))
       .withColumn("boiler_micro", expr("(n_boiler * 1000000) div n_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_boiler"), col("boiler_micro"))
       .orderBy(col("doc_id"))
