@@ -92,10 +92,18 @@ object StreamBench {
       streaming.TextStreams.nearDupGate(arrivals, corpus),
       OutputMode.Append, gateIn)
 
+    // stage 3: span-level contamination audit (q116's streaming twin) —
+    // per-arriving-doc verbatim span hits against the landed src0 span
+    // index. Update mode: a one-shot replay never advances the
+    // watermark, so Append would hold every group back.
+    val audit = stage(spark, "span_audit",
+      streaming.TextStreams.spanContaminationAudit(arrivals, corpus),
+      OutputMode.Update, gateIn)
+
     val load1 = loadavg(); val steal1 = stealSec()
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
-      s"""$tumbling,$gate,""" +
+      s"""$tumbling,$gate,$audit,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")

@@ -23,6 +23,19 @@ object TextQueries {
 
   private val SIZES = "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)"
 
+  /** DuckDB twin of operators.Text.docSpans: 60-char windows, stride 30,
+    * 1-based positions inclusive of the last full window — `substr` and
+    * Spark `substring` are both 1-based and character-counted, and
+    * `generate_series(1, len-59, 30)` = Spark `sequence(1, len-59, 30)`
+    * (both stop-inclusive), so the span sets match exactly.
+    */
+  private val SPANS =
+    s"""spans AS (
+       |  SELECT doc_id, source, ${h60("substr(text, p, 60)")} AS h
+       |  FROM (SELECT doc_id, source, text,
+       |          unnest(generate_series(1, len(text) - 59, 30)) AS p
+       |        FROM documents WHERE len(text) >= 60))""".stripMargin
+
   private val INTER =
     """inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
@@ -817,6 +830,32 @@ object TextQueries {
          |  CAST(SUM(n_hit) AS BIGINT) AS n_redacted,
          |  CAST(SUM(${h60("red")} % 1000000000) AS BIGINT) AS checksum
          |FROM r GROUP BY source ORDER BY source""".stripMargin
-    })
+    }),
+
+    // q116/q117: exact substring-level dedup over fixed-stride 60-char
+    // spans (the verbatim-reuse complement to word-shingle MinHash).
+    // The CTE mirrors operators.Text.docSpans bit-for-bit.
+    QueryDef("q116_repeated_spans", (s, d) => repeatedSpans(s, d), Some(
+      s"""WITH $SPANS,
+         |rep AS (SELECT h FROM spans GROUP BY h
+         |        HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT source,
+         |  COUNT(DISTINCT doc_id) AS n_docs_hit,
+         |  COUNT(DISTINCT spans.h) AS n_rep_hashes,
+         |  COUNT(*) AS n_rep_spans
+         |FROM spans JOIN rep ON spans.h = rep.h
+         |GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef("q117_span_dedup_card", (s, d) => spanDedupCard(s, d), Some(
+      s"""WITH $SPANS,
+         |per AS (SELECT h, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+         |        FROM spans GROUP BY h)
+         |SELECT COUNT(*) AS n_span_hashes,
+         |  CAST(SUM(occ) AS BIGINT) AS n_spans,
+         |  CAST(SUM(occ - 1) AS BIGINT) AS dup_occurrences,
+         |  CAST(SUM(occ - 1) * 60 AS BIGINT) AS est_dup_chars,
+         |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cross_doc_hashes
+         |FROM per""".stripMargin))
   )
 }

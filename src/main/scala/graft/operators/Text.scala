@@ -1496,4 +1496,98 @@ object Text {
         expr("1000000 * n_shared div least(n1, n2)").as("containment_micro"))
       .orderBy(col("s1"), col("s2"))
   }
+
+  // ── Exact substring-level dedup (fixed-stride rolling spans) ────────
+
+  /** Span geometry for substring-level dedup: 60-char windows at stride
+    * 30. Word shingles (the MinHash family above) catch reworded
+    * overlap; character spans catch VERBATIM reuse regardless of token
+    * boundaries — the exact-substring target of suffix-array training-
+    * data dedup, approximated here with the shape that distributes:
+    * fixed-stride window hashing.
+    */
+  private[graft] val SpanW = 60
+  private[graft] val SpanStride = 30
+
+  /** Corpus span table (doc_id, source, h): every [[SpanW]]-char window
+    * at stride [[SpanStride]], [[hash60]]'d. Landed once per corpus —
+    * q116's repeated-span audit and q117's dedup-savings card both read
+    * it, and neither re-pays the corpus-sized explode.
+    *
+    * Alignment caveat (by design, documented): stride-S windows see a
+    * cross-document repeat only when both copies start at offsets equal
+    * mod S, which holds for whole-document copies and prefix clones (the
+    * dominant verbatim-dup classes) but can miss shifted excerpts; the
+    * alignment-robust variant is content-defined chunking (q86), whose
+    * anchors re-synchronize after any shift. Running both is exactly
+    * what a production pipeline does.
+    *
+    * Shape at scale: one corpus pass exploding to ~chars/[[SpanStride]]
+    * rows of (id, source, 8-byte hash) — no text leaves the scan —
+    * then hash-keyed aggregation only. No all-pairs stage anywhere.
+    */
+  private[graft] def docSpans(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"text_spans_${SpanW}_${SpanStride}_$dir", dir,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(length(col("text")) >= SpanW)
+        .select(col("doc_id"), col("source"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (SpanW - 1),
+            lit(SpanStride))).as("p"))
+        .select(col("doc_id"), col("source"),
+          hash60(expr(s"substring(text, p, $SpanW)")).as("h")))
+
+  /** The [[docSpans]] geometry as ONE per-row codegen'd column (array of
+    * span hashes) — the form a STREAMING plan needs: no explode before
+    * the row leaves the scan, empty array below one window. Pinned
+    * row-for-row against [[docSpans]] in `SpanDedupSpec`.
+    */
+  private[graft] def spanHashesExpr(textCol: String): Column = expr(
+    s"CASE WHEN length($textCol) >= $SpanW THEN " +
+      s"transform(sequence(1, length($textCol) - ${SpanW - 1}, $SpanStride), " +
+      s"p -> CAST(conv(substr(md5(CAST(substring($textCol, p, $SpanW) AS BINARY" +
+      s")), 1, 15), 16, 10) AS BIGINT)) " +
+      s"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+
+  /** q116: repeated-span audit — per source, the verbatim cross-document
+    * substring reuse at span granularity: docs containing at least one
+    * repeated span, distinct repeated span hashes present, and total
+    * repeated-span occurrences. A span hash is "repeated" when ≥ 2
+    * distinct docs contain it.
+    *
+    * Shape at scale: landed spans → hash-keyed distinct-doc count →
+    * equi-join back on h (fan-out per hash bounded by its occurrence
+    * count, no pair explosion) → per-source aggregation.
+    */
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val spans = docSpans(s, dir)
+    val rep = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    spans.join(rep, "h")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+        countDistinct(col("h")).as("n_rep_hashes"),
+        count(lit(1)).as("n_rep_spans"))
+      .orderBy(col("source"))
+  }
+
+  /** q117: span-dedup savings card — the one-row estimate a curation run
+    * reads before deciding whether substring-level dedup pays for a
+    * corpus: duplicated span occurrences (each hash's occurrences beyond
+    * its first) and the char-volume UPPER BOUND they represent (upper
+    * bound: adjacent overlapping windows double-count up to
+    * [[SpanW]]−[[SpanStride]] chars per junction). All integer math.
+    */
+  def spanDedupCard(s: SparkSession, dir: String): DataFrame = {
+    val per = docSpans(s, dir).groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        countDistinct(col("doc_id")).as("nd"))
+    per.agg(count(lit(1)).as("n_span_hashes"),
+      sum(col("occ")).as("n_spans"),
+      sum(col("occ") - 1).as("dup_occurrences"),
+      (sum(col("occ") - 1) * SpanW).as("est_dup_chars"),
+      sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_cross_doc_hashes"))
+  }
 }

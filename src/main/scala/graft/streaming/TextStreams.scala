@@ -89,6 +89,39 @@ object TextStreams {
     }.select(col("doc_id"), col("eventTime"))
   }
 
+  /** Span-level contamination AUDIT stream — the streaming twin of batch
+    * q116 for an ARRIVING corpus: per incoming doc, how many of its
+    * fixed-stride 60-char spans (operators.Text.docSpans geometry) are
+    * verbatim-present in a static corpus span index. Unlike
+    * [[nearDupGate]] (stateless drop), this emits per-doc accounting —
+    * the shape a quarantine/review queue consumes — so it carries ONE
+    * watermark-bounded streaming aggregation keyed by (doc, eventTime):
+    * state is O(docs inside the horizon), never O(corpus); finalized
+    * rows append on watermark passage.
+    *
+    * The static span index lands once at gate construction (the
+    * [[nearDupGate]] contract — a stream-static join re-evaluates its
+    * static plan every micro-batch otherwise); the stream side is
+    * per-row span hashing → explode → one stream-static LEFT join on
+    * the 8-byte hash. No stream-stream join anywhere.
+    */
+  def spanContaminationAudit(stream: DataFrame, corpus: DataFrame,
+      delay: String = "10 seconds"): DataFrame = {
+    import graft.operators.Text
+    val corpusSpans = corpus
+      .select(explode(Text.spanHashesExpr("text")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+      .localCheckpoint(true)
+    stream
+      .select(col("doc_id"), col("eventTime"),
+        explode_outer(Text.spanHashesExpr("text")).as("h"))
+      .join(corpusSpans, Seq("h"), "left")
+      .withWatermark("eventTime", delay)
+      .groupBy(col("doc_id"), col("eventTime"))
+      .agg(count(col("h")).as("n_spans"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+  }
+
   /** The q90 count-min sketch maintained INCREMENTALLY over a term
     * stream: each sketch cell (hash row j × bucket) is one
     * `transformWithState` key holding its running sum, so the sketch

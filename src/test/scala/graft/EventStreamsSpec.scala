@@ -59,6 +59,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span contamination audit: per-doc hit counts finalize on watermark") {
+    import spark.implicits._
+    val c = (0 until 12).map(i => f"corpus$i%04d").mkString // 120 chars
+    val corpus = Seq((100L, c)).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, c, "2025-08-03T13:00:01Z"),                   // all 3 spans hit
+      (2L, c.take(60) + "u" * 60, "2025-08-03T13:00:02Z"), // only p=1 hits
+      (3L, "z" * 120, "2025-08-03T13:00:03Z"),           // novel: 3 spans, 0 hits
+      (4L, "tiny", "2025-08-03T13:00:04Z"))              // below one window
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val df = mem.toDF().toDF("doc_id", "text", "timestamp")
+      .withColumn("eventTime", to_timestamp(col("timestamp")))
+    val q = TextStreams.spanContaminationAudit(df, corpus)
+      .writeStream.format("memory").queryName("span_audit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(arrivals)
+      q.processAllAvailable()
+      // advance the watermark past every arrival to finalize the groups
+      mem.addData(Seq((99L, "late watermark pusher", "2025-08-03T14:00:00Z")))
+      q.processAllAvailable()
+      val streamed = spark.table("span_audit")
+        .filter(col("doc_id") < 99).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === Set((1L, 3L, 3L), (2L, 3L, 1L),
+        (3L, 3L, 0L), (4L, 0L, 0L)))
+      // the same plan in batch mode is the semantic oracle
+      val batchDf = arrivals.toDF("doc_id", "text", "timestamp")
+        .withColumn("eventTime", to_timestamp(col("timestamp")))
+      val batch = TextStreams.spanContaminationAudit(batchDf, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-static semantic gate: bucket collisions drop, negation passes") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => if (i == 0) 1f else 0f)

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Text
+
+/** Exact substring-level span dedup (q116/q117): golden semantics on a
+  * hand-built corpus (including the documented alignment property), plus
+  * a pin of the landed span stage against an independent in-memory
+  * replay — pure-Scala md5 windows, no Spark expressions — so a future
+  * edit to the stage build can't drift both engines in lockstep.
+  */
+class SpanDedupSpec extends SparkSpec {
+
+  // doc 1/2 share a 90-char prefix: the p=1 and p=31 windows repeat
+  // across docs, the p=61 window crosses into their distinct suffixes;
+  // doc 3 is one char below a window; doc 4 is exactly one unique window.
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("span_src_").toFile
+    val prefix = ("the quick brown fox jumps over the lazy dog again and " +
+      "again while zebras watch from the hill and more").take(90)
+    assert(prefix.length == 90)
+    val t1 = prefix + "A" * 30
+    val t2 = prefix + "B" * 30
+    val t3 = "C" * 59
+    val t4 = "D" * 60
+    import spark.implicits._
+    Seq(
+      (1L, t1, "en", "srcA", t1.length.toLong),
+      (2L, t2, "en", "srcB", t2.length.toLong),
+      (3L, t3, "en", "srcA", t3.length.toLong),
+      (4L, t4, "en", "srcB", t4.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  test("q116 repeated spans: aligned shared prefix found, suffixes not") {
+    val rows = Text.repeatedSpans(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("srcA", 1L, 2L, 2L), ("srcB", 1L, 2L, 2L)))
+  }
+
+  test("q117 savings card: occurrence accounting over the same corpus") {
+    val r = Text.spanDedupCard(spark, dir).collect().head
+    assert(r.getLong(0) == 5)   // {2 shared prefix windows} + 3 unique
+    assert(r.getLong(1) == 7)   // 3 + 3 + 0 + 1 windows
+    assert(r.getLong(2) == 2)   // one extra occurrence per shared hash
+    assert(r.getLong(3) == 120) // 2 × 60-char windows
+    assert(r.getLong(4) == 2)   // both shared hashes span ≥2 docs
+  }
+
+  test("text_spans stage equals a pure-Scala md5-window replay") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expected = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .flatMap { r =>
+        val (id, src, t) = (r.getLong(0), r.getString(1), r.getString(2))
+        (1 to t.length - (Text.SpanW - 1) by Text.SpanStride)
+          .map(p => (id, src, h60(t.substring(p - 1, p - 1 + Text.SpanW))))
+      }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val landed = Text.docSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(landed == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("per-row spanHashesExpr equals the exploded docSpans geometry") {
+    import org.apache.spark.sql.functions._
+    def asBag(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val perRow = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode_outer(Text.spanHashesExpr("text")).as("h"))
+      .filter(col("h").isNotNull)
+    assert(asBag(perRow) ==
+      asBag(Text.docSpans(spark, sfDir).select("doc_id", "h")))
+  }
+}
