@@ -23,6 +23,26 @@ object TextQueries {
 
   private val SIZES = "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)"
 
+  /** The BM25 posting-score chain ending at `s` (doc_id, term,
+    * bm25_micro) — the DuckDB twin of operators.Text.bm25Scored, shared
+    * by q64 (per-doc term ranking) and q119 (retrieval probe).
+    */
+  private val BM25_CTES =
+    """t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+      |len AS (SELECT doc_id, COUNT(*) AS len FROM t GROUP BY 1),
+      |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT COUNT(*) FROM documents) AS ndocs,
+      |         (SELECT COUNT(*) FROM t) AS total),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST((CAST(round(ln(ndocs / df) * 1000000) AS HUGEINT) * 22 * cnt * total)
+      |      // (CAST(10 AS HUGEINT) * total * cnt + 3 * total + 9 * len * ndocs)
+      |      AS BIGINT) AS bm25_micro
+      |  FROM tf JOIN len USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot)""".stripMargin
+
   /** DuckDB twin of operators.Text.docSpans: 60-char windows, stride 30,
     * 1-based positions inclusive of the last full window — `substr` and
     * Spark `substring` are both 1-based and character-counted, and
@@ -344,20 +364,7 @@ object TextQueries {
          |GROUP BY source ORDER BY source""".stripMargin)),
 
     QueryDef("q64_bm25", (s, d) => bm25Top(s, d), Some(
-      """WITH t AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
-        |len AS (SELECT doc_id, COUNT(*) AS len FROM t GROUP BY 1),
-        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
-        |tot AS (
-        |  SELECT (SELECT COUNT(*) FROM documents) AS ndocs,
-        |         (SELECT COUNT(*) FROM t) AS total),
-        |s AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    CAST((CAST(round(ln(ndocs / df) * 1000000) AS HUGEINT) * 22 * cnt * total)
-        |      // (CAST(10 AS HUGEINT) * total * cnt + 3 * total + 9 * len * ndocs)
-        |      AS BIGINT) AS bm25_micro
-        |  FROM tf JOIN len USING (doc_id) JOIN dfq USING (term) CROSS JOIN tot),
+      s"""WITH $BM25_CTES,
         |r AS (
         |  SELECT *, CAST(ROW_NUMBER() OVER (
         |    PARTITION BY doc_id ORDER BY bm25_micro DESC, term) AS BIGINT) AS rnk
@@ -856,6 +863,56 @@ object TextQueries {
          |  CAST(SUM(occ - 1) * 60 AS BIGINT) AS est_dup_chars,
          |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_cross_doc_hashes
-         |FROM per""".stripMargin))
+         |FROM per""".stripMargin)),
+
+    // q118: integer PageRank over the verified near-dup pair graph —
+    // five unrolled rounds, exact micro-unit math (floor division on
+    // non-negative operands: Spark `div` == DuckDB `//`), mirroring
+    // Graph.pageRank's schedule round for round.
+    QueryDef("q118_neardup_pagerank", (s, d) => neardupPageRank(s, d), Some {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT deg.node,
+           |    CAST(150000 + 850000 * COALESCE(s$i.sc, 0) // 1000000 AS BIGINT) AS pr
+           |  FROM deg LEFT JOIN (
+           |    SELECT e.dst, SUM(p.pr // deg.deg) AS sc
+           |    FROM r${i - 1} p JOIN deg ON deg.node = p.node
+           |    JOIN und e ON e.src = p.node
+           |    GROUP BY e.dst) s$i ON s$i.dst = deg.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $PAIR_CTES,
+         |und AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |        UNION ALL SELECT d2, d1 FROM pairs),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$rounds
+         |SELECT r5.node AS doc_id, r5.pr AS pr_micro, deg.deg
+         |FROM r5 JOIN deg ON deg.node = r5.node
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    // q119: disjunctive BM25 top-5 retrieval for the fixed query set —
+    // the retrieval half of q64's index, probing the shared posting
+    // chain.
+    QueryDef("q119_bm25_retrieval", (s, d) => bm25Retrieval(s, d), Some {
+      val qvals = operators.Text.RetrievalQueries
+        .flatMap { case (id, ts) => ts.map(t => s"(CAST($id AS BIGINT), '$t')") }
+        .mkString(", ")
+      s"""WITH $BM25_CTES,
+         |q(query_id, term) AS (VALUES $qvals),
+         |hits AS (
+         |  SELECT q.query_id, s.doc_id,
+         |    CAST(SUM(s.bm25_micro) AS BIGINT) AS score_micro,
+         |    COUNT(*) AS n_terms_hit
+         |  FROM s JOIN q USING (term)
+         |  GROUP BY q.query_id, s.doc_id),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM hits)
+         |SELECT query_id, rnk, doc_id, score_micro, n_terms_hit
+         |FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    })
   )
 }

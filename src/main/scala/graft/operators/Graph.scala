@@ -100,4 +100,52 @@ object Graph {
     edges.unpersist()
     result
   }
+
+  /** Fixed-iteration integer PageRank over an undirected pair graph —
+    * the canonical-selection signal a near-dup retention pass uses when
+    * "min doc_id" is too arbitrary: high-rank nodes sit at cluster
+    * centers (hub boilerplate), low-rank nodes are leaf variants.
+    * Reproducible on any engine because every step is exact integer
+    * math: ranks start at 1e6 micro-units; each round a node emits
+    * `pr div deg` to each neighbor and collects
+    * `150000 + 850000·Σ div 1e6` (damping 0.85 in micro-units; floor
+    * division on non-negative operands — identical in Spark `div` and
+    * DuckDB `//`).
+    *
+    * Shape at scale: the standard Pregel schedule as dataframe ops —
+    * per round one equi-join of the rank table with the edge list (hash
+    * on node) plus one keyed sum; degrees land once; localCheckpoint
+    * cuts the unrolled lineage so round N never replays rounds 1..N−1.
+    * The same [[broadcastEdgeLimit]] guard as connectedComponents makes
+    * the per-round joins map-side on small graphs and withholds the
+    * hint on huge ones. Overflow: rank mass is conserved (~1e6 avg), so
+    * `850000·Σ` fits BIGINT up to ~1e7-degree hubs; beyond that widen
+    * the product to DECIMAL(38,0) like the q58/q64 rule.
+    */
+  def pageRank(pairsIn: DataFrame, iters: Int): DataFrame = {
+    val pairs = pairsIn.toDF("p1", "p2").localCheckpoint(true)
+    val small = pairs.count() <= broadcastEdgeLimit
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val edges = pairs.union(pairs.select(col("p2"), col("p1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node").localCheckpoint(true)
+    var ranks = deg.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(side(deg), "node")
+        .select(col("node"), expr("pr div deg").as("c"))
+      val sums = edges.withColumnRenamed("src", "node")
+        .join(side(contrib), "node")
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .withColumnRenamed("dst", "node")
+      ranks = deg.select(col("node"))
+        .join(sums, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + 850000 * coalesce(sc, 0) div 1000000 AS BIGINT)")
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.join(side(deg), "node")
+      .select(col("node"), col("pr").as("pr_micro"), col("deg"))
+  }
 }

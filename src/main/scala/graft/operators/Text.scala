@@ -1084,6 +1084,17 @@ object Text {
     *         = idf_micro · 22·tf·total // (10·total·tf + 3·total + 9·len·N)
     */
   def bm25Top(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bm25_micro").desc, col("term"))
+    bm25Scored(s, dir).withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("bm25_micro"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** The (doc_id, term, bm25_micro) posting scores shared by q64's
+    * per-doc term ranking and q119's retrieval probe. */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     // len, df and the corpus token total all derive from the LANDED tf
     // stage (same construction as tfidfTop) — zero corpus explodes here
     val tf = tfStage(s, dir).select(col("doc_id"), col("term"), col("cnt"))
@@ -1091,7 +1102,7 @@ object Text {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = Tables.documents(s, dir)
       .agg(count(lit(1)).as("ndocs")).crossJoin(tf.agg(sum(col("cnt")).as("total")))
-    val scored = tf.join(len, "doc_id").join(broadcast(df), "term")
+    tf.join(len, "doc_id").join(broadcast(df), "term")
       .crossJoin(broadcast(totals))
       .withColumn("idf_micro",
         round(log(col("ndocs") / col("df")) * 1e6).cast(LongType))
@@ -1101,13 +1112,56 @@ object Text {
       .withColumn("bm25_micro", expr(
         "(CAST(idf_micro AS DECIMAL(38,0)) * 22 * cnt * total) div " +
           "(CAST(10 AS DECIMAL(38,0)) * total * cnt + 3 * total + 9 * len * ndocs)"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("bm25_micro").desc, col("term"))
-    scored.withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("rnk"), col("term"), col("bm25_micro"))
-      .orderBy(col("doc_id"), col("rnk"))
   }
+
+  /** Fixed retrieval query set for q119 (terms from the corpus's
+    * closed synthetic vocabulary). */
+  private[graft] val RetrievalQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("window", "scan"),
+    2L -> Seq("join", "merge", "sort"),
+    3L -> Seq("stream", "batch"))
+
+  /** q119: disjunctive (OR) BM25 top-k retrieval — the RETRIEVAL half of
+    * the index whose scoring half is q64: for each query in
+    * [[RetrievalQueries]], the top-k docs by summed per-term BM25, plus
+    * how many of the query's terms the doc actually contains.
+    *
+    * Shape at scale: the query set is a handful of rows and BROADCASTS
+    * into the posting table — the join is the posting-list probe (only
+    * postings of queried terms survive the map side; nothing
+    * corpus-sized shuffles until the per-(query, doc) sum, which is
+    * bounded by the probed postings). Top-k per query is a window over
+    * per-query partitions — |queries| partitions, never a global sort.
+    */
+  def bm25Retrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val qdf = RetrievalQueries
+      .flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val hits = bm25Scored(s, dir)
+      .select(col("doc_id"), col("term"), col("bm25_micro"))
+      .join(broadcast(qdf), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("bm25_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    hits.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("score_micro"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** q118: integer PageRank over the verified near-dup pair graph (the
+    * landed q35 table) — see [[Graph.pageRank]] for the math and scale
+    * shape. Emits every graph node with its rank and degree; retention
+    * reads it as the "which copy is the hub" signal.
+    */
+  def neardupPageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(minhashLshPairs(s, dir).select(col("d1"), col("d2")), 5)
+      .select(col("node").as("doc_id"), col("pr_micro"), col("deg"))
+      .orderBy(col("doc_id"))
 
   /** Marker-word language-ID heuristic vs. the labeled lang column.
     * (The real algorithm: score languages by closed-class marker counts;
