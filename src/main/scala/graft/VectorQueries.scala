@@ -53,6 +53,37 @@ object VectorQueries {
     * whose per-node MIN(lab) equals Spark's min-label-propagation
     * fixpoint (mirrors TextQueries.CLUSTER_CTES for the text graph).
     */
+  /** Integer k-means chain ending at `a2` = (vec_id, cid, d2): the
+    * DuckDB twin of microVecs → one Lloyd update from the first-8 init →
+    * trained-centroid assignment (see operators.Vectors.kmeansCentroids).
+    * Shared by q75's training report and q120's coreset.
+    */
+  private def KM_A2_CTES: String = {
+    val OFF = 1L << 31
+    s"""xm AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |x AS (SELECT vec_id, d, xm[d] AS v
+       |      FROM xm, UNNEST(generate_series(1, len(xm))) AS u(d)),
+       |c0 AS (SELECT vec_id AS cid, d, v AS cv FROM x WHERE vec_id < 8),
+       |d1 AS (SELECT x.vec_id, cid, SUM((v - cv) * (v - cv)) AS d2
+       |       FROM x JOIN c0 USING (d) GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+       |  FROM d1) WHERE rk = 1),
+       |c1 AS (SELECT cid, d,
+       |         CAST((SUM(v) + COUNT(*) * $OFF) // COUNT(*) - $OFF AS BIGINT) AS cv
+       |       FROM x JOIN a1 USING (vec_id) GROUP BY cid, d),
+       |dd2 AS (SELECT x.vec_id, cid, SUM((v - cv) * (v - cv)) AS d2
+       |        FROM x JOIN c1 USING (d) GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, cid, d2 FROM (
+       |  SELECT vec_id, cid, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+       |  FROM dd2) WHERE rk = 1)""".stripMargin
+  }
+
   /** `p` prefixes every CTE name so this chain can coexist with
     * TextQueries.CLUSTER_CTES (whose names overlap) in ONE combined
     * oracle (q104).
@@ -511,38 +542,34 @@ object VectorQueries {
     // exact integer micro-space: floor(x*1e6) components, integer argmin
     // distances, exact integer centroid means (OFF-shifted division so
     // floor- and truncating-division agree), integer inertia.
-    QueryDef("q75_kmeans_train", (s, d) => kmeansTrain(s, d), Some {
-      val OFF = 1L << 31
-      s"""WITH xm AS (
-         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-         |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS xm
-         |  FROM embeddings),
-         |x AS (SELECT vec_id, d, xm[d] AS v
-         |      FROM xm, UNNEST(generate_series(1, len(xm))) AS u(d)),
-         |c0 AS (SELECT vec_id AS cid, d, v AS cv FROM x WHERE vec_id < 8),
-         |d1 AS (SELECT x.vec_id, cid, SUM((v - cv) * (v - cv)) AS d2
-         |       FROM x JOIN c0 USING (d) GROUP BY 1, 2),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |  SELECT vec_id, cid,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-         |  FROM d1) WHERE rk = 1),
-         |c1 AS (SELECT cid, d,
-         |         CAST((SUM(v) + COUNT(*) * $OFF) // COUNT(*) - $OFF AS BIGINT) AS cv
-         |       FROM x JOIN a1 USING (vec_id) GROUP BY cid, d),
-         |dd2 AS (SELECT x.vec_id, cid, SUM((v - cv) * (v - cv)) AS d2
-         |        FROM x JOIN c1 USING (d) GROUP BY 1, 2),
-         |a2 AS (SELECT vec_id, cid, d2 FROM (
-         |  SELECT vec_id, cid, d2,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
-         |  FROM dd2) WHERE rk = 1),
+    QueryDef("q75_kmeans_train", (s, d) => kmeansTrain(s, d), Some(
+      s"""WITH $KM_A2_CTES,
          |stats AS (SELECT cid, COUNT(*) AS n_vecs,
          |            CAST(SUM(d2 // 1000000) AS BIGINT) AS inertia_mu
          |          FROM a2 GROUP BY cid),
          |l1 AS (SELECT cid, CAST(SUM(abs(cv)) AS BIGINT) AS cent_l1_mu
          |       FROM c1 GROUP BY cid)
          |SELECT cid, n_vecs, inertia_mu, cent_l1_mu
-         |FROM stats JOIN l1 USING (cid) ORDER BY cid""".stripMargin
-    }),
+         |FROM stats JOIN l1 USING (cid) ORDER BY cid""".stripMargin)),
+
+    // q120: per-cell coreset — count, centermost representative, radius
+    // and mean spread per trained k-means cell, all exact integer math
+    // over the shared a2 = (vec_id, cid, d2) chain.
+    QueryDef("q120_ivf_coreset", (s, d) => ivfCoreset(s, d), Some(
+      s"""WITH $KM_A2_CTES,
+         |rep AS (SELECT cid, vec_id, d2 FROM (
+         |  SELECT cid, vec_id, d2,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk
+         |  FROM a2) WHERE rk = 1),
+         |stats AS (SELECT cid, COUNT(*) AS n_vecs,
+         |            CAST(MAX(d2) AS BIGINT) AS radius_d2,
+         |            CAST(SUM(d2 // 1000000) AS BIGINT) AS spread_mu
+         |          FROM a2 GROUP BY cid)
+         |SELECT stats.cid, n_vecs, rep.vec_id AS rep_id,
+         |  CAST(rep.d2 AS BIGINT) AS rep_d2, radius_d2,
+         |  spread_mu // n_vecs AS avg_d2_mu
+         |FROM stats JOIN rep ON rep.cid = stats.cid
+         |ORDER BY stats.cid""".stripMargin)),
 
     QueryDef("q44_ivf_assign", (s, d) => ivfAssign(s, d), Some(
       s"""WITH base AS (

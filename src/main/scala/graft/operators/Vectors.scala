@@ -660,6 +660,33 @@ object Vectors {
           .as("cm"))
     })
 
+  /** q120: per-cell coreset extraction — the diversity-sampling
+    * primitive a curation run uses to subsample a corpus by GEOMETRIC
+    * coverage rather than by source: for every trained k-means cell,
+    * the member count, the centermost member (exact-integer L2 argmin
+    * to the trained centroid, ties on lower id — the cell's
+    * representative in the coreset), the cell radius (max member
+    * distance) and the mean member distance, both in micro² → micro
+    * units (d2 div 1e6 summed first, the q75 inertia rule, so the
+    * 100 TB sum stays inside a long).
+    *
+    * Shape at scale: one broadcast of k centroids into the corpus scan
+    * (the landed [[kmeansCentroids]] model artifact), one keyed
+    * aggregation per cell — no pairwise distances anywhere; the coreset
+    * itself is k rows.
+    */
+  def ivfCoreset(s: SparkSession, dir: String): DataFrame =
+    kmAssign(microVecs(s, dir), kmeansCentroids(s, dir))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as("rep_id"),
+        min(col("d2")).as("rep_d2"),
+        max(col("d2")).as("radius_d2"),
+        sum(expr("d2 div 1000000")).as("spread_mu"))
+      .select(col("cid"), col("n_vecs"), col("rep_id"), col("rep_d2"),
+        col("radius_d2"), expr("spread_mu div n_vecs").as("avg_d2_mu"))
+      .orderBy(col("cid"))
+
   /** Distributed k-means TRAINING (Lloyd's algorithm) — the step that
     * produces the coarse centroids the IVF consumers (q44/q48/q74/q102/
     * q111) read via [[kmeansCentroids]]. Two assignment passes with one
