@@ -913,6 +913,41 @@ object TextQueries {
          |SELECT query_id, rnk, doc_id, score_micro, n_terms_hit
          |FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
+    }),
+
+    // q121: the q119 probe with duplicate collapsing — only near-dup
+    // cluster canonicals rank; each result reports the variants it
+    // suppressed. Combines the shared BM25 posting chain with the q67
+    // cluster reachability CTEs.
+    QueryDef("q121_bm25_canonical", (s, d) => bm25CanonicalRetrieval(s, d), Some {
+      val qvals = operators.Text.RetrievalQueries
+        .flatMap { case (id, ts) => ts.map(t => s"(CAST($id AS BIGINT), '$t')") }
+        .mkString(", ")
+      s"""WITH RECURSIVE $BM25_CTES,
+         |$CLUSTER_CTES,
+         |labels AS (SELECT doc, MIN(lab) AS lab FROM r GROUP BY doc),
+         |csz AS (SELECT lab, COUNT(*) AS csz FROM labels GROUP BY lab),
+         |q(query_id, term) AS (VALUES $qvals),
+         |hits AS (
+         |  SELECT q.query_id, s.doc_id,
+         |    CAST(SUM(s.bm25_micro) AS BIGINT) AS score_micro
+         |  FROM s JOIN q USING (term)
+         |  GROUP BY q.query_id, s.doc_id),
+         |elig AS (
+         |  SELECT h.query_id, h.doc_id, h.score_micro,
+         |    CASE WHEN l.doc IS NULL THEN 0 ELSE csz.csz - 1 END
+         |      AS n_dups_suppressed
+         |  FROM hits h
+         |  LEFT JOIN labels l ON l.doc = h.doc_id
+         |  LEFT JOIN csz ON csz.lab = l.lab
+         |  WHERE l.doc IS NULL OR l.doc = l.lab),
+         |rk AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM elig)
+         |SELECT query_id, rnk, doc_id, score_micro, n_dups_suppressed
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
     })
   )
 }

@@ -1134,22 +1134,61 @@ object Text {
     * per-query partitions — |queries| partitions, never a global sort.
     */
   def bm25Retrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    bm25QueryHits(s, dir).withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("score_micro"), col("n_terms_hit"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The (query_id, doc_id, score_micro, n_terms_hit) probe result for
+    * [[RetrievalQueries]] — the posting-list probe shared by q119's
+    * plain retrieval and q121's dedup-canonical retrieval. */
+  private def bm25QueryHits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qdf = RetrievalQueries
       .flatMap { case (id, ts) => ts.map(t => (id, t)) }
       .toDF("query_id", "term")
-    val hits = bm25Scored(s, dir)
+    bm25Scored(s, dir)
       .select(col("doc_id"), col("term"), col("bm25_micro"))
       .join(broadcast(qdf), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("bm25_micro")).as("score_micro"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** q121: dedup-canonical BM25 retrieval — the q119 probe with
+    * search-engine duplicate collapsing: only each near-dup cluster's
+    * canonical doc may rank (unclustered docs rank as themselves), and
+    * every result row reports how many cluster variants it suppressed —
+    * the behavior a production retrieval stack runs so one syndicated
+    * article doesn't fill the whole result page.
+    *
+    * Shape at scale: posting scores, cluster labels and the probe are
+    * all landed/shared stages; this query adds one left join of the
+    * probe result (|queries|·bounded rows) against the
+    * O(clustered-docs) label table and the same per-query top-k window.
+    */
+  def bm25CanonicalRetrieval(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val labels = neardupClusters(s, dir)
+    val csize = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    val canon = labels.filter(col("is_canonical"))
+      .join(csize, "cluster_id")
+      .select(col("doc_id"), (col("csz") - 1).as("n_dups"))
+    val eligible = bm25QueryHits(s, dir)
+      .join(labels.select(col("doc_id"), col("is_canonical")),
+        Seq("doc_id"), "left")
+      .filter(col("is_canonical").isNull || col("is_canonical"))
+      .join(canon, Seq("doc_id"), "left")
+      .withColumn("n_dups_suppressed", coalesce(col("n_dups"), lit(0L)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-    hits.withColumn("rnk", row_number().over(w).cast(LongType))
+    eligible.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("doc_id"),
-        col("score_micro"), col("n_terms_hit"))
+        col("score_micro"), col("n_dups_suppressed"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
