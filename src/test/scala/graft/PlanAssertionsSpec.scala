@@ -464,6 +464,32 @@ class PlanAssertionsSpec extends SparkSpec {
       "no signature re-derivation inside the datasheet query")
   }
 
+  test("q116 repeated spans: reads the LANDED span stage; repeat filter is an equi-join") {
+    val plan = formatted("q116_repeated_spans")
+    assert(plan.contains("graft_mat"),
+      "span rows must come from the materialized text_spans stage")
+    assert(!plan.contains("Generate"),
+      "the corpus explode lives in the stage build, not in the consumer")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q119 retrieval: the query set broadcasts as the posting-list probe") {
+    val plan = formatted("q119_bm25_retrieval")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the fixed query set must broadcast into the posting table")
+    assert(!plan.contains("CartesianProduct"))
+    // top-k is per-query partitions, never a partition-less global sort
+    assert(!plan.contains("Sort [score_micro"), "no global score sort")
+  }
+
+  test("q120 coreset: centroids broadcast; distances stay in codegen long_l2") {
+    val plan = formatted("q120_ivf_coreset")
+    assert(plan.contains("long_l2"), "distance must be the codegen'd long_l2")
+    assert(plan.contains("graft_mat"),
+      "centroids must come from the landed k-means model artifact")
+  }
+
   test("q114 watermark audit: bucket prefix-max is a running window, not an O(B²) self-join") {
     val plan = formatted("q114_watermark_audit")
     // the only permitted nested-loop is the unconditioned ×4 delay-grid

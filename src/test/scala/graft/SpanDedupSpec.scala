@@ -70,6 +70,52 @@ class SpanDedupSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("q116/q117 == brute-force replay on seeded corpora with planted dups") {
+    import scala.util.Random
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed)
+      def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      // random docs + planted whole-doc copies and aligned prefix clones
+      val bases = (0 until 10).map(i => (i.toLong, randText(40 + rnd.nextInt(160))))
+      val copies = bases.take(3).map { case (id, t) => (100L + id, t) }
+      val prefixClones = bases.slice(3, 5).collect {
+        case (id, t) if t.length >= 60 => (200L + id, t.take(90.min(t.length)) + randText(45))
+      }
+      val docs = (bases ++ copies ++ prefixClones).map { case (id, t) =>
+        (id, t, "en", s"src${id % 3}", t.length.toLong)
+      }
+      val d = Files.createTempDirectory(s"span_prop_$seed").toFile
+      import spark.implicits._
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+      // brute-force replay of both queries in plain Scala
+      val spans = docs.flatMap { case (id, t, _, src, _) =>
+        (1 to t.length - 59 by 30).map(p => (id, src, h60(t.substring(p - 1, p + 59))))
+      }
+      val docsPerHash = spans.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+      val rep = spans.filter(s => docsPerHash(s._3) >= 2)
+      val expected116 = rep.groupBy(_._2).map { case (src, ss) =>
+        (src, ss.map(_._1).distinct.size.toLong, ss.map(_._3).distinct.size.toLong, ss.size.toLong)
+      }.toSeq.sortBy(_._1)
+      val got116 = Text.repeatedSpans(spark, d.getAbsolutePath).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got116 == expected116, s"q116 seed=$seed")
+
+      val occ = spans.groupBy(_._3).view.mapValues(_.size).toMap
+      val r117 = Text.spanDedupCard(spark, d.getAbsolutePath).collect().head
+      assert(r117.getLong(0) == occ.size.toLong, s"q117 hashes seed=$seed")
+      assert(r117.getLong(1) == spans.size.toLong, s"q117 spans seed=$seed")
+      assert(r117.getLong(2) == occ.values.map(_ - 1L).sum, s"q117 dups seed=$seed")
+      assert(r117.getLong(4) == docsPerHash.values.count(_ >= 2).toLong, s"q117 cross seed=$seed")
+    }
+  }
+
   test("per-row spanHashesExpr equals the exploded docSpans geometry") {
     import org.apache.spark.sql.functions._
     def asBag(df: org.apache.spark.sql.DataFrame) = df.collect()
