@@ -143,7 +143,11 @@ object Graph {
         .select(col("node"),
           expr("CAST(150000 + 850000 * coalesce(sc, 0) div 1000000 AS BIGINT)")
             .as("pr"))
-        .localCheckpoint(true)
+      // no per-round checkpoint: unlike connectedComponents (which
+      // references the previous round FOUR times and grows 4^N), each
+      // round here consumes the previous ranks exactly once, so the
+      // unrolled plan stays linear in `iters` and runs as ONE job —
+      // five blocking materialization barriers saved
     }
     ranks.join(side(deg), "node")
       .select(col("node"), col("pr").as("pr_micro"), col("deg"))
