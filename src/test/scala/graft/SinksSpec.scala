@@ -25,5 +25,19 @@ class SinksSpec extends SparkSpec {
     val dirs = new java.io.File(s"$out/orders").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.exists(_.startsWith("year=1995")), s"dirs: $dirs")
+
+    // executed-scan proof, beyond the plan text: run THIS plan and read
+    // its numFiles metric — the scan may open only the pruned year's
+    // files, out of a multi-year layout
+    val scan = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(read.queryExecution.toRdd.count() === expected)
+    val filesInYear = new java.io.File(s"$out/orders/year=1995").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dirs.count(_.startsWith("year=")) > 1, "layout must span years")
+    assert(scan.metrics("numFiles").value === filesInYear.toLong,
+      s"scan opened ${scan.metrics("numFiles").value} files, " +
+        s"expected only year=1995's $filesInYear")
   }
 }
