@@ -331,6 +331,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("span audit groups survive a checkpoint restart and finalize after it") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("span_restart_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("span_restart_ckpt").toString
+    val c = (0 until 12).map(i => f"corpus$i%04d").mkString
+    val corpus = Seq((100L, c)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    def start() = TextStreams.spanContaminationAudit(
+      mem.toDF().toDF("doc_id", "text", "eventTime"), corpus, delay = "10 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    def ts(sec: Int) =
+      java.sql.Timestamp.from(java.time.Instant.parse(f"2025-08-03T13:00:$sec%02dZ"))
+    val q1 = start()
+    try {
+      // two docs land but the watermark never passes them: their audit
+      // groups exist only in the state store when the query stops
+      mem.addData(Seq((1L, c, ts(0)), (2L, "z" * 120, ts(1))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData(Seq((99L, "late watermark pusher", ts(59))))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).filter(col("doc_id") < 99)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set((1L, 3L, 3L), (2L, 3L, 0L)),
+        s"pre-restart groups must finalize from restored state; got $got")
+    } finally q2.stop()
+  }
+
   test("streaming count-min cell sums accumulate across micro-batches to the batch sketch") {
     withRocksDb {
     import spark.implicits._
