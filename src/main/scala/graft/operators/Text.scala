@@ -1604,10 +1604,11 @@ object Text {
     * overlap; character spans catch VERBATIM reuse regardless of token
     * boundaries — the exact-substring target of suffix-array training-
     * data dedup, approximated here with the shape that distributes:
-    * fixed-stride window hashing.
+    * fixed-stride window hashing. The geometry's single source of truth
+    * is the codegen'd expression ([[graft.functions.SpanHashes60]]).
     */
-  private[graft] val SpanW = 60
-  private[graft] val SpanStride = 30
+  private[graft] val SpanW = graft.functions.SpanHashes60.SpanW
+  private[graft] val SpanStride = graft.functions.SpanHashes60.SpanStride
 
   /** Corpus span table (doc_id, source, h): every [[SpanW]]-char window
     * at stride [[SpanStride]], [[hash60]]'d. Landed once per corpus —
@@ -1631,23 +1632,19 @@ object Text {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("text"))
         .filter(length(col("text")) >= SpanW)
-        .select(col("doc_id"), col("source"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - (SpanW - 1),
-            lit(SpanStride))).as("p"))
         .select(col("doc_id"), col("source"),
-          hash60(expr(s"substring(text, p, $SpanW)")).as("h")))
+          explode(spanHashesExpr("text")).as("h")))
 
-  /** The [[docSpans]] geometry as ONE per-row codegen'd column (array of
-    * span hashes) — the form a STREAMING plan needs: no explode before
-    * the row leaves the scan, empty array below one window. Pinned
-    * row-for-row against [[docSpans]] in `SpanDedupSpec`.
+  /** The span geometry as ONE per-row column (array of span hashes) —
+    * the codegen'd [[graft.functions.SpanHashes60]], which folds the
+    * per-window MD5 into the 60-bit value in one pass (no per-window
+    * substring/hex/conv allocation — the expression-tree spelling is
+    * pinned equivalent in `SpanDedupSpec`). Empty array below one
+    * window. Used by the [[docSpans]] stage build and the streaming
+    * contamination audit (no explode before the row leaves the scan).
     */
-  private[graft] def spanHashesExpr(textCol: String): Column = expr(
-    s"CASE WHEN length($textCol) >= $SpanW THEN " +
-      s"transform(sequence(1, length($textCol) - ${SpanW - 1}, $SpanStride), " +
-      s"p -> CAST(conv(substr(md5(CAST(substring($textCol, p, $SpanW) AS BINARY" +
-      s")), 1, 15), 16, 10) AS BIGINT)) " +
-      s"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+  private[graft] def spanHashesExpr(textCol: String): Column =
+    call_function("span_hashes60", col(textCol))
 
   /** q116: repeated-span audit — per source, the verbatim cross-document
     * substring reuse at span granularity: docs containing at least one

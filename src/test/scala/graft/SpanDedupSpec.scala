@@ -116,16 +116,24 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
-  test("per-row spanHashesExpr equals the exploded docSpans geometry") {
+  test("codegen span_hashes60 equals the expression-tree spelling it replaced") {
     import org.apache.spark.sql.functions._
     def asBag(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(identity).view.mapValues(_.length).toMap
-    val perRow = sources.Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode_outer(Text.spanHashesExpr("text")).as("h"))
-      .filter(col("h").isNotNull)
-    assert(asBag(perRow) ==
+    val treeSpelling = expr(
+      "CASE WHEN length(text) >= 60 THEN " +
+        "transform(sequence(1, length(text) - 59, 30), " +
+        "p -> CAST(conv(substr(md5(CAST(substring(text, p, 60) AS BINARY)), " +
+        "1, 15), 16, 10) AS BIGINT)) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END")
+    val docs = sources.Tables.documents(spark, sfDir)
+    def bag(c: org.apache.spark.sql.Column) = asBag(
+      docs.select(col("doc_id"), explode_outer(c).as("h"))
+        .filter(col("h").isNotNull))
+    assert(bag(Text.spanHashesExpr("text")) == bag(treeSpelling))
+    // and the landed stage is built from the same expression
+    assert(bag(Text.spanHashesExpr("text")) ==
       asBag(Text.docSpans(spark, sfDir).select("doc_id", "h")))
   }
 }
