@@ -1626,6 +1626,15 @@ object Text {
     * Shape at scale: one corpus pass exploding to ~chars/[[SpanStride]]
     * rows of (id, source, 8-byte hash) — no text leaves the scan —
     * then hash-keyed aggregation only. No all-pairs stage anywhere.
+    * Disk honesty: this row-per-occurrence layout is ~0.8× corpus size
+    * at 100 TB (disclosed like every stage via `materialize_bytes`). A
+    * deployment at that scale lands the per-(doc, hash) rollup
+    * (doc_id, source, h, n_occ) instead — one groupBy further down the
+    * same plan, compressed by within-doc repetition (boilerplate-heavy
+    * corpora compress most) — and BOTH consumers derive from it
+    * exactly: q117's occ/nd are sums/counts over it, q116's per-source
+    * doc and span counts read it row-wise. Kept at occurrence level
+    * here because the spec replays pin individual spans.
     */
   private[graft] def docSpans(s: SparkSession, dir: String): DataFrame =
     Materialize.table(s, s"text_spans_${SpanW}_${SpanStride}_$dir", dir,
