@@ -122,6 +122,112 @@ object TextStreams {
         coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
   }
 
+  /** Frozen retrieval model for [[standingRetrieval]]: per query term,
+    * the corpus idf plus the corpus-level BM25 constants. Tiny by
+    * construction (one row per registered query term), collected once at
+    * operator construction — the broadcast-codebook contract.
+    */
+  private[graft] final case class FrozenTerm(
+      queryId: Long, term: String, idfMicro: Long, total: Long, ndocs: Long)
+
+  /** One emitted top-k row of a standing query. */
+  final case class RetrievalUpdate(
+      query_id: Long, rnk: Long, doc_id: Long, score_micro: Long)
+
+  /** Build the frozen model from the corpus at `dir`: df per registered
+    * query term out of the landed tf stage, idf in micro-nats — the
+    * exact integer spelling of batch q64/q119 scoring.
+    */
+  private[graft] def frozenModel(spark: SparkSession, dir: String): Seq[FrozenTerm] = {
+    import graft.operators.Text
+    val tf = Text.tfStage(spark, dir).select(col("term"), col("doc_id"), col("cnt"))
+    val ndocs = graft.sources.Tables.documents(spark, dir).count()
+    val total = tf.agg(sum(col("cnt"))).head.getLong(0)
+    val terms = Text.RetrievalQueries.flatMap(_._2).distinct
+    val dfs = tf.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((qid, ts) <- Text.RetrievalQueries; t <- ts; df <- dfs.get(t))
+      yield FrozenTerm(qid, t,
+        math.round(math.log(ndocs.toDouble / df) * 1e6), total, ndocs)
+  }
+
+  /** Per-row BM25 of arriving docs against the frozen model — shared by
+    * the streaming standing query and its batch twin in the spec. No
+    * explode, no shuffle: tf of each registered term is a per-row array
+    * count, the score is the q64 integer formula, zero-score (no term
+    * present) candidates are dropped before any state is touched.
+    */
+  private[graft] def scoreAgainstFrozen(docs: DataFrame,
+      model: Seq[FrozenTerm]): DataFrame = {
+    val scored = model.groupBy(_.queryId).toSeq.map { case (qid, fts) =>
+      val contribs = fts.map { ft =>
+        val tf = s"CAST(size(filter(w, x -> x = '${ft.term}')) AS BIGINT)"
+        s"(CAST(${ft.idfMicro} AS DECIMAL(38,0)) * 22 * $tf * ${ft.total}) div " +
+          s"(CAST(10 AS DECIMAL(38,0)) * ${ft.total} * $tf + 3 * ${ft.total} " +
+          s"+ 9 * len * ${ft.ndocs})"
+      }
+      // terms with tf = 0 contribute exactly 0 (zero numerator), so the
+      // plain sum IS the disjunctive q119 semantics
+      docs.withColumn("w", split(col("text"), " "))
+        .withColumn("len", size(col("w")).cast("long"))
+        .select(lit(qid).as("query_id"), col("doc_id"),
+          expr(contribs.mkString(" + ")).as("score_micro"))
+        .filter(col("score_micro") > 0)
+    }
+    scored.reduce(_.unionByName(_))
+  }
+
+  /** Per-query running top-k over the candidate stream: ONE
+    * ValueState[Seq] per query — O(queries · k) state total, independent
+    * of stream length — emitting the query's full top-k whenever it
+    * changes. Ties and ordering match batch q119: (score desc, doc asc).
+    */
+  private[graft] final case class TopKState(items: Seq[(Long, Long)])
+
+  class StandingTopKProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long), RetrievalUpdate] {
+    @transient private var state: ValueState[TopKState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("topk",
+        Encoders.product[TopKState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[RetrievalUpdate] = {
+      val prev = if (state.exists()) state.get().items else Seq.empty
+      val merged = (prev ++ rows.map { case (_, doc, score) => (score, doc) })
+        .distinct.sortBy { case (score, doc) => (-score, doc) }.take(k)
+      if (merged == prev) Iterator.empty
+      else {
+        state.update(TopKState(merged))
+        merged.iterator.zipWithIndex.map { case ((score, doc), i) =>
+          RetrievalUpdate(key, i + 1L, doc, score)
+        }
+      }
+    }
+  }
+
+  /** Standing-query retrieval — continuous search over an ARRIVING
+    * corpus: each registered query (operators.Text.RetrievalQueries)
+    * maintains a running BM25 top-k as docs stream in, the saved-search/
+    * alerting workload of a retrieval stack. Arriving docs score
+    * per-row against FROZEN corpus statistics (the landed index's idf
+    * and corpus constants — new docs don't retro-shift scores, the
+    * standard frozen-stats serving contract), so the stream side is
+    * stateless until the O(queries · k) top-k state. Emits a query's
+    * full top-k whenever it changes (Append mode).
+    */
+  def standingRetrieval(spark: SparkSession, stream: DataFrame, dir: String,
+      k: Int = 5): Dataset[RetrievalUpdate] = {
+    import spark.implicits._
+    scoreAgainstFrozen(stream, frozenModel(spark, dir))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new StandingTopKProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** The q90 count-min sketch maintained INCREMENTALLY over a term
     * stream: each sketch cell (hash row j × bucket) is one
     * `transformWithState` key holding its running sum, so the sketch

@@ -362,6 +362,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("standing retrieval: one-batch top-k equals the batch twin; later arrivals re-rank") {
+    withRocksDb {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val model = TextStreams.frozenModel(spark, sfDir)
+      assert(model.nonEmpty)
+      val docsDf = sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      // batch twin: same frozen-model scoring, per-query top-5 window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      val expected = TextStreams.scoreAgainstFrozen(docsDf, model)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getLong(2))).toSet
+
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = TextStreams.standingRetrieval(
+        spark, mem.toDF().toDF("doc_id", "text"), sfDir)
+        .writeStream.format("memory").queryName("standing")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(docsDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+        q.processAllAvailable()
+        val afterOne = spark.table("standing").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(afterOne === expected,
+          "one micro-batch must emit exactly the batch twin's top-k per query")
+        // a later arrival containing every query term must take rank 1
+        // of every standing query (its tf dominates the short corpus docs)
+        val killer = Seq.fill(60)(graft.operators.Text.RetrievalQueries
+          .flatMap(_._2).distinct).flatten.mkString(" ")
+        mem.addData(Seq((999999L, killer)))
+        q.processAllAvailable()
+        val after = spark.table("standing").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        model.map(_.queryId).distinct.foreach { qid =>
+          assert(after.exists(u => u._1 == qid && u._2 == 1L && u._3 == 999999L),
+            s"query $qid must re-rank with the new arrival at rank 1")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("streaming count-min cell sums accumulate across micro-batches to the batch sketch") {
     withRocksDb {
     import spark.implicits._
