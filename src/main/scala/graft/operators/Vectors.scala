@@ -378,7 +378,7 @@ object Vectors {
     * identical BIGINT→DOUBLE division, so the centroid doubles (and
     * every cosine against them) are bit-identical.
     */
-  private def centDoubles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def centDoubles(s: SparkSession, dir: String): DataFrame =
     kmeansCentroids(s, dir)
       .select(col("cid"),
         expr("transform(cm, v -> v / CAST(1000000.0 AS DOUBLE))").as("ce"))

@@ -41,4 +41,32 @@ object VectorStreams {
         .drop("b")
     }.select(col("vec_id"), col("eventTime"))
   }
+
+  /** Stateless IVF index maintenance for an ARRIVING embedding stream —
+    * the write path of a vector store: assign each new vector to its
+    * trained coarse cell per-row, with the k trained centroids embedded
+    * as literal arrays (the codebook contract — k rows collected once at
+    * operator construction from the landed k-means model). No joins, no
+    * shuffles, no state: the argmin is an in-row `array_min` over the k
+    * (−cos, cid) structs, which reproduces the batch tie rule (cos desc,
+    * cid asc) on the SAME doubles, so assignments are row-for-row
+    * identical to the landed batch index (spec-pinned) and a downstream
+    * writer can append them straight to the `vec_ivf` table.
+    */
+  def cellAssign(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
+      dir: String): DataFrame = {
+    val cents = Vectors.centDoubles(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val nsq = call_function("float_dot", col("embedding"), col("embedding"))
+    val candidates = cents.map { case (cid, ce, cn) =>
+      val cos = call_function("float_dot", col("embedding"), lit(ce)) /
+        sqrt(nsq * lit(cn))
+      struct((-cos).as("negcos"), lit(cid).as("cid"))
+    }
+    stream.withColumn("best", array_min(array(candidates.toSeq: _*)))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        (-col("best.negcos")).as("cos"))
+  }
 }

@@ -125,6 +125,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cell assignment == the landed batch IVF index, row for row") {
+    import spark.implicits._
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val q = VectorStreams.cellAssign(
+      spark, mem.toDF().toDF("vec_id", "embedding"), sfDir)
+      .writeStream.format("memory").queryName("cell_assign")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(vecs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("cell_assign").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Vectors.ivfAssignmentsBuild(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch,
+        "per-row argmin must reproduce the batch window argmax exactly")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per duplicated key") {
     import spark.implicits._
     val mem = MemoryStream[UserActivity](spark)
