@@ -100,10 +100,33 @@ object StreamBench {
       streaming.TextStreams.spanContaminationAudit(arrivals, corpus),
       OutputMode.Update, gateIn)
 
+    // stage 4: stateless IVF cell assignment of an arriving embedding
+    // stream (the vector store's write path — literal broadcast
+    // centroids, per-row argmin, zero shuffles)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embRows = emb.count()
+    val embStream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+    val assign = stage(spark, "cell_assign",
+      streaming.VectorStreams.cellAssign(spark, embStream, sfDir),
+      OutputMode.Append, embRows)
+
+    // stage 5: standing-query retrieval — frozen-stats scoring of every
+    // arriving doc plus the per-query stateful top-k (transformWithState
+    // needs the RocksDB provider; scoped to this stage)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val standing = stage(spark, "standing_retrieval",
+      streaming.TextStreams.standingRetrieval(spark, arrivals, sfDir).toDF(),
+      OutputMode.Append, gateIn)
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+
     val load1 = loadavg(); val steal1 = stealSec()
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
-      s"""$tumbling,$gate,$audit,""" +
+      s"""$tumbling,$gate,$audit,$assign,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")
