@@ -160,22 +160,28 @@ object TextStreams {
     */
   private[graft] def scoreAgainstFrozen(docs: DataFrame,
       model: Seq[FrozenTerm]): DataFrame = {
-    val scored = model.groupBy(_.queryId).toSeq.map { case (qid, fts) =>
-      val contribs = fts.map { ft =>
-        val tf = s"CAST(size(filter(w, x -> x = '${ft.term}')) AS BIGINT)"
-        s"(CAST(${ft.idfMicro} AS DECIMAL(38,0)) * 22 * $tf * ${ft.total}) div " +
-          s"(CAST(10 AS DECIMAL(38,0)) * ${ft.total} * $tf + 3 * ${ft.total} " +
-          s"+ 9 * len * ${ft.ndocs})"
-      }
-      // terms with tf = 0 contribute exactly 0 (zero numerator), so the
-      // plain sum IS the disjunctive q119 semantics
-      docs.withColumn("w", split(col("text"), " "))
-        .withColumn("len", size(col("w")).cast("long"))
-        .select(lit(qid).as("query_id"), col("doc_id"),
+    val perQuery = model.groupBy(_.queryId).toSeq.sortBy(_._1).map {
+      case (qid, fts) =>
+        val contribs = fts.map { ft =>
+          val tf = s"CAST(size(filter(w, x -> x = '${ft.term}')) AS BIGINT)"
+          s"(CAST(${ft.idfMicro} AS DECIMAL(38,0)) * 22 * $tf * ${ft.total}) div " +
+            s"(CAST(10 AS DECIMAL(38,0)) * ${ft.total} * $tf + 3 * ${ft.total} " +
+            s"+ 9 * len * ${ft.ndocs})"
+        }
+        // terms with tf = 0 contribute exactly 0 (zero numerator), so the
+        // plain sum IS the disjunctive q119 semantics
+        struct(lit(qid).as("query_id"),
           expr(contribs.mkString(" + ")).as("score_micro"))
-        .filter(col("score_micro") > 0)
     }
-    scored.reduce(_.unionByName(_))
+    // ONE pass over each micro-batch: all standing queries score from a
+    // single tokenize, then explode the per-query struct array — a
+    // per-query union would rescan the batch |queries| times
+    docs.withColumn("w", split(col("text"), " "))
+      .withColumn("len", size(col("w")).cast("long"))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("doc_id"),
+        col("qs.score_micro").as("score_micro"))
+      .filter(col("score_micro") > 0)
   }
 
   /** Per-query running top-k over the candidate stream: ONE
