@@ -327,8 +327,8 @@ class EventStreamsSpec extends SparkSpec {
 
   test("ingest dedup state survives a checkpoint restart") {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("ingest_restart_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("ingest_restart_ckpt").toString
+    val out = tempDir("ingest_restart_out").toPath.toString
+    val ckpt = tempDir("ingest_restart_ckpt").toPath.toString
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
     def start() = TextStreams.ingestPipeline(
       mem.toDF().toDF("doc_id", "text", "eventTime"), delay = "1 hour")
@@ -356,8 +356,8 @@ class EventStreamsSpec extends SparkSpec {
 
   test("span audit groups survive a checkpoint restart and finalize after it") {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("span_restart_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("span_restart_ckpt").toString
+    val out = tempDir("span_restart_out").toPath.toString
+    val ckpt = tempDir("span_restart_ckpt").toPath.toString
     val c = (0 until 12).map(i => f"corpus$i%04d").mkString
     val corpus = Seq((100L, c)).toDF("doc_id", "text")
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)

@@ -14,7 +14,7 @@ import graft.operators.{Materialize, Text}
 class MaterializeSpec extends SparkSpec {
 
   private def tmpDirWith(content: String): java.io.File = {
-    val d = Files.createTempDirectory("mat_src_").toFile
+    val d = tempDir("mat_src_")
     Files.writeString(d.toPath.resolve("data.txt"), content)
     d
   }
@@ -117,7 +117,7 @@ class MaterializeSpec extends SparkSpec {
   }
 
   test("shared sweep: abandoned temp dir of a dead pid is stale; live pid kept") {
-    val proc = Files.createTempDirectory("fake_proc_").toFile
+    val proc = tempDir("fake_proc_")
     Files.createDirectory(proc.toPath.resolve("4242"))
     val dead = new java.io.File(sharedBase, "spec_x__ab.tmp_9999999_1")
     val live = new java.io.File(sharedBase, "spec_x__ab.tmp_4242_1")
@@ -131,26 +131,26 @@ class MaterializeSpec extends SparkSpec {
   // ------------------------------------------------------------------
 
   test("legacy sweep: dir with live owner pid is NOT stale") {
-    val proc = Files.createTempDirectory("fake_proc_").toFile
+    val proc = tempDir("fake_proc_")
     Files.createDirectory(proc.toPath.resolve("4242"))
     assert(!Materialize.isStale("graft_mat_4242_host_123", proc, host = "host"))
   }
 
   test("legacy sweep: dir with dead owner pid on THIS host IS stale") {
-    val proc = Files.createTempDirectory("fake_proc_").toFile
+    val proc = tempDir("fake_proc_")
     assert(Materialize.isStale("graft_mat_4242_host_123", proc, host = "host"))
   }
 
   test("legacy sweep: dir from ANOTHER host is kept (shared scratch)") {
     // on NFS-shared scratch a remote run's pid is meaningless in the
     // local /proc — absence there must not delete a live remote run
-    val proc = Files.createTempDirectory("fake_proc_").toFile
+    val proc = tempDir("fake_proc_")
     assert(!Materialize.isStale("graft_mat_4242_otherhost_123", proc,
       host = "thishost"))
   }
 
   test("legacy sweep: unparseable pid prefix is kept (fail safe), not deleted") {
-    val proc = Files.createTempDirectory("fake_proc_").toFile
+    val proc = tempDir("fake_proc_")
     assert(!Materialize.isStale("graft_mat_nopid_host_123", proc, host = "host"))
     assert(!Materialize.isStale("graft_mat_", proc, host = "host"))
   }
@@ -161,7 +161,7 @@ class MaterializeSpec extends SparkSpec {
   }
 
   test("legacy sweep: non-graft names and the shared root are never candidates") {
-    val proc = Files.createTempDirectory("fake_proc_").toFile
+    val proc = tempDir("fake_proc_")
     assert(!Materialize.isStale("other_scratch_4242", proc, host = "host"))
     assert(!Materialize.isStale("graft_mat_v2", proc, host = "host"))
   }

@@ -63,8 +63,8 @@ class ReplaySourceSpec extends SparkSpec {
     // below the committed offset, re-planning already-committed ranges
     // (duplicates) or stalling on empty batches; admission control paces
     // from the engine-supplied start offset, so restart is seamless.
-    val out = java.nio.file.Files.createTempDirectory("replay_restart_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("replay_restart_ckpt").toString
+    val out = tempDir("replay_restart_out").toPath.toString
+    val ckpt = tempDir("replay_restart_ckpt").toPath.toString
     def start() = spark.readStream.format(fmt)
       .option("path", fixturePath).option("eventsPerBatch", 5).load()
       .writeStream.format("parquet")

@@ -10,7 +10,7 @@ import graft.sources.{Sinks, Tables}
 class SinksSpec extends SparkSpec {
 
   test("partitionBy(year) layout prunes partitions on read") {
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = tempDir("graft_part").toPath.toString
     val orders = Tables.orders(spark, sfDir)
     Sinks.writePartitionedByYear(orders, "o_orderdate", s"$out/orders")
 

@@ -15,7 +15,7 @@ class SpanDedupSpec extends SparkSpec {
   // across docs, the p=61 window crosses into their distinct suffixes;
   // doc 3 is one char below a window; doc 4 is exactly one unique window.
   private lazy val dir: String = {
-    val d = Files.createTempDirectory("span_src_").toFile
+    val d = tempDir("span_src_")
     val prefix = ("the quick brown fox jumps over the lazy dog again and " +
       "again while zebras watch from the hill and more").take(90)
     assert(prefix.length == 90)
@@ -89,7 +89,7 @@ class SpanDedupSpec extends SparkSpec {
       val docs = (bases ++ copies ++ prefixClones).map { case (id, t) =>
         (id, t, "en", s"src${id % 3}", t.length.toLong)
       }
-      val d = Files.createTempDirectory(s"span_prop_$seed").toFile
+      val d = tempDir(s"span_prop_$seed")
       import spark.implicits._
       docs.toDF("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")

@@ -109,7 +109,7 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch sink: per-micro-batch parquet writes land every row (K3 shape)") {
     import spark.implicits._
-    val outDir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val outDir = tempDir("graft_fb").toPath.toString
     val mem = MemoryStream[UserActivity](spark)
     val q = mem.toDS().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserActivity], id: Long) =>
@@ -179,8 +179,8 @@ class StreamingSpec extends SparkSpec {
 
   test("checkpoint recovery: stateful query resumes counters after restart") {
     import spark.implicits._
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = tempDir("graft_ckpt").toPath.toString
+    val out = tempDir("graft_ckpt_out").toPath.toString
     val mem = MemoryStream[UserActivity](spark)
     def start() = CountTriggerStream.fires(spark, mem.toDS())
       .writeStream.format("parquet").option("path", out)

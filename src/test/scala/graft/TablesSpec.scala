@@ -25,7 +25,7 @@ class TablesSpec extends SparkSpec {
 
   private def writeAndRead(encode: org.apache.spark.sql.Column): Timestamp = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_tables_spec_").toString
+    val dir = tempDir("graft_tables_spec_").toString
     Seq((1L, micros, 7L, "click", 1.0, "{}"))
       .toDF("event_id", "us", "user_id", "event_type", "value", "props")
       .withColumn("ts", encode)
@@ -53,7 +53,7 @@ class TablesSpec extends SparkSpec {
 
   test("embeddings.embedding: float-array encoding passes through unchanged") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_tables_spec_").toString
+    val dir = tempDir("graft_tables_spec_").toString
     Seq((1L, Seq(0.5f, -0.25f), 0)).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val df = Tables.embeddings(spark, dir)
@@ -68,7 +68,7 @@ class TablesSpec extends SparkSpec {
     // hash-mismatch 40+ ANN queries against a DuckDB oracle computing on
     // the raw doubles. The contract now: doubles pass through untouched.
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_tables_spec_").toString
+    val dir = tempDir("graft_tables_spec_").toString
     val vals = Seq(0.1d, 1e-200, 1.0 + 1e-15)
     Seq((1L, vals, 0)).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
