@@ -24,4 +24,25 @@ object Sinks {
   /** Plain parquet append sink (used by streaming foreachBatch too). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Idempotent partition backfill: overwrite ONLY the partitions
+    * present in `df`, leaving every other partition's files untouched —
+    * `partitionOverwriteMode=dynamic` scoped to this write. This is the
+    * daily-rerun contract of a production lake job: re-running one
+    * day's pipeline replaces that day's directory atomically-per-
+    * partition and can never truncate the rest of the table (static
+    * overwrite mode — the default — would drop ALL partitions first).
+    * Asserted in SinksSpec down to untouched sibling file paths.
+    */
+  def backfillPartitions(df: DataFrame, partCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

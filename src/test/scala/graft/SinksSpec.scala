@@ -40,4 +40,26 @@ class SinksSpec extends SparkSpec {
       s"scan opened ${scan.metrics("numFiles").value} files, " +
         s"expected only year=1995's $filesInYear")
   }
+
+  test("backfill overwrites only its partitions; siblings keep their files") {
+    import spark.implicits._
+    val out = s"${tempDir("graft_backfill").toPath}/t"
+    def day(d: String, vs: Seq[Long]) = vs.map(v => (d, v)).toDF("d", "v")
+    Sinks.backfillPartitions(
+      day("2024-01-01", Seq(1, 2)) union day("2024-01-02", Seq(3)), "d", out)
+    def files(d: String) = new java.io.File(s"$out/d=$d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val day1Before = files("2024-01-01")
+    // re-run day 2 with corrected data: day 1's files must be BYTE-LEVEL
+    // untouched (same names), day 2 replaced, total rows consistent
+    Sinks.backfillPartitions(day("2024-01-02", Seq(30, 31)), "d", out)
+    assert(files("2024-01-01") === day1Before,
+      "sibling partition must keep its exact files across a backfill")
+    // the read-side partition column type-infers to DATE; compare as text
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.get(1).toString, r.getLong(0))).toSet
+    assert(rows === Set(("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-02", 30L), ("2024-01-02", 31L)),
+      "day 2 must be replaced, day 1 intact")
+  }
 }
