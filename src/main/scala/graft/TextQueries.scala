@@ -865,6 +865,20 @@ object TextQueries {
          |    AS n_cross_doc_hashes
          |FROM per""".stripMargin)),
 
+    // q122: span-level eval decontamination — the batch anchor of the
+    // streaming contamination audit, third consumer of the span stage.
+    QueryDef("q122_span_decontaminate", (s, d) => spanDecontaminate(s, d), Some(
+      s"""WITH $SPANS,
+         |ev AS (SELECT DISTINCT h, 1 AS hit FROM spans WHERE doc_id % 97 = 0),
+         |tr AS (SELECT spans.*, ev.hit FROM spans LEFT JOIN ev USING (h)
+         |       WHERE doc_id % 97 != 0)
+         |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS n_spans,
+         |  CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit_spans,
+         |  COUNT(DISTINCT CASE WHEN hit = 1 THEN doc_id END)
+         |    AS n_contaminated_docs
+         |FROM tr GROUP BY source ORDER BY source""".stripMargin)),
+
     // q118: integer PageRank over the verified near-dup pair graph —
     // five unrolled rounds, exact micro-unit math (floor division on
     // non-negative operands: Spark `div` == DuckDB `//`), mirroring

@@ -1679,6 +1679,35 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** q122: span-level benchmark decontamination — the BATCH anchor of
+    * the streaming contamination audit: training docs sharing any
+    * verbatim 60-char window with the held-out eval slice
+    * (doc_id % evalMod = 0, the q73 split rule), summarized per source.
+    * Gram-level q73 catches tokenized overlap; this catches raw
+    * substring reuse across token boundaries (the suffix-array
+    * decontamination target), from the SAME landed span stage as
+    * q116/q117 — a third consumer, zero new corpus passes.
+    *
+    * Shape at scale: the eval slice is tiny by construction, so its
+    * distinct span hashes broadcast as the dictionary and the train
+    * side is ONE pass over the landed spans (the q73 one-pass rule).
+    */
+  def spanDecontaminate(s: SparkSession, dir: String,
+      evalMod: Int = 97): DataFrame = {
+    val spans = docSpans(s, dir)
+    val evalSpans = spans.filter(col("doc_id") % evalMod === 0)
+      .select(col("h")).distinct()
+    spans.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalSpans.withColumn("hit", lit(1))), Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit_spans"),
+        countDistinct(when(col("hit") === 1, col("doc_id")))
+          .as("n_contaminated_docs"))
+      .orderBy(col("source"))
+  }
+
   /** q117: span-dedup savings card — the one-row estimate a curation run
     * reads before deciding whether substring-level dedup pays for a
     * corpus: duplicated span occurrences (each hash's occurrences beyond
