@@ -429,6 +429,43 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("standing retrieval top-k state survives a checkpoint restart") {
+    withRocksDb {
+      import spark.implicits._
+      val out = tempDir("standing_restart_out").toPath.toString
+      val ckpt = tempDir("standing_restart_ckpt").toPath.toString
+      val mem = MemoryStream[(Long, String)](spark)
+      def start() = TextStreams.standingRetrieval(
+        spark, mem.toDF().toDF("doc_id", "text"), sfDir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val terms = graft.operators.Text.RetrievalQueries.flatMap(_._2).distinct
+      // doc 1 scores on every query; docs with one weak term score lower
+      val strong = Seq.fill(10)(terms).flatten.mkString(" ")
+      val weak = (terms.take(1) ++ Seq.fill(40)("fillerword")).mkString(" ")
+      val q1 = start()
+      try { mem.addData(Seq((1L, strong), (2L, weak))); q1.processAllAvailable() }
+      finally q1.stop()
+      val before = spark.read.parquet(out).count()
+      assert(before > 0)
+      // restart: re-sending the SAME docs must emit nothing (the restored
+      // top-k is unchanged); a stronger new doc must re-rank to #1
+      val q2 = start()
+      try {
+        mem.addData(Seq((1L, strong), (2L, weak)))
+        q2.processAllAvailable()
+        assert(spark.read.parquet(out).count() === before,
+          "re-arrivals equal to restored state must not re-emit")
+        mem.addData(Seq((3L, Seq.fill(60)(terms).flatten.mkString(" "))))
+        q2.processAllAvailable()
+        val top = spark.read.parquet(out)
+          .filter(col("rnk") === 1 && col("doc_id") === 3).count()
+        assert(top > 0, "a dominant arrival after restart must take rank 1")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming count-min cell sums accumulate across micro-batches to the batch sketch") {
     withRocksDb {
     import spark.implicits._
