@@ -439,8 +439,9 @@ object EventWindows {
     * partition-less window — arrivals bucket by hour, the window runs
     * inside each bucket, and a broadcast prefix-max over the O(buckets)
     * summary lifts local maxima to global ones (the q89 two-pass
-    * pattern). The delay grid multiplies only the final count, not the
-    * corpus.
+    * pattern). The delay grid is folded into ONE aggregation pass over
+    * the corpus (one conditional sum per delay, unpivoted with stack) —
+    * no row-multiplying join at any grid size.
     */
   def watermarkAudit(s: SparkSession, dir: String,
       jitterMs: Long = 10000): DataFrame = {
@@ -465,14 +466,16 @@ object EventWindows {
     // first arrivals (nothing seen yet -> never late)
     val run = local.join(broadcast(pmax), Seq("bk"), "left")
       .withColumn("prior", greatest(col("lmax"), col("pmax")))
-    val delays = s.createDataFrame(Seq(500L, 1000L, 5000L, 30000L)
-      .map(Tuple1(_))).toDF("delay_ms")
-    delays.crossJoin(run)
-      .groupBy(col("delay_ms"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("prior").isNotNull &&
-          col("ms") < col("prior") - col("delay_ms"), 1L)
-          .otherwise(0L)).as("n_late"))
+    // One pass over the corpus: the 4-delay grid is four conditional
+    // sums in a single aggregation (no row-multiplying crossJoin), then
+    // stack() unpivots the 1-row summary into the 4-row report.
+    val delays = Seq(500L, 1000L, 5000L, 30000L)
+    def late(d: Long) = sum(when(col("prior").isNotNull &&
+      col("ms") < col("prior") - lit(d), 1L).otherwise(0L)).as(s"l$d")
+    val one = run.agg(count(lit(1)).as("n_events"), delays.map(late): _*)
+    val pairs = delays.map(d => s"${d}L, l$d").mkString(", ")
+    one.selectExpr("n_events",
+        s"stack(${delays.size}, $pairs) AS (delay_ms, n_late)")
       .select(col("delay_ms"), col("n_events"), col("n_late"),
         expr("(n_late * 1000000) div n_events").as("late_micro"))
       .orderBy(col("delay_ms"))

@@ -27,22 +27,18 @@ object Sinks {
 
   /** Idempotent partition backfill: overwrite ONLY the partitions
     * present in `df`, leaving every other partition's files untouched —
-    * `partitionOverwriteMode=dynamic` scoped to this write. This is the
-    * daily-rerun contract of a production lake job: re-running one
-    * day's pipeline replaces that day's directory atomically-per-
-    * partition and can never truncate the rest of the table (static
-    * overwrite mode — the default — would drop ALL partitions first).
-    * Asserted in SinksSpec down to untouched sibling file paths.
+    * `partitionOverwriteMode=dynamic` scoped to this write via the
+    * per-write DataFrameWriter option (takes precedence over the session
+    * conf, so concurrent writes on the same session can never observe
+    * each other's mode — no set/restore race). This is the daily-rerun
+    * contract of a production lake job: re-running one day's pipeline
+    * replaces that day's directory atomically-per-partition and can
+    * never truncate the rest of the table (static overwrite mode — the
+    * default — would drop ALL partitions first). Asserted in SinksSpec
+    * down to untouched sibling file paths.
     */
-  def backfillPartitions(df: DataFrame, partCol: String, path: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  def backfillPartitions(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
 }

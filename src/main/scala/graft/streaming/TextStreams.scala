@@ -155,15 +155,19 @@ object TextStreams {
   /** Per-row BM25 of arriving docs against the frozen model — shared by
     * the streaming standing query and its batch twin in the spec. No
     * explode, no shuffle: tf of each registered term is a per-row array
-    * count, the score is the q64 integer formula, zero-score (no term
-    * present) candidates are dropped before any state is touched.
+    * count, the score is the q64 integer formula. A doc becomes a
+    * candidate iff it contains ≥1 query term — the SAME membership rule
+    * as batch q119's posting-list probe (which keeps a zero-score hit
+    * when every matched term has idf 0), so the standing top-k can never
+    * diverge from the batch twin on that edge.
     */
   private[graft] def scoreAgainstFrozen(docs: DataFrame,
       model: Seq[FrozenTerm]): DataFrame = {
     val perQuery = model.groupBy(_.queryId).toSeq.sortBy(_._1).map {
       case (qid, fts) =>
-        val contribs = fts.map { ft =>
-          val tf = s"CAST(size(filter(w, x -> x = '${ft.term}')) AS BIGINT)"
+        val tfs = fts.map(ft =>
+          s"CAST(size(filter(w, x -> x = '${ft.term}')) AS BIGINT)")
+        val contribs = fts.zip(tfs).map { case (ft, tf) =>
           s"(CAST(${ft.idfMicro} AS DECIMAL(38,0)) * 22 * $tf * ${ft.total}) div " +
             s"(CAST(10 AS DECIMAL(38,0)) * ${ft.total} * $tf + 3 * ${ft.total} " +
             s"+ 9 * len * ${ft.ndocs})"
@@ -171,7 +175,9 @@ object TextStreams {
         // terms with tf = 0 contribute exactly 0 (zero numerator), so the
         // plain sum IS the disjunctive q119 semantics
         struct(lit(qid).as("query_id"),
-          expr(contribs.mkString(" + ")).as("score_micro"))
+          expr(contribs.mkString(" + ")).as("score_micro"),
+          expr(tfs.map(tf => s"CAST($tf > 0 AS BIGINT)").mkString(" + "))
+            .as("n_hits"))
     }
     // ONE pass over each micro-batch: all standing queries score from a
     // single tokenize, then explode the per-query struct array — a
@@ -179,9 +185,9 @@ object TextStreams {
     docs.withColumn("w", split(col("text"), " "))
       .withColumn("len", size(col("w")).cast("long"))
       .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
+      .filter(col("qs.n_hits") > 0)
       .select(col("qs.query_id").as("query_id"), col("doc_id"),
         col("qs.score_micro").as("score_micro"))
-      .filter(col("score_micro") > 0)
   }
 
   /** Per-query running top-k over the candidate stream: ONE
@@ -202,8 +208,15 @@ object TextStreams {
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
         timerValues: TimerValues): Iterator[RetrievalUpdate] = {
       val prev = if (state.exists()) state.get().items else Seq.empty
+      // dedupe by DOC (not by (score, doc)): a doc_id re-arriving with
+      // updated text must not occupy two slots — keep its max score,
+      // deterministic regardless of within-batch row order
+      // .toSeq BEFORE the map: mapping the groupBy Map directly would
+      // re-key entries by score and silently collapse score ties
       val merged = (prev ++ rows.map { case (_, doc, score) => (score, doc) })
-        .distinct.sortBy { case (score, doc) => (-score, doc) }.take(k)
+        .groupBy { case (_, doc) => doc }.toSeq
+        .map { case (doc, ss) => (ss.map(_._1).max, doc) }
+        .sortBy { case (score, doc) => (-score, doc) }.take(k)
       if (merged == prev) Iterator.empty
       else {
         state.update(TopKState(merged))

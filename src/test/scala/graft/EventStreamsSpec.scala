@@ -413,6 +413,15 @@ class EventStreamsSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
         assert(afterOne === expected,
           "one micro-batch must emit exactly the batch twin's top-k per query")
+        // INDEPENDENT oracle: the q119 posting-table path shares no code
+        // with scoreAgainstFrozen, so a scoring bug common to the stream
+        // and its twin (tokenization, idf rounding, len) cannot hide here
+        val oracle = graft.operators.Text.bm25Retrieval(spark, sfDir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(afterOne === oracle,
+          "stream top-k must equal the independent q119 posting-table oracle")
         // a later arrival containing every query term must take rank 1
         // of every standing query (its tf dominates the short corpus docs)
         val killer = Seq.fill(60)(graft.operators.Text.RetrievalQueries
@@ -463,6 +472,47 @@ class EventStreamsSpec extends SparkSpec {
           .filter(col("rnk") === 1 && col("doc_id") === 3).count()
         assert(top > 0, "a dominant arrival after restart must take rank 1")
       } finally q2.stop()
+    }
+  }
+
+  test("standing retrieval: a re-arriving doc_id occupies one top-k slot, not two") {
+    withRocksDb {
+      import spark.implicits._
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = TextStreams.standingRetrieval(
+        spark, mem.toDF().toDF("doc_id", "text"), sfDir)
+        .writeStream.format("memory").queryName("standing_update")
+        .outputMode(OutputMode.Append).start()
+      val terms = graft.operators.Text.RetrievalQueries.flatMap(_._2).distinct
+      try {
+        // doc 7 arrives weak (one term, long filler), then UPDATED strong
+        val weak = (terms.take(1) ++ Seq.fill(40)("fillerword")).mkString(" ")
+        val strong = Seq.fill(20)(terms).flatten.mkString(" ")
+        def rows() = spark.table("standing_update").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        mem.addData(Seq((7L, weak), (8L, strong)))
+        q.processAllAvailable()
+        val firstBatch = rows()
+        mem.addData(Seq((7L, strong)))
+        q.processAllAvailable()
+        // the append log's delta for batch 2 = each changed query's full
+        // current top-k; doc 7's update changes every query (it enters
+        // 2 and 3, re-scores on 1), so every query re-emits here
+        val delta = rows().diff(firstBatch)
+        graft.operators.Text.RetrievalQueries.map(_._1).foreach { qid =>
+          val top = delta.filter(_._1 == qid)
+          assert(top.nonEmpty, s"query $qid must re-emit after the doc update")
+          // doc 7 holds exactly ONE slot — never a stale-score second one
+          assert(top.count(_._3 == 7L) === 1,
+            s"doc 7 must occupy one slot for query $qid, got: ${top.toSeq}")
+          // identical strong text ⇒ identical score; tie breaks doc asc
+          val d7 = top.find(_._3 == 7L).get
+          val d8 = top.find(_._3 == 8L).get
+          assert(d7._4 === d8._4,
+            s"updated doc 7 must carry its max (strong-text) score for query $qid")
+          assert(d7._2 < d8._2, s"score tie must break doc-asc for query $qid")
+        }
+      } finally q.stop()
     }
   }
 

@@ -136,4 +136,48 @@ class SpanDedupSpec extends SparkSpec {
     assert(bag(Text.spanHashesExpr("text")) ==
       asBag(Text.docSpans(spark, sfDir).select("doc_id", "h")))
   }
+
+  test("span_hashes60 non-ASCII slow path equals the tree spelling and a code-point replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // multi-byte corpora exercise the code-point slow path (bytes !=
+    // chars): accented Latin, CJK, mixed ASCII/CJK crossing a window
+    // boundary, and exact-60 / 59-char (below window) edges
+    val cjk = "数据引擎流式处理窗口聚合去重索引检索排序合并扫描广播分区洗牌溢出压缩编码校验哈希分桶布隆过滤采样统计基数估计直方图分位数倾斜盐化" // 64 chars
+    val accented = ("résumé café naïve façade coöperate déjà-vu añejo " * 3).trim
+    val mixed = ("abc漢字def引擎ghi窗口jkl聚合mno去重pqr索引stu检索vwx" * 3).trim
+    val docs = Seq(
+      (1L, cjk), (2L, accented), (3L, mixed),
+      (4L, cjk.take(60)), (5L, cjk.take(59)), (6L, accented.take(61)))
+    docs.foreach { case (id, t) =>
+      assert(t.getBytes("UTF-8").length > t.length, s"doc $id must be multi-byte")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val treeSpelling = expr(
+      "CASE WHEN length(text) >= 60 THEN " +
+        "transform(sequence(1, length(text) - 59, 30), " +
+        "p -> CAST(conv(substr(md5(CAST(substring(text, p, 60) AS BINARY)), " +
+        "1, 15), 16, 10) AS BIGINT)) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END")
+    def bag(c: org.apache.spark.sql.Column) = df
+      .select(col("doc_id"), explode_outer(c).as("h"))
+      .filter(col("h").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val got = bag(Text.spanHashesExpr("text"))
+    assert(got == bag(treeSpelling))
+    assert(got.nonEmpty)
+    // pure-Scala replay (BMP chars: code points == UTF-16 units here)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      (1 to t.length - 59 by 30).map(p => (id, h60(t.substring(p - 1, p + 59))))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == expected)
+    assert(expected.exists { case ((id, _), _) => id == 4L }, "exact-60 doc hashes")
+    assert(!expected.exists { case ((id, _), _) => id == 5L }, "59-char doc is empty")
+  }
 }
