@@ -2,25 +2,34 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, StreamingQueryProgress}
 
-/** Streaming-throughput benchmark: replays the `events` table through
-  * Structured Streaming (file source, watermarked tumbling aggregation —
-  * the reference's core workload shape) and the `documents` table
-  * through the stream-static near-dup gate, and reports end-to-end
-  * rows/sec per stage.
+/** Streaming benchmark: replays the `events`, `documents` and
+  * `embeddings` tables through the library's streaming operators as
+  * MULTI-batch runs (the input is pre-sliced into ~12 files and the file
+  * source triggers one file per micro-batch), reporting per stage:
+  *
+  *  - sustained throughput (rows/s over the whole run, not one batch),
+  *  - the per-batch latency distribution (p50/p95/max trigger seconds —
+  *    one giant batch and 500 tiny ones can share a rows/s number but
+  *    scale differently),
+  *  - state-store telemetry for the stateful stages (rows last/max,
+  *    memory bytes, rows removed, rows dropped by watermark) — at 100 TB
+  *    the binding constraint of a standing pipeline is state bytes/key
+  *    and cleanup rate, which single-batch rows/s cannot show, and
+  *  - for the two checkpointed stateful stages (span audit, standing
+  *    retrieval) one KILL-AND-RESTORE cycle: the query is stopped midway
+  *    through the replay and restarted from its checkpoint; `restore_s`
+  *    is the wall time from restart to fully drained — the recovery cost
+  *    a production pipeline pays after an executor/driver loss.
   *
   * The reference's replay source emits ~10 events/s by design
-  * (FlinkWindowLearning.scala:40); this measures what the same logical
-  * pipelines sustain under Spark's micro-batch engine.
+  * (FlinkWindowLearning.scala:40); these stages measure what the same
+  * logical pipelines sustain under Spark's micro-batch engine.
   *
-  * Prints ONE JSON line AND writes it to `stream_bench.json` next to
-  * `bench.json`, so the streaming numbers are a driver-visible artifact
-  * rather than stdout that scrolls away: each stage reports rows/s,
-  * rows in/out, wall seconds, and the micro-batch count (from query
-  * progress), plus the same loadavg telemetry as the batch bench —
-  * rows/s on a contended host is a property of the host, not the
-  * engine.
+  * Prints ONE JSON line AND writes it to `stream_bench.json`, with the
+  * same loadavg/steal telemetry as the batch bench — rows/s on a
+  * contended host is a property of the host, not the engine.
   */
 object StreamBench {
 
@@ -41,92 +50,223 @@ object StreamBench {
     if (v.isNaN || v.isInfinite) "-1"
     else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** Run one streaming stage to completion; JSON object of its metrics.
-    * `inRows` is the driving row count the throughput is measured over.
+  /** Nearest-rank percentile over an unsorted sample. */
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) -1.0
+    else {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.max(0, math.ceil(p * s.size).toInt - 1)))
+    }
+
+  /** Slice `df` into `n` parquet files under `path`, written ONE AT A
+    * TIME in `orderCol` order so the file source's arrival order (mtime)
+    * follows event time — the watermark then advances monotonically
+    * across micro-batches, exactly how a production stream arrives.
     */
+  private def sliceOrdered(df: DataFrame, orderCol: String, n: Int,
+      path: String): Unit = {
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    val sliced = df.withColumn("_slice", ntile(n).over(w)).cache()
+    sliced.count()
+    (1 to n).foreach { i =>
+      sliced.filter(col("_slice") === i).drop("_slice")
+        .coalesce(1).write.mode("append").parquet(path)
+      // distinct mtimes per slice: the file source lists in mtime order
+      Thread.sleep(15)
+    }
+    sliced.unpersist()
+  }
+
+  /** JSON fragments for one finished run's progress list. */
+  private def progressJson(progress: Seq[StreamingQueryProgress],
+      inRows: Long, outRows: Long, wallSec: Double): String = {
+    val data = progress.filter(_.numInputRows > 0)
+    val secs = data.flatMap(p => Option(p.durationMs.get("triggerExecution")))
+      .map(_.toLong / 1000.0)
+    val stateful = progress.filter(_.stateOperators.nonEmpty)
+    val state =
+      if (stateful.isEmpty) ""
+      else {
+        val rowsLast = stateful.last.stateOperators.map(_.numRowsTotal).sum
+        val rowsMax = stateful.map(_.stateOperators.map(_.numRowsTotal).sum).max
+        val mem = stateful.last.stateOperators.map(_.memoryUsedBytes).sum
+        val removed = stateful.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+        val dropped = stateful.map(
+          _.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+        s""","state":{"rows_last":$rowsLast,"rows_max":$rowsMax,""" +
+          s""""mem_bytes":$mem,"removed":$removed,""" +
+          s""""dropped_by_watermark":$dropped}"""
+      }
+    s""""rows_per_sec":${fmt(inRows / wallSec)},"in_rows":$inRows,""" +
+      s""""out_rows":$outRows,"wall_sec":${fmt(wallSec, 2)},""" +
+      s""""batches":${data.size},""" +
+      s""""batch_sec":{"p50":${fmt(pct(secs, 0.5), 2)},""" +
+      s""""p95":${fmt(pct(secs, 0.95), 2)},""" +
+      s""""max":${fmt(if (secs.isEmpty) -1.0 else secs.max, 2)}}""" + state
+  }
+
+  /** Run one streaming stage to completion against a memory sink. */
   private def stage(spark: SparkSession, name: String, df: DataFrame,
       mode: OutputMode, inRows: Long): String = {
     val t0 = System.nanoTime()
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     q.processAllAvailable()
-    val secs = (System.nanoTime() - t0) / 1e9
+    val wall = (System.nanoTime() - t0) / 1e9
     val outRows = spark.table(name).count()
-    // recentProgress is capped (default 100) but these runs finish in
-    // a handful of micro-batches; batch count + mean batch size make
-    // the micro-batch shape auditable (1 giant batch and 500 tiny ones
-    // can share a rows/s number but scale differently)
-    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val progress = q.recentProgress.toSeq
     q.stop()
-    s""""$name":{"rows_per_sec":${fmt(inRows / secs)},"in_rows":$inRows,""" +
-      s""""out_rows":$outRows,"wall_sec":${fmt(secs, 2)},""" +
-      s""""batches":$batches}"""
+    s""""$name":{${progressJson(progress, inRows, outRows, wall)}}"""
+  }
+
+  /** Run a checkpointed stage with one mid-replay KILL: stop the query
+    * once ~half the micro-batches have committed, restart it from the
+    * checkpoint, and drain. `restore_s` = wall time of the restarted run
+    * (state-store restore + replay of the uncommitted tail).
+    */
+  private def killRestoreStage(spark: SparkSession, name: String,
+      start: String => StreamingQuery, inRows: Long, nSlices: Int,
+      outCount: () => Long): String = {
+    val ckpt = s"/tmp/graft_streambench/ckpt_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val half = nSlices / 2
+    val t0 = System.nanoTime()
+    val q1 = start(ckpt)
+    val deadline = System.currentTimeMillis() + 300000
+    while (q1.recentProgress.count(_.numInputRows > 0) < half &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    val p1 = q1.recentProgress.toSeq
+    q1.stop() // the KILL: uncommitted work is abandoned mid-replay
+    val firstWall = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val q2 = start(ckpt)
+    q2.processAllAvailable()
+    val restoreS = (System.nanoTime() - t1) / 1e9
+    val p2 = q2.recentProgress.toSeq
+    q2.stop()
+    val wall = firstWall + restoreS
+    s""""$name":{${progressJson(p1 ++ p2, inRows, outCount(), wall)},""" +
+      s""""batches_before_kill":${p1.count(_.numInputRows > 0)},""" +
+      s""""restore_s":${fmt(restoreS, 2)}}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nSlices = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICES", "12").toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     val load0 = loadavg(); val steal0 = stealSec()
+    val base = "/tmp/graft_streambench"
 
-    // stage 1: watermarked tumbling aggregation over the events replay
-    val totalRows = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val tumbling = stage(spark, "sb",
-      streaming.EventStreams.tumblingSignups(spark, sfDir, watermark = "1 hour"),
-      OutputMode.Complete, totalRows)
+    // ---- pre-sliced replay inputs (one file per micro-batch) ----
+    val events = sources.Tables.events(spark, sfDir)
+    val totalRows = events.count()
+    sliceOrdered(events, "ts", nSlices, s"$base/events")
+    val eventsStream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/events")
 
-    // stage 2: near-dup gate — the q63 split (src0 = existing corpus,
-    // the rest arrive as a stream) through the stateless stream-static
-    // anti-join gate
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val corpus = docs.filter(col("source") === "src0")
       .select(col("doc_id"), col("text"))
-    val gateIn = docs.filter(col("source") =!= "src0").count()
-    val arrivals = spark.readStream.schema(docs.schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-      .filter(col("source") =!= "src0")
-      .withColumn("eventTime", lit("2025-01-01").cast("timestamp"))
+    // arriving docs carry an event time that advances with arrival order
+    // (doc_id-derived), so watermarks progress batch over batch
+    val arrivalsBatch = docs.filter(col("source") =!= "src0")
+      .withColumn("eventTime",
+        timestamp_seconds(lit(1735689600L) + col("doc_id")))
+    val gateIn = arrivalsBatch.count()
+    sliceOrdered(arrivalsBatch, "doc_id", nSlices, s"$base/docs")
+    def arrivals = spark.readStream.schema(arrivalsBatch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/docs")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embRows = emb.count()
+    sliceOrdered(emb, "vec_id", nSlices, s"$base/emb")
+    val embStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/emb")
+
+    // stage 1: watermarked tumbling aggregation over the events replay
+    val tumbling = stage(spark, "sb",
+      streaming.EventStreams.tumblingSignupsOn(eventsStream, "1 hour"),
+      OutputMode.Complete, totalRows)
+
+    // stage 2: near-dup ingest gate (stateless stream-static anti-joins)
     val gate = stage(spark, "gate",
       streaming.TextStreams.nearDupGate(arrivals, corpus),
       OutputMode.Append, gateIn)
 
-    // stage 3: span-level contamination audit (q116's streaming twin) —
-    // per-arriving-doc verbatim span hits against the landed src0 span
-    // index. Update mode: a one-shot replay never advances the
-    // watermark, so Append would hold every group back.
-    val audit = stage(spark, "span_audit",
-      streaming.TextStreams.spanContaminationAudit(arrivals, corpus),
-      OutputMode.Update, gateIn)
-
-    // stage 4: stateless IVF cell assignment of an arriving embedding
-    // stream (the vector store's write path — literal broadcast
-    // centroids, per-row argmin, zero shuffles)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val embRows = emb.count()
-    val embStream = spark.readStream.schema(emb.schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+    // stage 3: stateless IVF cell assignment of the embedding stream
+    // (the vector store's write path — literal broadcast centroids,
+    // per-row argmin, zero shuffles)
     val assign = stage(spark, "cell_assign",
       streaming.VectorStreams.cellAssign(spark, embStream, sfDir),
       OutputMode.Append, embRows)
 
-    // stage 5: standing-query retrieval — frozen-stats scoring of every
-    // arriving doc plus the per-query stateful top-k (transformWithState
-    // needs the RocksDB provider; scoped to this stage)
+    // stage 4: timer-driven inactivity sessions over the event replay —
+    // watermark-evicted ValueState + event-time timers; the state
+    // telemetry shows sessions closing (removed > 0) as the watermark
+    // advances across micro-batches
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-    val standing = stage(spark, "standing_retrieval",
-      streaming.TextStreams.standingRetrieval(spark, arrivals, sfDir).toDF(),
-      OutputMode.Append, gateIn)
+    val sessionsIn = eventsStream
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "10 seconds")
+      .select(col("user_id"), unix_millis(col("ts")))
+      .as[(String, Long)]
+    val sessions = stage(spark, "session_timers",
+      streaming.SessionTimers.inactivitySessions(spark, sessionsIn,
+        gapMs = 30 * 60 * 1000L).toDF(),
+      OutputMode.Append, totalRows)
+
+    // stage 5: span contamination audit — watermark-finalized per-doc
+    // span accounting, KILLED mid-replay and restored from checkpoint.
+    // Append mode: the advancing eventTime finalizes groups as the
+    // watermark passes them, so state stays bounded and emits flow
+    // batch-over-batch (the production shape); foreachBatch+parquet
+    // keeps the sink restart-safe.
+    val auditOut = s"$base/out_span_audit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(auditOut))
+    val audit = killRestoreStage(spark, "span_audit",
+      ckpt => streaming.TextStreams.spanContaminationAudit(arrivals, corpus)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(auditOut)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start(),
+      gateIn, nSlices,
+      () => try spark.read.parquet(auditOut).count() catch { case _: Throwable => 0L })
+
+    // stage 6: standing-query retrieval — frozen-stats scoring + per-query
+    // stateful top-k, KILLED mid-replay and restored (top-k state must
+    // survive; ReplaySourceSpec/EventStreamsSpec pin the semantics,
+    // this measures the cost)
+    val standingOut = s"$base/out_standing"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(standingOut))
+    val standing = killRestoreStage(spark, "standing_retrieval",
+      ckpt => streaming.TextStreams.standingRetrieval(spark, arrivals, sfDir)
+        .toDF().writeStream.format("parquet")
+        .option("path", standingOut)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start(),
+      gateIn, nSlices,
+      () => try spark.read.parquet(standingOut).count() catch { case _: Throwable => 0L })
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
 
     val load1 = loadavg(); val steal1 = stealSec()
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
-      s"""$tumbling,$gate,$audit,$assign,$standing,""" +
+      s""""slices":$nSlices,""" +
+      s"""$tumbling,$gate,$assign,$sessions,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")

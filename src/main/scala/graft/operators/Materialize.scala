@@ -95,6 +95,17 @@ object Materialize {
   private def fpOf(srcDir: String): String =
     fps.computeIfAbsent(srcDir, fingerprint)
 
+  /** Drop the process-cached fingerprint for `srcDir`: the next stage
+    * access re-walks the dir, so a mid-process regeneration of the
+    * source data is picked up and every dependent stage rebuilds under
+    * the new fingerprint. Called by the streaming model-rebuild path
+    * when it observes a changed corpus fingerprint; batch runs never
+    * need it (data is immutable within a run).
+    */
+  private[graft] def invalidate(srcDir: String): Unit = {
+    fps.remove(srcDir): Unit
+  }
+
   /** Name of the marker file inside a published stage dir recording its
     * source dir (underscore prefix: ignored by parquet readers, like
     * _SUCCESS). The startup sweep reads it to re-fingerprint.

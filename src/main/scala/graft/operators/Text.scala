@@ -194,6 +194,16 @@ object Text {
     * ([[Materialize]]) and read by both similarity semantics over it —
     * symmetric Jaccard (q34) and asymmetric containment (q55). Any
     * threshold is a post-filter, so one landed table serves all callers.
+    *
+    * OFFLINE-TRUTH ONLY at serving scale: the self-join emits every
+    * shingle-sharing pair — O(N²/buckets) in the worst case (a shingle
+    * shared by m docs contributes m² pair rows), inherent to an EXACT
+    * intersection table. At 100 TB this lands once as the ground truth
+    * that calibrates thresholds (q110) and recall (q107); the
+    * serving-scale near-dup path is the banded MinHash LSH
+    * ([[minhashLshPairs]]), whose candidate count is bounded by band
+    * collisions, not shingle co-occurrence. Do not wire a serving query
+    * to this stage.
     */
   private[graft] def shingleInter(s: SparkSession, dir: String): DataFrame =
     Materialize.table(s, s"text_inter_$dir", dir, {

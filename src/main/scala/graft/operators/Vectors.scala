@@ -125,6 +125,14 @@ object Vectors {
     * The exact pair table lands once per (dir, threshold) via
     * [[Materialize]] — q42 reads it ordered; the q106 recall sweep reads
     * it as ground truth.
+    *
+    * OFFLINE-TRUTH ONLY at serving scale: the verify stage is
+    * O(N²/cells·blocks) in the worst case (all candidates in compatible
+    * cell pairs are exactly verified) — inherent to an EXACT oracle.
+    * At 100 TB this is the once-per-corpus truth-building job that
+    * ground-truths recall; the serving-scale near-dup path is the LSH
+    * variant ([[lshBuckets]]/q43 buckets, Text.minhashLshPairs for
+    * text). Do not wire a serving query to this stage.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
       cells: Int = 8, blocks: Int = 8): DataFrame =

@@ -45,7 +45,14 @@ object EventStreams {
     */
   def tumblingSignups(s: SparkSession, dir: String,
       watermark: String = "1 hour"): DataFrame =
-    readEvents(s, dir)
+    tumblingSignupsOn(readEvents(s, dir), watermark)
+
+  /** Same aggregation over an arbitrary prepared event stream (normalized
+    * `ts` column) — the bench feeds a pre-sliced multi-batch replay here.
+    */
+  def tumblingSignupsOn(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(when(col("event_type") === "signup", 1)).as("signups"),

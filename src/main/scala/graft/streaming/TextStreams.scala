@@ -227,6 +227,39 @@ object TextStreams {
     }
   }
 
+  /** [[frozenModel]] keyed by the CORPUS FINGERPRINT — the staleness
+    * policy for standing queries. A week-long standing query must not
+    * serve ever-staler idf forever, but a model swap mid-stream would
+    * make emitted scores non-reproducible; the contract is therefore:
+    *
+    *  - an IN-FLIGHT query keeps its construction-time model until it
+    *    drains (the model is a closure over the query plan — nothing can
+    *    change it mid-stream);
+    *  - a (re)started query re-fingerprints the corpus dir
+    *    (`Materialize.fingerprint`, a fresh walk — not the process
+    *    cache): unchanged data reuses the cached model, changed data
+    *    invalidates the process fingerprint cache so every landed stage
+    *    (tfStage, …) rebuilds, then recomputes the model;
+    *  - the top-k checkpoint stays restorable across the swap — state
+    *    holds (score, doc) values, not model internals, so restored
+    *    entries rank against newly-scored arrivals under the new model.
+    *
+    * Spec: `EventStreamsSpec` "frozen model rebuilds when the corpus
+    * fingerprint changes".
+    */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[FrozenTerm]]()
+
+  private[graft] def currentModel(spark: SparkSession,
+      dir: String): Seq[FrozenTerm] = {
+    import graft.operators.Materialize
+    val fp = Materialize.fingerprint(dir)
+    modelCache.computeIfAbsent((dir, fp), _ => {
+      Materialize.invalidate(dir)
+      frozenModel(spark, dir)
+    })
+  }
+
   /** Standing-query retrieval — continuous search over an ARRIVING
     * corpus: each registered query (operators.Text.RetrievalQueries)
     * maintains a running BM25 top-k as docs stream in, the saved-search/
@@ -236,11 +269,16 @@ object TextStreams {
     * standard frozen-stats serving contract), so the stream side is
     * stateless until the O(queries · k) top-k state. Emits a query's
     * full top-k whenever it changes (Append mode).
+    *
+    * Staleness: the model is pinned per corpus FINGERPRINT
+    * ([[currentModel]]) — a restart over regenerated corpus data
+    * rebuilds the idf/constants; a restart over unchanged data reuses
+    * the cached model and the checkpointed top-k state verbatim.
     */
   def standingRetrieval(spark: SparkSession, stream: DataFrame, dir: String,
       k: Int = 5): Dataset[RetrievalUpdate] = {
     import spark.implicits._
-    scoreAgainstFrozen(stream, frozenModel(spark, dir))
+    scoreAgainstFrozen(stream, currentModel(spark, dir))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new StandingTopKProcessor(k),

@@ -52,13 +52,32 @@ object VectorStreams {
     * cid asc) on the SAME doubles, so assignments are row-for-row
     * identical to the landed batch index (spec-pinned) and a downstream
     * writer can append them straight to the `vec_ivf` table.
+    *
+    * Staleness: the codebook is pinned per corpus FINGERPRINT (same
+    * contract as TextStreams.currentModel) — an in-flight query keeps
+    * its construction-time centroids until it drains; a (re)started one
+    * re-fingerprints `dir` and retrains/reloads the k-means model if
+    * the corpus was regenerated, reusing the cached codebook otherwise.
     */
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[(Long, Array[Double], Double)]]()
+
+  private[graft] def currentCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(Long, Array[Double], Double)] = {
+    import graft.operators.Materialize
+    val fp = Materialize.fingerprint(dir)
+    centCache.computeIfAbsent((dir, fp), _ => {
+      Materialize.invalidate(dir)
+      Vectors.centDoubles(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+    })
+  }
+
   def cellAssign(spark: org.apache.spark.sql.SparkSession, stream: DataFrame,
       dir: String): DataFrame = {
-    val cents = Vectors.centDoubles(spark, dir)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
+    val cents = currentCentroids(spark, dir)
     val nsq = call_function("float_dot", col("embedding"), col("embedding"))
     val candidates = cents.map { case (cid, ce, cn) =>
       val cos = call_function("float_dot", col("embedding"), lit(ce)) /

@@ -148,6 +148,105 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixed lake: landed prefix index + streamed suffix appends == full batch rebuild") {
+    import spark.implicits._
+    // the compaction contract of the vector store's write path: batch
+    // index rows landed BEFORE a suffix arrived, plus the suffix's
+    // streamed cellAssign appends, must serve downstream reads (q44/q48/
+    // q111 are deterministic functions of this table) exactly as a full
+    // batch rebuild would. Valid because the codebook is FROZEN across
+    // both paths — assignment is row-local given the trained centroids.
+    val full = graft.operators.Vectors.ivfAssignmentsBuild(spark, sfDir)
+    val fullRows = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ids = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id")).as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val prefix = fullRows.filter(_._1 < cut)
+    val suffixVecs = sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= cut)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val q = VectorStreams.cellAssign(
+      spark, mem.toDF().toDF("vec_id", "embedding"), sfDir)
+      .writeStream.format("memory").queryName("mixed_lake")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(suffixVecs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("mixed_lake").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // appendable straight into the landed vec_ivf table: same columns
+      assert(spark.table("mixed_lake").schema.map(f => (f.name, f.dataType)) ===
+        full.schema.map(f => (f.name, f.dataType)))
+      assert(prefix.nonEmpty && streamed.nonEmpty)
+      assert((prefix ++ streamed) === fullRows,
+        "landed prefix + streamed suffix must equal a full batch rebuild")
+    } finally q.stop()
+  }
+
+  test("frozen model rebuilds when the corpus fingerprint changes; old checkpoint restores") {
+    withRocksDb {
+      import spark.implicits._
+      val dir = tempDir("staleness_corpus").toPath.toString
+      val out = tempDir("staleness_out").toPath.toString
+      val ckpt = tempDir("staleness_ckpt").toPath.toString
+      def writeCorpus(docs: Seq[(Long, String)]): Unit =
+        docs.map { case (id, t) => (id, t, "en", s"src${id % 3}", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+      val filler = (0 until 30).map(i => s"filler$i").mkString(" ")
+      // v1: "window" in 1 of 4 docs -> idf = ln(4/1)
+      writeCorpus(Seq(1L -> s"window $filler", 2L -> filler,
+        3L -> filler, 4L -> filler))
+      val mem = MemoryStream[(Long, String)](spark)
+      def start() = TextStreams.standingRetrieval(
+        spark, mem.toDF().toDF("doc_id", "text"), dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val probe = "window window window " + filler
+      val q1 = start()
+      try { mem.addData(Seq((100L, probe))); q1.processAllAvailable() }
+      finally q1.stop() // old stream DRAINS before any model swap
+      val v1 = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val s1 = v1.find(u => u._1 == 1L && u._3 == 100L).get._4
+      assert(s1 > 0)
+
+      // regenerate the corpus: "window" now in 4 of 8 docs — idf, ndocs
+      // and the token total all shift, so the same text must re-score
+      writeCorpus(Seq(
+        1L -> s"window $filler", 2L -> s"window $filler extra",
+        3L -> s"window $filler more", 4L -> s"window $filler words here",
+        5L -> filler, 6L -> filler, 7L -> filler, 8L -> filler))
+      val q2 = start() // restart re-fingerprints -> model rebuilds
+      try {
+        mem.addData(Seq((200L, probe)))
+        q2.processAllAvailable()
+        val after = spark.read.parquet(out).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .diff(v1)
+        // the re-emitted top-k proves BOTH halves of the contract:
+        // doc 100 restored from the old checkpoint at its v1 score...
+        val restored = after.find(u => u._1 == 1L && u._3 == 100L).get
+        assert(restored._4 === s1,
+          "restored state must keep its as-emitted score across the swap")
+        // ...and the identical text now scores under the v2 model
+        val s2 = after.find(u => u._1 == 1L && u._3 == 200L).get._4
+        assert(s2 !== s1, "a fingerprint change must produce new scores")
+        val expected2 = TextStreams.scoreAgainstFrozen(
+          Seq((200L, probe)).toDF("doc_id", "text"),
+          TextStreams.currentModel(spark, dir))
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+        assert(s2 === expected2(1L),
+          "post-swap score must equal the v2 frozen model's batch score")
+      } finally q2.stop()
+    }
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per duplicated key") {
     import spark.implicits._
     val mem = MemoryStream[UserActivity](spark)
