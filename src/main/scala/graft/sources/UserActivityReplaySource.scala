@@ -34,13 +34,20 @@ import graft.UserActivity
   * Usage:
   * {{{
   *   spark.readStream.format("user-activity-replay")
-  *     .option("path", file).option("eventsPerBatch", 5).load()
+  *     .option("path", fileOrDir).option("eventsPerBatch", 5).load()
   * }}}
-  * Also supports one-shot batch reads (whole file).
+  * Also supports one-shot batch reads (all segments).
   *
-  * Scale note: this is a dev/test source (single small file on the
-  * driver, like the reference's). Production ingestion is the built-in
-  * file/kafka sources; nothing here shuffles or holds executor state.
+  * `path` may be a DIRECTORY of segment files replayed in name order:
+  * offsets are global indices over the concatenation, the driver plans
+  * per-file ranges (counting each file's events lazily, count-only),
+  * and EXECUTORS parse their own segment — so the source scales with
+  * segment count instead of one driver-read file. Segment files must be
+  * on storage all executors can reach (as with any file source).
+  *
+  * Scale note: still a dev/test-shaped source (the reference's is a
+  * single-file push loop); production ingestion is the built-in
+  * file/kafka sources. Nothing here shuffles or holds executor state.
   */
 class UserActivityReplayProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -76,10 +83,23 @@ object UserActivityReplay {
       t <- timestampR.findFirstMatchIn(obj).map(_.group(1))
     } yield UserActivity(u, a, t)
 
-  /** Load + parse the JSON-array file; malformed objects are skipped. */
+  /** Load + parse one JSON-array file; malformed objects are skipped. */
   def load(path: String): IndexedSeq[UserActivity] = {
     val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
     text.split("\\}\\s*,\\s*\\{").toIndexedSeq.flatMap(parse)
+  }
+
+  /** Resolve `path` to the ordered segment list: a directory replays its
+    * `*.json`/`*.jsonl` files in NAME order (the producer's naming —
+    * e.g. zero-padded sequence numbers — defines replay order, like
+    * Kafka segment files); a plain file is a one-segment replay.
+    */
+  def segments(path: String): IndexedSeq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles((_, n) => n.endsWith(".json") || n.endsWith(".jsonl"))
+        .map(_.getPath).sorted.toIndexedSeq
+    else IndexedSeq(path)
   }
 }
 
@@ -87,7 +107,14 @@ final case class ReplayOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
-final case class ReplaySlice(events: Seq[UserActivity]) extends InputPartition
+/** One file's slice of the replay: the EXECUTOR re-reads and parses
+  * `path` and emits local indices [start, end) — the driver plans
+  * ranges, it never ships event data. `end = Int.MaxValue` means
+  * "through end of file" (lets a batch read plan without driver-side
+  * counting).
+  */
+final case class ReplayFileSlice(path: String, start: Int, end: Int)
+    extends InputPartition
 
 class UserActivityReplayTable(path: String, eventsPerBatch: Int)
     extends Table with SupportsRead {
@@ -99,14 +126,55 @@ class UserActivityReplayTable(path: String, eventsPerBatch: Int)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
-      private lazy val events = UserActivityReplay.load(path)
+      /** Ordered segment files (one for a plain-file path). The driver
+        * plans offset RANGES over the concatenated sequence; per-file
+        * event counts are computed lazily and count-only — the driver
+        * retains no event data, and only parses a file once the replay
+        * frontier reaches it, so a directory of many segments costs the
+        * driver one file at a time, not the whole corpus up front.
+        */
+      private lazy val files = UserActivityReplay.segments(path)
+      private val counts =
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      private def countOf(f: String): Long =
+        counts.computeIfAbsent(f, p => UserActivityReplay.load(p).length.toLong)
+
+      /** Total events across segments, counting only until `atLeast` is
+        * covered (or every segment is counted).
+        */
+      private def totalUpTo(atLeast: Long): Long = {
+        var tot = 0L
+        val it = files.iterator
+        while (tot < atLeast && it.hasNext) tot += countOf(it.next())
+        tot
+      }
+
+      /** Map a global [s, e) range to one partition per overlapping
+        * file — a multi-file micro-batch reads its files in parallel,
+        * each executor parsing only its own segment.
+        */
+      private def fileSlices(s: Long, e: Long): Array[InputPartition] = {
+        val out = Array.newBuilder[InputPartition]
+        var acc = 0L
+        val it = files.iterator
+        while (acc < e && it.hasNext) {
+          val f = it.next()
+          val n = countOf(f)
+          val lo = math.max(s - acc, 0L)
+          val hi = math.min(e - acc, n)
+          if (lo < hi) out += ReplayFileSlice(f, lo.toInt, hi.toInt)
+          acc += n
+        }
+        out.result()
+      }
 
       override def build(): Scan = this
       override def readSchema(): StructType = UserActivityReplay.schema
       override def toBatch: Batch = this
 
+      // batch read: one whole-file partition per segment, no driver parse
       override def planInputPartitions(): Array[InputPartition] =
-        Array(ReplaySlice(events))
+        files.map(f => ReplayFileSlice(f, 0, Int.MaxValue): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         ReplayReaderFactory
 
@@ -123,7 +191,9 @@ class UserActivityReplayTable(path: String, eventsPerBatch: Int)
             * restart and regresses below the committed offset (observed:
             * a (10, 5) batch re-delivering rows 5-10 under a new batch
             * id), which admission control makes impossible by
-            * construction.
+            * construction. Offsets are GLOBAL indices over the segment
+            * concatenation, so a single-file checkpoint stays valid when
+            * its file later becomes segment 0 of a directory.
             */
           override def getDefaultReadLimit: ReadLimit =
             ReadLimit.maxRows(eventsPerBatch.toLong)
@@ -135,30 +205,32 @@ class UserActivityReplayTable(path: String, eventsPerBatch: Int)
             // of silently reading all-available.
             def step(l: ReadLimit): Long = l match {
               case m: ReadMaxRows      => m.maxRows()
-              case _: ReadAllAvailable => events.length.toLong
+              case _: ReadAllAvailable => Long.MaxValue
               case c: CompositeReadLimit =>
                 // honor the tightest component we understand; a composite
                 // of only min-rows-style limits means "no cap"
                 val steps = c.getReadLimits.toSeq.collect {
                   case m: ReadMaxRows => m.maxRows()
                 }
-                if (steps.nonEmpty) steps.min else events.length.toLong
+                if (steps.nonEmpty) steps.min else Long.MaxValue
               case other =>
                 throw new UnsupportedOperationException(
                   s"user-activity-replay does not support read limit $other")
             }
-            ReplayOffset(math.min(events.length.toLong, s + step(limit)))
+            val target =
+              if (step(limit) >= Long.MaxValue - s) Long.MaxValue
+              else s + step(limit)
+            // counts segments only up to the admitted frontier
+            ReplayOffset(math.min(totalUpTo(target), target))
           }
 
           override def latestOffset(): Offset =
             throw new UnsupportedOperationException(
               "paced replay uses latestOffset(start, limit)")
 
-          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-            val s = start.asInstanceOf[ReplayOffset].index.toInt
-            val e = end.asInstanceOf[ReplayOffset].index.toInt
-            Array(ReplaySlice(events.slice(s, e)))
-          }
+          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+            fileSlices(start.asInstanceOf[ReplayOffset].index,
+              end.asInstanceOf[ReplayOffset].index)
 
           override def createReaderFactory(): PartitionReaderFactory =
             ReplayReaderFactory
@@ -173,7 +245,9 @@ class UserActivityReplayTable(path: String, eventsPerBatch: Int)
 object ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val it = partition.asInstanceOf[ReplaySlice].events.iterator
+      private val slice = partition.asInstanceOf[ReplayFileSlice]
+      private val it = UserActivityReplay.load(slice.path)
+        .slice(slice.start, slice.end).iterator
       private var current: UserActivity = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
       override def get(): InternalRow = new GenericInternalRow(Array[Any](

@@ -89,6 +89,70 @@ class ReplaySourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  /** 3-segment directory: the 13 fixture objects (12 valid + 1
+    * malformed) split 5/5/3, named so sort order == event order.
+    */
+  private def segmentDir(): String = {
+    val dir = tempDir("replay_segments").toPath
+    val text = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fixturePath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val objs = "\\{[^{}]*\\}".r.findAllIn(text).toSeq
+    assert(objs.size === 13, "fixture: 12 valid + 1 malformed record")
+    objs.grouped(5).zipWithIndex.foreach { case (group, i) =>
+      java.nio.file.Files.write(dir.resolve(f"seg_$i%02d.json"),
+        group.mkString("[\n", ",\n", "\n]")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    dir.toString
+  }
+
+  test("directory replay: batch read concatenates segments in name order") {
+    val dir = segmentDir()
+    val df = spark.read.format(fmt).option("path", dir).load()
+    assert(df.count() === 12, "malformed record in the last segment still skipped")
+    // name-order concatenation == the single-file parse, row for row
+    val single = spark.read.format(fmt).option("path", fixturePath).load()
+    assert(df.collect().map(_.toSeq).toSeq === single.collect().map(_.toSeq).toSeq)
+  }
+
+  test("directory replay: paced micro-batches span file boundaries; mid-file checkpoint restart") {
+    val dir = segmentDir()
+    val out = tempDir("replay_dir_out").toPath.toString
+    val ckpt = tempDir("replay_dir_ckpt").toPath.toString
+    // eventsPerBatch=4 over 5/5/2-valid segments: the first committed
+    // offset is global 4 — INSIDE segment 0 — so the restart resumes
+    // from a non-boundary offset, and the next batch [4,8) spans the
+    // segment-0/segment-1 file boundary (two partitions, one per file)
+    def start() = spark.readStream.format(fmt)
+      .option("path", dir).option("eventsPerBatch", 4).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      assert(q1.recentProgress.count(_.numInputRows > 0) >= 1)
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() === 12,
+        "restart from a mid-file offset must deliver all 12 events exactly once")
+      assert(rows.distinct().count() === 12)
+      // same multiset of events as the single-file replay
+      assert(rows.collect().map(_.toSeq).toSet ===
+        spark.read.format(fmt).option("path", fixturePath).load()
+          .collect().map(_.toSeq).toSet)
+    } finally q2.stop()
+  }
+
   test("short-name registration resolves via DataSourceRegister") {
     val df = spark.read.format("user-activity-replay")
       .option("path", fixturePath).load()
