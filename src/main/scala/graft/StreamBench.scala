@@ -226,7 +226,18 @@ object StreamBench {
         gapMs = 30 * 60 * 1000L).toDF(),
       OutputMode.Append, totalRows)
 
-    // stage 5: span contamination audit — watermark-finalized per-doc
+    // stage 5: intra-stream LSH near-dup collisions — per-band-signature
+    // first-arrival ownership in the state store. Un-TTL'd here (a TTL'd
+    // run needs processing-time triggers, which never go idle under
+    // processAllAvailable — see the operator docs); state rows climb
+    // toward distinct band signatures and hold there, the dedup-history
+    // footprint a TTL would bound to its horizon in production
+    val lsh = stage(spark, "lsh_dedup",
+      streaming.TextStreams.streamingLshCollisions(spark,
+        arrivals.select(col("doc_id"), col("text"))).toDF(),
+      OutputMode.Append, gateIn)
+
+    // stage 6: span contamination audit — watermark-finalized per-doc
     // span accounting, KILLED mid-replay and restored from checkpoint.
     // Append mode: the advancing eventTime finalizes groups as the
     // watermark passes them, so state stays bounded and emits flow
@@ -245,7 +256,7 @@ object StreamBench {
       gateIn, nSlices,
       () => try spark.read.parquet(auditOut).count() catch { case _: Throwable => 0L })
 
-    // stage 6: standing-query retrieval — frozen-stats scoring + per-query
+    // stage 7: standing-query retrieval — frozen-stats scoring + per-query
     // stateful top-k, KILLED mid-replay and restored (top-k state must
     // survive; ReplaySourceSpec/EventStreamsSpec pin the semantics,
     // this measures the cost)
@@ -266,7 +277,7 @@ object StreamBench {
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,""" +
-      s"""$tumbling,$gate,$assign,$sessions,$audit,$standing,""" +
+      s"""$tumbling,$gate,$assign,$sessions,$lsh,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")

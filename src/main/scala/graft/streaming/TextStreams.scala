@@ -89,6 +89,92 @@ object TextStreams {
     }.select(col("doc_id"), col("eventTime"))
   }
 
+  /** One intra-stream LSH collision: `docId` shares `band`'s signature
+    * with the earlier-arrived `ownerDoc`.
+    */
+  final case class LshCollision(docId: Long, band: Int, ownerDoc: Long)
+
+  /** Per-band-signature first-arrival owner. Within a micro-batch rows
+    * are processed in doc_id order, so the owner (and every emitted
+    * collision) is deterministic regardless of partition arrival order.
+    */
+  class BandOwnerProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, (String, Int, Long), LshCollision] {
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState("owner", Encoders.scalaLong, ttl)
+
+    override def handleInputRows(sig: String, rows: Iterator[(String, Int, Long)],
+        timerValues: TimerValues): Iterator[LshCollision] = {
+      val sorted = rows.toSeq.sortBy { case (_, _, doc) => doc }
+      var own = if (owner.exists()) owner.get() else -1L
+      val out = Seq.newBuilder[LshCollision]
+      sorted.foreach { case (_, band, doc) =>
+        if (own < 0L) { own = doc; owner.update(doc) }
+        else if (doc != own) out += LshCollision(doc, band, own)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Intra-STREAM near-dup collision feed — the stateful complement of
+    * [[nearDupGate]]: the gate drops arrivals that collide with a LANDED
+    * corpus, this detects arrivals that collide with EARLIER ARRIVALS
+    * (neither in any landed index yet — the first hours of a crawl, or
+    * the window between index compactions). Same 8-hash 4×2 banding as
+    * batch q35: each doc's 4 band signatures are computed as per-row
+    * array expressions (no streaming aggregation), then keyed by
+    * signature through one `transformWithState` holding the bucket's
+    * first-arrival owner — O(distinct band signatures in the horizon)
+    * state, 8 bytes each, never the text.
+    *
+    * Emits one append-only collision row per (doc, colliding band);
+    * consumers drop `distinct docId` (a quarantine feed, like
+    * [[spanContaminationAudit]] — emission, not in-stream filtering,
+    * keeps the plan to ONE stateful operator). When arrival order is
+    * doc_id order, the dropped set equals the batch rule "∃ an earlier
+    * doc sharing ≥1 band signature" — the same set batch LSH dedup
+    * (canonical = min doc_id) drops; spec-pinned against the batch band
+    * index.
+    *
+    * `ttl` bounds the ownership horizon (processing-time TTL, the
+    * state-store contract): a production pipeline sets it to its
+    * compaction interval — once buckets age into the landed band index,
+    * [[nearDupGate]] owns them and stream state can forget; TTLConfig
+    * .NONE keeps owners forever (dev/test). Docs under 3 words carry no
+    * bands and never collide, exactly like the batch pipeline.
+    *
+    * A TTL'd instance runs on the processing-time clock, under which the
+    * engine keeps triggering (empty) batches to advance time — so
+    * `processAllAvailable()` never observes an idle stream, and even
+    * `Trigger.AvailableNow` keeps re-triggering (observed: >120 s on a
+    * one-row batch). Drive TTL'd runs with a fixed `ProcessingTime`
+    * trigger (production) or one-batch `Trigger.Once` runs
+    * (drain-and-stop; spec-pinned), never `processAllAvailable`.
+    */
+  def streamingLshCollisions(spark: SparkSession, stream: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[LshCollision] = {
+    import spark.implicits._
+    import graft.operators.Text
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"), Text.bandSigCol(b).as("sig"))
+    }
+    stream
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("hs", Text.shingleHashes)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.sig").as("sig"), col("bs.band").as("band"), col("doc_id"))
+      .as[(String, Int, Long)]
+      .groupByKey { case (sig, _, _) => sig }
+      // a TTL'd state store needs the processing-time clock; without a
+      // TTL the operator is clock-free
+      .transformWithState(new BandOwnerProcessor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
   /** Span-level contamination AUDIT stream — the streaming twin of batch
     * q116 for an ARRIVING corpus: per incoming doc, how many of its
     * fixed-stride 60-char spans (operators.Text.docSpans geometry) are

@@ -247,6 +247,115 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("intra-stream LSH collisions: golden owners and bands") {
+    withRocksDb {
+      import spark.implicits._
+      val filler = (0 until 20).map(i => s"tok$i").mkString(" ")
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = TextStreams.streamingLshCollisions(
+        spark, mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("lsh_golden")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: A owns every bucket; B (identical text) collides on
+        // all 4 bands; C (disjoint text) on none; D is too short to band
+        val other = "entirely different words " +
+          (0 until 20).map(i => s"x$i").mkString(" ")
+        mem.addData(Seq((1L, s"alpha $filler"), (2L, s"alpha $filler"),
+          (3L, other), (4L, "too short")))
+        q.processAllAvailable()
+        val r1 = spark.table("lsh_golden").as[(Long, Int, Long)].collect().toSet
+        assert(r1 === (0 until 4).map(b => (2L, b, 1L)).toSet)
+        // batch 2: a LATER duplicate of A still resolves to owner A —
+        // ownership survives across micro-batches in the state store
+        mem.addData(Seq(5L -> s"alpha $filler"))
+        q.processAllAvailable()
+        val r2 = spark.table("lsh_golden").as[(Long, Int, Long)].collect().toSet
+        assert((r2 -- r1) === (0 until 4).map(b => (5L, b, 1L)).toSet)
+      } finally q.stop()
+    }
+  }
+
+  test("intra-stream LSH collisions: TTL'd ownership expires between Trigger.Once runs") {
+    withRocksDb {
+      import spark.implicits._
+      val filler = (0 until 20).map(i => s"tok$i").mkString(" ")
+      val out = tempDir("lsh_ttl_out").toPath.toString
+      val ckpt = tempDir("lsh_ttl_ckpt").toPath.toString
+      val mem = MemoryStream[(Long, String)](spark)
+      // TTL'd => processing-time clock => the engine never idles under
+      // processAllAvailable; a one-batch Trigger.Once run drains and
+      // stops by construction (the documented contract for TTL'd runs)
+      def runOnce(): Unit = {
+        val q = TextStreams.streamingLshCollisions(spark,
+          mem.toDF().toDF("doc_id", "text"),
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(800)))
+          .toDF().writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .outputMode(OutputMode.Append).start()
+        try assert(q.awaitTermination(120000), "Trigger.Once run must stop")
+        finally q.stop()
+      }
+      mem.addData(Seq((1L, s"alpha $filler")))
+      runOnce() // doc 1 registers every bucket; nothing emitted
+      assert(spark.read.schema("docId LONG, band INT, ownerDoc LONG")
+        .parquet(out).isEmpty)
+      Thread.sleep(1600) // all of doc 1's ownerships age out
+      // same batch: doc 2 re-registers the expired buckets (NOT a
+      // collision with 1), doc 3 collides with the fresh owner 2 —
+      // proving both expiry and re-registration without a timing race
+      mem.addData(Seq((2L, s"alpha $filler"), (3L, s"alpha $filler")))
+      runOnce()
+      val rows = spark.read.parquet(out).as[(Long, Int, Long)].collect().toSet
+      assert(rows === (0 until 4).map(b => (3L, b, 2L)).toSet,
+        "expired owner 1 must not collide; fresh owner 2 must")
+    }
+  }
+
+  test("intra-stream LSH collisions: doc_id-order replay drops the batch LSH dedup set") {
+    withRocksDb {
+      import spark.implicits._
+      import graft.operators.Text
+      val docs = sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      // batch truth: a doc drops iff an EARLIER doc shares >=1 band sig
+      val banded = docs
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .withColumn("hs", Text.shingleHashes)
+      val exploded = (0 until 4).map { b =>
+        banded.select(col("doc_id"), lit(b).as("band"),
+          Text.bandSigCol(b).as("sig"))
+      }.reduce(_ unionAll _)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+      val expected = exploded.withColumn("own", min(col("doc_id")).over(w))
+        .filter(col("doc_id") > col("own"))
+        .select(col("doc_id")).distinct().as[Long].collect().toSet
+
+      val rows = docs.orderBy(col("doc_id")).as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = TextStreams.streamingLshCollisions(
+        spark, mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("lsh_equiv")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // replay in doc_id order across several micro-batches, so owners
+        // accumulate in state rather than within one batch
+        rows.grouped(math.max(1, rows.size / 3)).foreach { chunk =>
+          mem.addData(chunk); q.processAllAvailable()
+        }
+        val collisions = spark.table("lsh_equiv").as[(Long, Int, Long)].collect()
+        assert(collisions.forall { case (doc, _, own) => own < doc },
+          "owner always arrived (doc_id order) before the colliding doc")
+        assert(collisions.map(_._1).toSet === expected,
+          "streamed drop set must equal the batch earlier-doc band rule")
+        assert(expected.nonEmpty, "fixture must actually contain near-dups")
+      } finally q.stop()
+    }
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per duplicated key") {
     import spark.implicits._
     val mem = MemoryStream[UserActivity](spark)
