@@ -216,6 +216,18 @@ object StreamBench {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // Changelog checkpointing: each commit uploads the batch's changed
+    // keys instead of a full RocksDB snapshot (snapshots still land in
+    // the background at the maintenance interval); restore = last
+    // snapshot + changelog replay. Per-batch commit cost becomes
+    // O(delta) instead of O(state) — the difference between the two is
+    // exactly what a 100 TB standing pipeline pays per trigger, so the
+    // bench runs the production setting. Toggle off to measure the
+    // snapshot-per-commit mode: SPARK_GRAFT_CHANGELOG_CKPT=0.
+    val changelog = sys.env.getOrElse("SPARK_GRAFT_CHANGELOG_CKPT", "1") == "1"
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      changelog.toString)
     val sessionsIn = eventsStream
       .select(col("user_id"), col("ts"))
       .withWatermark("ts", "10 seconds")
@@ -272,11 +284,13 @@ object StreamBench {
       () => try spark.read.parquet(standingOut).count() catch { case _: Throwable => 0L })
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
 
     val load1 = loadavg(); val steal1 = stealSec()
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
-      s""""slices":$nSlices,""" +
+      s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
       s"""$tumbling,$gate,$assign,$sessions,$lsh,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
