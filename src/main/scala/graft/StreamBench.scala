@@ -228,15 +228,26 @@ object StreamBench {
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       changelog.toString)
-    val sessionsIn = eventsStream
+    // KILLED mid-replay and restored: recovery here must replay BOTH the
+    // per-key session aggregates and the registered event-time timers
+    // (the timer replay path the other two kill-restore stages don't
+    // exercise)
+    def sessionsIn = eventsStream
       .select(col("user_id"), col("ts"))
       .withWatermark("ts", "10 seconds")
       .select(col("user_id"), unix_millis(col("ts")))
       .as[(String, Long)]
-    val sessions = stage(spark, "session_timers",
-      streaming.SessionTimers.inactivitySessions(spark, sessionsIn,
-        gapMs = 30 * 60 * 1000L).toDF(),
-      OutputMode.Append, totalRows)
+    val sessionsOut = s"$base/out_sessions"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sessionsOut))
+    val sessions = killRestoreStage(spark, "session_timers",
+      ckpt => streaming.SessionTimers.inactivitySessions(spark, sessionsIn,
+        gapMs = 30 * 60 * 1000L)
+        .toDF().writeStream.format("parquet")
+        .option("path", sessionsOut)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start(),
+      totalRows, nSlices,
+      () => try spark.read.parquet(sessionsOut).count() catch { case _: Throwable => 0L })
 
     // stage 5: intra-stream LSH near-dup collisions — per-band-signature
     // first-arrival ownership in the state store. Un-TTL'd here (a TTL'd

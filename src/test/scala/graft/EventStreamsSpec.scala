@@ -356,6 +356,35 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("intra-stream LSH ownership survives a checkpoint restart under changelog checkpointing") {
+    withChangelogRocksDb {
+      import spark.implicits._
+      val filler = (0 until 20).map(i => s"tok$i").mkString(" ")
+      val out = tempDir("lsh_restart_out").toPath.toString
+      val ckpt = tempDir("lsh_restart_ckpt").toPath.toString
+      val mem = MemoryStream[(Long, String)](spark)
+      def start() = TextStreams.streamingLshCollisions(
+        spark, mem.toDF().toDF("doc_id", "text"))
+        .toDF().writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      try { mem.addData(Seq((1L, s"alpha $filler"))); q1.processAllAvailable() }
+      finally q1.stop() // doc 1 owns every bucket; state now only in ckpt
+      val q2 = start()
+      try {
+        // restored run: a near-dup must collide with the PRE-KILL owner,
+        // proving the ownership state was replayed from the changelog —
+        // a lost store would silently re-register doc 2 as a fresh owner
+        mem.addData(Seq((2L, s"alpha $filler")))
+        q2.processAllAvailable()
+        val rows = spark.read.parquet(out).as[(Long, Int, Long)].collect().toSet
+        assert(rows === (0 until 4).map(b => (2L, b, 1L)).toSet,
+          "restored ownership must attribute collisions to the original owner")
+      } finally q2.stop()
+    }
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per duplicated key") {
     import spark.implicits._
     val mem = MemoryStream[UserActivity](spark)

@@ -63,6 +63,51 @@ class SessionTimersSpec extends SparkSpec {
     }
   }
 
+  test("open sessions and their timers survive a checkpoint restart (changelog mode)") {
+    import spark.implicits._
+    withChangelogRocksDb {
+      val out = tempDir("timer_restart_out").toPath.toString
+      val ckpt = tempDir("timer_restart_ckpt").toPath.toString
+      val mem = MemoryStream[(String, java.sql.Timestamp)](spark)
+      def start() = {
+        val ds = mem.toDF().toDF("userId", "eventTime")
+          .withWatermark("eventTime", "0 seconds")
+          .select(col("userId"), unix_millis(col("eventTime")).as("ms"))
+          .as[(String, Long)]
+        SessionTimers.inactivitySessions(spark, ds, gapMs = 5000)
+          .toDF().writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+      }
+      def ev(u: String, sec: Int) =
+        (u, java.sql.Timestamp.from(java.time.Instant.parse(f"2025-08-03T13:00:$sec%02dZ")))
+      val q1 = start()
+      // a's session is OPEN (2 events, timer at 1+5=6) when the query is
+      // killed — session aggregate AND registered timer live only in ckpt
+      try { mem.addData(Seq(ev("a", 0), ev("a", 1))); q1.processAllAvailable() }
+      finally q1.stop()
+      val q2 = start()
+      try {
+        // within the gap: the restored timer must MOVE to 9, the restored
+        // aggregate must extend to 3 events
+        mem.addData(Seq(ev("a", 4)))
+        q2.processAllAvailable()
+        assert(spark.read.schema(
+          "userId STRING, firstMs LONG, lastMs LONG, events LONG")
+          .parquet(out).isEmpty, "no close may fire while a is active")
+        // watermark -> 40: the moved timer fires; the close row carries
+        // the FULL pre-kill + post-restart session
+        mem.addData(Seq(ev("z", 40)))
+        q2.processAllAvailable()
+        val a = spark.read.parquet(out).as[SessionClose].collect()
+          .filter(_.userId == "a")
+        assert(a.length === 1)
+        assert(a.head.events === 3 && a.head.lastMs - a.head.firstMs === 4000L,
+          s"restored session must span pre-kill and post-restart events; got ${a.head}")
+      } finally q2.stop()
+    }
+  }
+
   test("value state with TTL expires: counter restarts after the TTL elapses") {
     import spark.implicits._
     withRocksDb {
