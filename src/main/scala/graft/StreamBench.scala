@@ -264,15 +264,20 @@ object StreamBench {
     // span accounting, KILLED mid-replay and restored from checkpoint.
     // Append mode: the advancing eventTime finalizes groups as the
     // watermark passes them, so state stays bounded and emits flow
-    // batch-over-batch (the production shape); foreachBatch+parquet
-    // keeps the sink restart-safe.
+    // batch-over-batch (the production shape). The foreachBatch sink is
+    // EXACTLY-once, not at-least-once: each batch lands in its own
+    // batch_id partition via the idempotent dynamic-overwrite writer, so
+    // a batch replayed after the kill overwrites itself instead of
+    // appending duplicates (plain mode("append") would double-count any
+    // batch whose files landed before the offset commit).
     val auditOut = s"$base/out_span_audit"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(auditOut))
     val audit = killRestoreStage(spark, "span_audit",
       ckpt => streaming.TextStreams.spanContaminationAudit(arrivals, corpus)
         .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(auditOut)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          sources.Sinks.backfillPartitions(
+            df.withColumn("batch_id", lit(batchId)), "batch_id", auditOut)
         }
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append).start(),

@@ -62,4 +62,20 @@ class SinksSpec extends SparkSpec {
       ("2024-01-02", 30L), ("2024-01-02", 31L)),
       "day 2 must be replaced, day 1 intact")
   }
+
+  test("foreachBatch replay contract: re-writing a batch_id partition leaves one copy") {
+    import spark.implicits._
+    // the streaming exactly-once recipe (StreamBench span-audit sink):
+    // foreachBatch lands each micro-batch in its own batch_id partition
+    // via the dynamic-overwrite writer, so a batch replayed after a kill
+    // overwrites itself — where mode("append") would double-count
+    val out = s"${tempDir("graft_replay_sink").toPath}/t"
+    def batch(id: Long) = Seq.tabulate(5)(i => (id, i.toLong))
+      .toDF("batch_id", "v")
+    Sinks.backfillPartitions(batch(6), "batch_id", out)
+    Sinks.backfillPartitions(batch(7), "batch_id", out)
+    Sinks.backfillPartitions(batch(7), "batch_id", out) // replay after kill
+    assert(spark.read.parquet(out).count() === 10,
+      "a replayed batch must overwrite its own partition, not append")
+  }
 }
