@@ -208,6 +208,35 @@ object TextStreams {
         coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
   }
 
+  /** LIVE dataset card — the streaming twin of batch q101's volume +
+    * diversity block, maintained incrementally over an ARRIVING corpus:
+    * every trigger updates one card row (docs, tokens, chars, approx
+    * distinct langs/sources/texts). The batch card's duplication block
+    * (verified near-dup pairs) stays batch-side — it needs the landed
+    * LSH stage graph; the card a live ingest dashboard needs is volume
+    * and diversity, fresh per batch.
+    *
+    * Spark-first state story: sums/counts are trivially mergeable
+    * streaming aggregation state, and every `countDistinct` of the batch
+    * card becomes `approx_count_distinct` — the HLL sketch is the ONLY
+    * distinct-count whose state is bounded (a few KB) regardless of
+    * corpus size; exact distinct state would grow with the vocabulary of
+    * the key and is exactly what a 100 TB standing query must not hold.
+    * Every `_approx` field carries the sketch's ~5% relative error
+    * (observed: 19 for 20 sources at the default rsd) — the spec pins
+    * the tolerance against the exact batch card.
+    * Update output mode; `stream` needs (text, lang, source, n_chars).
+    */
+  def liveDatasetCard(stream: DataFrame): DataFrame =
+    stream.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      sum(col("n_chars")).cast("long").as("n_chars"),
+      approx_count_distinct(col("lang")).as("n_langs_approx"),
+      approx_count_distinct(col("source")).as("n_sources_approx"),
+      (count(lit(1)) - approx_count_distinct(md5(col("text").cast("binary"))))
+        .as("n_exact_dup_docs_approx"))
+
   /** Frozen retrieval model for [[standingRetrieval]]: per query term,
     * the corpus idf plus the corpus-level BM25 constants. Tiny by
     * construction (one row per registered query term), collected once at

@@ -385,6 +385,47 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("live dataset card: final streamed card matches the batch q101 volume block") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val mem = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = TextStreams.liveDatasetCard(
+      mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .writeStream.format("memory").queryName("live_card")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // card must be FRESH per trigger: after half the corpus the row
+      // reflects exactly the docs seen so far, not the final totals
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      val mid = spark.table("live_card").orderBy(col("n_docs").desc).first()
+      assert(mid.getLong(0) === h1.length.toLong)
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val card = spark.table("live_card").orderBy(col("n_docs").desc).first()
+      val batch = graft.operators.Curation.datasetCard(spark, sfDir).first()
+      // exact-aggregate fields match the batch card exactly
+      assert(card.getLong(0) === batch.getAs[Long]("n_docs"))
+      assert(card.getLong(1) === batch.getAs[Long]("n_tokens"))
+      assert(card.getLong(2) === batch.getAs[Long]("n_chars"))
+      // HLL fields carry the documented ~5% relative error (observed:
+      // 19 for 20 sources at the default rsd) — pin the tolerance, and
+      // exactness only at truly tiny cardinality (langs)
+      def closeTo(approx: Long, exact: Long, what: String): Unit =
+        assert(math.abs(approx - exact) <= math.max(1L, (0.05 * exact).toLong),
+          s"$what: approx $approx vs exact $exact")
+      assert(card.getLong(3) === batch.getAs[Long]("n_langs"))
+      closeTo(card.getLong(4), batch.getAs[Long]("n_sources"), "sources")
+      // dup count = n_docs - approx distinct texts: tolerance scales
+      // with the DISTINCT count the sketch estimates, not the dup count
+      closeTo(card.getLong(0) - card.getLong(5),
+        batch.getAs[Long]("n_docs") - batch.getAs[Long]("n_exact_dup_docs"),
+        "distinct texts")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per duplicated key") {
     import spark.implicits._
     val mem = MemoryStream[UserActivity](spark)
