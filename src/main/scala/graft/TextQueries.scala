@@ -66,7 +66,11 @@ object TextQueries {
     * the SQL twin of the landed pair table. Shared by the cluster chain
     * below and by q101's datasheet counts (CurationQueries).
     */
-  private[graft] def PAIR_CTES: String = {
+  /** CTE chain ending at `bands` (doc_id, band, sig) — the 8-minhash
+    * 4×2 banding shared by the pair chain and q123's arrival-order
+    * dedup decision.
+    */
+  private[graft] def BAND_CTES: String = {
     val P = 1073741789L
     val mins = (0 until 8).map(j =>
       s"MIN((${operators.Text.mhA(j)} * h + ${operators.Text.mhB(j)}) % $P) AS mh$j")
@@ -78,7 +82,11 @@ object TextQueries {
        |  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS sig FROM mh
        |  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM mh
        |  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM mh
-       |  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM mh),
+       |  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM mh)""".stripMargin
+  }
+
+  private[graft] def PAIR_CTES: String = {
+    s"""$BAND_CTES,
        |cand0 AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
@@ -164,6 +172,15 @@ object TextQueries {
          |WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
          |ORDER BY d1, d2""".stripMargin)),
 
+    QueryDef("q123_arrival_dedup", (s, d) => arrivalDedup(s, d), Some(
+      s"""WITH $BAND_CTES,
+         |owned AS (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, sig) AS owner
+         |  FROM bands)
+         |SELECT doc_id, MIN(owner) AS owner,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bands_hit
+         |FROM owned WHERE owner < doc_id
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     QueryDef("q35_minhash_lsh", (s, d) => minhashLshPairs(s, d), Some {
       val P = 1073741789L
       val mins = (0 until 8).map(j =>

@@ -340,6 +340,34 @@ object Text {
     expr(s"concat_ws('_', ${mh(2 * bnd)}, ${mh(2 * bnd + 1)})")
   }
 
+  /** Arrival-order LSH dedup decision (q123) — the BATCH twin of
+    * streaming.TextStreams.streamingLshCollisions' drop rule: with
+    * arrival order = doc_id order, a doc drops iff an EARLIER doc shares
+    * ≥1 of its 4 band signatures; per dropped doc, the earliest such
+    * owner and how many of its bands collide. One banding pass, a
+    * window partitioned by (band, sig) — the bucket, never the corpus —
+    * and an O(collisions) aggregation; the DuckDB oracle replays the
+    * identical banding SQL (TextQueries.BAND_CTES), closing the loop
+    * stream == batch rule == portable SQL. Docs under 3 words carry no
+    * bands, exactly like the streaming operator and the pair pipeline.
+    *
+    * The band rows come from [[mhBands]] over the shared minhash
+    * aggregate (one read of the landed shingle stage), and the bucket
+    * window never materializes pairs — an m-doc hot bucket costs O(m),
+    * where the pair table's self-join costs O(m²); the decision query
+    * must stay cheap even where the truth stage is expensive.
+    */
+  def arrivalDedup(s: SparkSession, dir: String): DataFrame = {
+    val bucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    mhBands(minhashAgg(s, dir))
+      .withColumn("owner", min(col("doc_id")).over(bucket))
+      .filter(col("owner") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("owner")).as("owner"),
+        count(lit(1)).cast(LongType).as("n_bands_hit"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Static (band, sig) index over a corpus — the right-hand side of the
     * streaming near-dup gate's anti-joins. O(4·docs) rows, distinct.
     */

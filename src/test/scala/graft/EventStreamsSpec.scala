@@ -352,6 +352,10 @@ class EventStreamsSpec extends SparkSpec {
         assert(collisions.map(_._1).toSet === expected,
           "streamed drop set must equal the batch earlier-doc band rule")
         assert(expected.nonEmpty, "fixture must actually contain near-dups")
+        // and the oracle-checked q123 registry query IS that batch rule
+        assert(Text.arrivalDedup(spark, sfDir)
+          .select(col("doc_id")).as[Long].collect().toSet === expected,
+          "q123 must encode the same drop set the stream produces")
       } finally q.stop()
     }
   }
