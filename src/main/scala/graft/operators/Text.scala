@@ -397,16 +397,20 @@ object Text {
     * eager local checkpoint is scale-safe; the corpus-sized shingle
     * stream itself stays lazy.
     */
-  private[graft] def minhashAgg(s: SparkSession, dir: String): DataFrame = {
-    // reads only (doc_id, h) from the landed shingle stage — the string
-    // column is pruned at the parquet scan
-    val shh = docShingles(s, dir).select(col("doc_id"), (col("h") % P).as("h"))
-    val mhCols = (0 until 8).map(j =>
-      min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j")) :+
-      count(lit(1)).as("n_sh")
-    shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-      .localCheckpoint(true)
-  }
+  private[graft] def minhashAgg(s: SparkSession, dir: String): DataFrame =
+    Materialize.table(s, s"text_mh_$dir", dir, {
+      // reads only (doc_id, h) from the landed shingle stage — the string
+      // column is pruned at the parquet scan. Landed (not just
+      // localCheckpoint'd): three consumers call this per corpus — the
+      // collision-stage build, the pair-verification build, and q123's
+      // per-run banding — and a checkpoint caches only within one
+      // DataFrame instance, so each caller would re-pay the groupBy.
+      val shh = docShingles(s, dir).select(col("doc_id"), (col("h") % P).as("h"))
+      val mhCols = (0 until 8).map(j =>
+        min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j")) :+
+        count(lit(1)).as("n_sh")
+      shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    })
 
   /** (doc_id, band, sig) — explode, not union: one pass over the minhash
     * aggregate instead of re-evaluating its subtree once per band.
