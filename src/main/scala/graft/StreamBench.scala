@@ -254,11 +254,21 @@ object StreamBench {
     // run needs processing-time triggers, which never go idle under
     // processAllAvailable — see the operator docs); state rows climb
     // toward distinct band signatures and hold there, the dedup-history
-    // footprint a TTL would bound to its horizon in production
-    val lsh = stage(spark, "lsh_dedup",
-      streaming.TextStreams.streamingLshCollisions(spark,
-        arrivals.select(col("doc_id"), col("text"))).toDF(),
-      OutputMode.Append, gateIn)
+    // footprint a TTL would bound to its horizon in production. KILLED
+    // mid-replay and restored: of the four stateful stages this one has
+    // the LARGEST state (O(distinct signatures)), so its restore_s is
+    // the changelog-replay cost the others understate.
+    val lshOut = s"$base/out_lsh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lshOut))
+    val lsh = killRestoreStage(spark, "lsh_dedup",
+      ckpt => streaming.TextStreams.streamingLshCollisions(spark,
+        arrivals.select(col("doc_id"), col("text")))
+        .toDF().writeStream.format("parquet")
+        .option("path", lshOut)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start(),
+      gateIn, nSlices,
+      () => try spark.read.parquet(lshOut).count() catch { case _: Throwable => 0L })
 
     // stage 6: span contamination audit — watermark-finalized per-doc
     // span accounting, KILLED mid-replay and restored from checkpoint.
