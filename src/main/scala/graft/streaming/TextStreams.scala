@@ -132,7 +132,11 @@ object TextStreams {
     * Emits one append-only collision row per (doc, colliding band);
     * consumers drop `distinct docId` (a quarantine feed, like
     * [[spanContaminationAudit]] — emission, not in-stream filtering,
-    * keeps the plan to ONE stateful operator). When arrival order is
+    * keeps the plan to ONE stateful operator). A doc_id RE-ARRIVING in a
+    * later batch re-emits any collisions its bands still have — the feed
+    * is per-arrival, not per-doc-lifetime, so distinct-by-docId is part
+    * of the consumer contract; a re-arrival whose buckets it already
+    * owns emits nothing (owner == self). When arrival order is
     * doc_id order, the dropped set equals the batch rule "∃ an earlier
     * doc sharing ≥1 band signature" — the same set batch LSH dedup
     * (canonical = min doc_id) drops; spec-pinned against the batch band
@@ -367,8 +371,16 @@ object TextStreams {
 
   private[graft] def currentModel(spark: SparkSession,
       dir: String): Seq[FrozenTerm] = {
+    import scala.jdk.CollectionConverters._
     import graft.operators.Materialize
     val fp = Materialize.fingerprint(dir)
+    // superseded generations evicted: a long-lived standing process over
+    // a regenerating corpus holds ONE model per dir, not one per
+    // generation (in-flight queries are unaffected — the model they
+    // closed over is theirs until they drain)
+    modelCache.keySet.asScala
+      .filter(k => k._1 == dir && k._2 != fp)
+      .foreach(modelCache.remove)
     modelCache.computeIfAbsent((dir, fp), _ => {
       Materialize.invalidate(dir)
       frozenModel(spark, dir)

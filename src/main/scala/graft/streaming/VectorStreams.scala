@@ -64,8 +64,14 @@ object VectorStreams {
 
   private[graft] def currentCentroids(spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[(Long, Array[Double], Double)] = {
+    import scala.jdk.CollectionConverters._
     import graft.operators.Materialize
     val fp = Materialize.fingerprint(dir)
+    // superseded generations evicted (same contract as
+    // TextStreams.currentModel): one codebook per dir, not per generation
+    centCache.keySet.asScala
+      .filter(k => k._1 == dir && k._2 != fp)
+      .foreach(centCache.remove)
     centCache.computeIfAbsent((dir, fp), _ => {
       Materialize.invalidate(dir)
       Vectors.centDoubles(spark, dir)
