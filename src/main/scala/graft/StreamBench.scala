@@ -270,6 +270,42 @@ object StreamBench {
       gateIn, nSlices,
       () => try spark.read.parquet(lshOut).count() catch { case _: Throwable => 0L })
 
+    // stage 5b: the DSv2 paced replay source itself, over a multi-file
+    // segment directory built from the events table — measures what the
+    // custom source sustains (admission-controlled offsets, per-file
+    // executor-side parsing) rather than the built-in file source.
+    // eventsPerBatch is sized for ~nSlices micro-batches, matching the
+    // other stages' batch structure.
+    val replayDir = new java.io.File(s"$base/replay_segments")
+    org.apache.commons.io.FileUtils.deleteQuietly(replayDir)
+    replayDir.mkdirs()
+    val activityRows = events
+      .orderBy(col("ts"))
+      .select(col("user_id"),
+        col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .collect()
+    activityRows.grouped(
+      math.max(1, math.ceil(activityRows.length / nSlices.toDouble).toInt))
+      .zipWithIndex.foreach { case (group, i) =>
+        val body = group.map(r =>
+          s"""{"userId": "${r.get(0)}", "activity": "${r.get(1)}", "timestamp": "${r.get(2)}"}""")
+          .mkString("[\n", ",\n", "\n]")
+        java.nio.file.Files.write(
+          replayDir.toPath.resolve(f"seg_$i%03d.json"),
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
+    val replayed = spark.readStream.format("user-activity-replay")
+      .option("path", replayDir.toString)
+      .option("eventsPerBatch",
+        math.max(1, activityRows.length / nSlices).toString).load()
+      .select(col("userId").as("user_id"),
+        col("activity").as("event_type"),
+        to_timestamp(col("timestamp")).as("ts"))
+    val replaySrc = stage(spark, "replay_source",
+      streaming.EventStreams.tumblingSignupsOn(replayed, "1 hour"),
+      OutputMode.Complete, activityRows.length.toLong)
+
     // stage 6: span contamination audit — watermark-finalized per-doc
     // span accounting, KILLED mid-replay and restored from checkpoint.
     // Append mode: the advancing eventTime finalizes groups as the
@@ -317,7 +353,7 @@ object StreamBench {
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
-      s"""$tumbling,$gate,$assign,$sessions,$lsh,$audit,$standing,""" +
+      s"""$tumbling,$replaySrc,$gate,$assign,$sessions,$lsh,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")
