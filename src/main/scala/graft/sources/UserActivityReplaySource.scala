@@ -101,6 +101,29 @@ object UserActivityReplay {
         .map(_.getPath).sorted.toIndexedSeq
     else IndexedSeq(path)
   }
+
+  /** Map a global offset range [s, e) over per-segment event counts to
+    * (segmentIndex, localStart, localEnd) slices — the offset arithmetic
+    * of the multi-file replay, extracted pure so the property spec can
+    * pin it: the slices partition [s, e) exactly, in segment order, each
+    * within its segment's bounds. Counts past the range are never
+    * consulted (callers count lazily).
+    */
+  def sliceRanges(counts: IndexedSeq[Long], s: Long,
+      e: Long): Seq[(Int, Long, Long)] = {
+    val out = Seq.newBuilder[(Int, Long, Long)]
+    var acc = 0L
+    var i = 0
+    while (acc < e && i < counts.length) {
+      val n = counts(i)
+      val lo = math.max(s - acc, 0L)
+      val hi = math.min(e - acc, n)
+      if (lo < hi) out += ((i, lo, hi))
+      acc += n
+      i += 1
+    }
+    out.result()
+  }
 }
 
 final case class ReplayOffset(index: Long) extends Offset {
@@ -151,21 +174,21 @@ class UserActivityReplayTable(path: String, eventsPerBatch: Int)
 
       /** Map a global [s, e) range to one partition per overlapping
         * file — a multi-file micro-batch reads its files in parallel,
-        * each executor parsing only its own segment.
+        * each executor parsing only its own segment. The offset math is
+        * [[UserActivityReplay.sliceRanges]] (property-pinned); only the
+        * files the range reaches are counted.
         */
       private def fileSlices(s: Long, e: Long): Array[InputPartition] = {
-        val out = Array.newBuilder[InputPartition]
+        val reached = scala.collection.mutable.ArrayBuffer.empty[Long]
         var acc = 0L
         val it = files.iterator
         while (acc < e && it.hasNext) {
-          val f = it.next()
-          val n = countOf(f)
-          val lo = math.max(s - acc, 0L)
-          val hi = math.min(e - acc, n)
-          if (lo < hi) out += ReplayFileSlice(f, lo.toInt, hi.toInt)
-          acc += n
+          val n = countOf(it.next()); reached += n; acc += n
         }
-        out.result()
+        UserActivityReplay.sliceRanges(reached.toIndexedSeq, s, e)
+          .map { case (i, lo, hi) =>
+            ReplayFileSlice(files(i), lo.toInt, hi.toInt): InputPartition
+          }.toArray
       }
 
       override def build(): Scan = this

@@ -153,6 +153,31 @@ class ReplaySourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("sliceRanges partitions any [s,e) exactly over random segment counts (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 2000) {
+      val counts = IndexedSeq.fill(rnd.nextInt(6) + 1)(rnd.nextInt(5).toLong)
+      val total = counts.sum
+      val a = rnd.nextInt(total.toInt + 2).toLong
+      val b = rnd.nextInt(total.toInt + 2).toLong
+      val (s, e) = (math.min(a, b), math.max(a, b))
+      val slices = sources.UserActivityReplay.sliceRanges(counts, s, e)
+      // every slice stays inside its segment
+      slices.foreach { case (i, lo, hi) =>
+        assert(0 <= lo && lo < hi && hi <= counts(i), s"trial $trial: $slices")
+      }
+      // expanded to global indices, the slices ARE [s, e) clamped to the
+      // data — ordered, gapless, duplicate-free
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val expanded = slices.flatMap { case (i, lo, hi) =>
+        (offsets(i) + lo) until (offsets(i) + hi)
+      }
+      val expected = math.min(s, total) until math.min(e, total)
+      assert(expanded == expected.toSeq,
+        s"trial $trial: counts=$counts s=$s e=$e slices=$slices")
+    }
+  }
+
   test("short-name registration resolves via DataSourceRegister") {
     val df = spark.read.format("user-activity-replay")
       .option("path", fixturePath).load()
