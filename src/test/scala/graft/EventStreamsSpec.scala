@@ -430,6 +430,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multimodal blob ingest gate: CAS dedup intra-stream and against the landed store") {
+    import spark.implicits._
+    val existing = graft.operators.Multimodal.blobs(spark, sfDir)
+    // one payload byte-identical to a landed blob, one fresh payload
+    // arriving twice in-stream, one unique
+    val landedText = sources.Tables.documents(spark, sfDir)
+      .select(col("text")).first().getString(0)
+    val fresh = "a brand new never-landed payload"
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2025-08-03T13:00:00Z"))
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)](spark)
+    val q = streaming.MediaStreams.blobIngest(
+      mem.toDF().toDF("doc_id", "payload", "eventTime"), existing)
+      .writeStream.format("memory").queryName("blob_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq(
+        (1L, landedText.getBytes("UTF-8"), ts),
+        (2L, fresh.getBytes("UTF-8"), ts),
+        (3L, fresh.getBytes("UTF-8"), ts),
+        (4L, "another unique payload".getBytes("UTF-8"), ts)))
+      q.processAllAvailable()
+      val out = spark.table("blob_gate").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(!out.contains(1L), "byte-identical to a landed blob: dropped")
+      assert(out.keySet.intersect(Set(2L, 3L)).size === 1,
+        "in-stream duplicate payload admits exactly one copy")
+      assert(out.contains(4L))
+      // admitted metadata matches the batch store's derivation: same
+      // md5 content address (pure-JVM replay), same byte accounting
+      val r4 = out(4L)
+      assert(r4.getAs[Long]("n_bytes") === "another unique payload".length.toLong)
+      assert(r4.getAs[String]("checksum") ===
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("another unique payload".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per duplicated key") {
     import spark.implicits._
     val mem = MemoryStream[UserActivity](spark)
