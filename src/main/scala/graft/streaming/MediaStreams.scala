@@ -44,4 +44,23 @@ object MediaStreams {
         lit("text/plain").as("mime"), col("n_bytes"),
         col("checksum"), col("head_hex"))
   }
+
+  /** LIVE CAS accounting — the streaming twin of batch q112's storage
+    * economics, maintained incrementally per source over arriving blobs:
+    * blob count and raw bytes stay exact (mergeable sums), unique blobs
+    * becomes an HLL sketch over the content address (bounded state at
+    * any corpus size, the [[TextStreams.liveDatasetCard]] contract).
+    * `saved_bytes` stays batch-side by design: byte-level dedup savings
+    * needs per-unique-blob sizes — the CAS store itself — not a
+    * monitoring sketch. Update output mode; `stream` needs
+    * (source, payload).
+    */
+  def liveCasAccounting(stream: DataFrame): DataFrame =
+    stream
+      .select(col("source"), md5(col("payload")).as("checksum"),
+        length(col("payload")).cast("long").as("nb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("nb")).as("total_bytes"),
+        approx_count_distinct(col("checksum")).as("n_unique_approx"))
 }

@@ -468,6 +468,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live CAS accounting: final streamed card matches batch q112 per source") {
+    import spark.implicits._
+    val blobs = graft.operators.Multimodal.blobs(spark, sfDir)
+      .select(col("source"), col("payload")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    val mem = MemoryStream[(String, Array[Byte])](spark)
+    val q = streaming.MediaStreams.liveCasAccounting(
+      mem.toDF().toDF("source", "payload"))
+      .writeStream.format("memory").queryName("live_cas")
+      .outputMode(OutputMode.Update).start()
+    try {
+      blobs.grouped(math.max(1, blobs.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // latest update per source = the max-n_blobs row for that source
+      val live = spark.table("live_cas").collect()
+        .groupBy(_.getString(0))
+        .map { case (src, rows) => src -> rows.maxBy(_.getLong(1)) }
+      val batch = graft.operators.Multimodal.casAccounting(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(live.keySet === batch.keySet)
+      batch.foreach { case (src, b) =>
+        val l = live(src)
+        assert(l.getLong(1) === b.getAs[Long]("n_blobs"), s"$src blobs")
+        assert(l.getLong(2) === b.getAs[Long]("total_bytes"), s"$src bytes")
+        val exactUnique = b.getAs[Long]("n_unique")
+        assert(math.abs(l.getLong(3) - exactUnique) <=
+          math.max(1L, (0.05 * exactUnique).toLong),
+          s"$src unique: approx ${l.getLong(3)} vs $exactUnique")
+      }
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per duplicated key") {
     import spark.implicits._
     val mem = MemoryStream[UserActivity](spark)
