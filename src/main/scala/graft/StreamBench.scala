@@ -306,6 +306,20 @@ object StreamBench {
       streaming.EventStreams.tumblingSignupsOn(replayed, "1 hour"),
       OutputMode.Complete, activityRows.length.toLong)
 
+    // stage 5c: multimodal CAS ingest gate — binary payloads through
+    // content-address dedup (watermark-bounded intra-stream state keyed
+    // by the 16-byte checksum + broadcast anti-join vs the landed
+    // store); payload bytes never shuffle
+    val landedBlobs = corpus
+      .select(encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("meta", struct(md5(col("payload")).as("checksum")))
+    val blobGate = stage(spark, "blob_ingest",
+      streaming.MediaStreams.blobIngest(
+        arrivals.select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"), col("eventTime")),
+        landedBlobs),
+      OutputMode.Append, gateIn)
+
     // stage 6: span contamination audit — watermark-finalized per-doc
     // span accounting, KILLED mid-replay and restored from checkpoint.
     // Append mode: the advancing eventTime finalizes groups as the
@@ -353,7 +367,7 @@ object StreamBench {
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
-      s"""$tumbling,$replaySrc,$gate,$assign,$sessions,$lsh,$audit,$standing,""" +
+      s"""$tumbling,$replaySrc,$gate,$assign,$sessions,$lsh,$blobGate,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")
