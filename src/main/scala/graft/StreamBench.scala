@@ -69,6 +69,9 @@ object StreamBench {
     if (dir.exists()) {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
+    // partition-less ntile window: bench input prep over <=100k rows on
+    // the driver-local run, not an engine operator — the audited engine
+    // plans never do this (GlobalPlanAuditSpec)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
     val sliced = df.withColumn("_slice", ntile(n).over(w)).cache()
     sliced.count()
