@@ -66,6 +66,21 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin)),
 
+    QueryDef("q124_waiting_customers", (s, d) => waitingCustomers(s, d), Some(
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |pos AS (
+        |  SELECT SUM(cents) AS total, COUNT(*) AS n FROM c WHERE cents > 0)
+        |SELECT c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_waiting,
+        |  CAST(SUM(cents) AS BIGINT) AS total_bal_cents
+        |FROM c CROSS JOIN pos
+        |WHERE cents * n > total
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

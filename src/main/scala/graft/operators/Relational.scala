@@ -159,6 +159,32 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** TPC-H Q22 shape (q124): per nation, the count and balance mass of
+    * customers whose balance beats the GLOBAL positive-balance average
+    * and who have never ordered — the "sales opportunity" report. Three
+    * classic optimizer stresses in one plan, decorrelated Spark-first:
+    * the scalar AVG subquery becomes a broadcast 1-row cross join, the
+    * average comparison becomes exact integer math (cents·n > total —
+    * no float division to diverge from the oracle), and NOT EXISTS
+    * becomes a left-anti hash join on the order key. Shuffles only on
+    * o_custkey (anti join) and the final tiny nation aggregate.
+    */
+  def waitingCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (dec2(col("c_acctbal")) * 100).cast(LongType).as("cents"))
+    val pos = c.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("total"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(pos))
+      .filter(col("cents") * col("n") > col("total"))
+      .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_waiting"),
+        sum(col("cents")).as("total_bal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Top-k customers by total order value (group → TakeOrdered). */
   def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.orders(s, dir)

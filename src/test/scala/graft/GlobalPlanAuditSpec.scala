@@ -68,7 +68,12 @@ class GlobalPlanAuditSpec extends SparkSpec {
       // q110 crosses a constant 4-row broadcast threshold grid against
       // the landed intersection stage; the pushed >= is evaluated
       // 4×|pairs| times — a post-filter sweep, not a pair blowup
-      "q110_threshold_sensitivity" -> ">= threshold")
+      "q110_threshold_sensitivity" -> ">= threshold",
+      // q124 crosses the ONE-row global balance aggregate (TPC-H Q22's
+      // scalar subquery, decorrelated to a broadcast); the pushed
+      // integer comparison is evaluated 1×|customers| times — the
+      // scalar threshold itself, not a pair blowup
+      "q124_waiting_customers" -> "> total")
 
   /** Remove every balanced `isnotnull(...)` term (nested parens and
     * all) so only genuinely pairwise predicate text remains.
