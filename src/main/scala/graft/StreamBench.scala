@@ -140,9 +140,16 @@ object StreamBench {
     val t0 = System.nanoTime()
     val q1 = start(ckpt)
     val deadline = System.currentTimeMillis() + 300000
-    while (q1.recentProgress.count(_.numInputRows > 0) < half &&
+    // also break on query death: a failed first run would otherwise spin
+    // the full deadline and then misreport the restart as restore_s
+    while (q1.isActive &&
+        q1.recentProgress.count(_.numInputRows > 0) < half &&
         System.currentTimeMillis() < deadline)
       Thread.sleep(50)
+    q1.exception.foreach { e =>
+      throw new IllegalStateException(
+        s"stage $name failed before the kill point", e)
+    }
     val p1 = q1.recentProgress.toSeq
     q1.stop() // the KILL: uncommitted work is abandoned mid-replay
     val firstWall = (System.nanoTime() - t0) / 1e9

@@ -474,7 +474,11 @@ object EventWindows {
       col("ms") < col("prior") - lit(d), 1L).otherwise(0L)).as(s"l$d")
     val one = run.agg(count(lit(1)).as("n_events"), delays.map(late): _*)
     val pairs = delays.map(d => s"${d}L, l$d").mkString(", ")
-    one.selectExpr("n_events",
+    // agg over empty input yields one all-NULL row; filtering n_events>0
+    // keeps the empty-corpus result EMPTY, matching the grouped oracle
+    // shape (and avoiding a NULL-n_late / div-by-zero report row)
+    one.filter(col("n_events") > 0)
+      .selectExpr("n_events",
         s"stack(${delays.size}, $pairs) AS (delay_ms, n_late)")
       .select(col("delay_ms"), col("n_events"), col("n_late"),
         expr("(n_late * 1000000) div n_events").as("late_micro"))

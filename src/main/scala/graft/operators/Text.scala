@@ -545,13 +545,35 @@ object Text {
       .withColumn("jaccard",
         round(col("n_common") / (col("s1") + col("s2") - col("n_common")), 6))
     val grid = Seq(0.5, 0.6, 0.7, 0.8)
-    val ts = s.createDataFrame(grid.map(Tuple1(_))).toDF("threshold")
-    ts.crossJoin(inter)
-      .filter(col("jaccard") >= col("threshold"))
-      .select(col("threshold"), explode(array(col("d1"), col("d2"))).as("doc_id"))
-      .groupBy(col("threshold"))
-      .agg(expr("count(1) div 2").as("n_pairs"),
-        countDistinct(col("doc_id")).as("n_docs"))
+    // The grid is folded into TWO single-pass aggregations (the q114
+    // treatment): per-threshold pair counts are conditional sums over
+    // the landed intersection stage, and "docs touched" rides a per-doc
+    // MAX-jaccard summary — a doc is in some pair >= t iff its best
+    // pair is (thresholds are nested) — so the grid pass runs over the
+    // O(docs) summary. No row-multiplying crossJoin at any grid size.
+    def sums(c: Column, tag: String) = grid.zipWithIndex.map { case (t, i) =>
+      sum(when(c >= t, 1L).otherwise(0L)).as(s"$tag$i")
+    }
+    val pairAgg = {
+      val ss = sums(col("jaccard"), "p")
+      inter.agg(ss.head, ss.tail: _*)
+    }
+    val docAgg = {
+      val ss = sums(col("mj"), "d")
+      inter
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id"), col("jaccard"))
+        .groupBy(col("doc_id")).agg(max(col("jaccard")).as("mj"))
+        .agg(ss.head, ss.tail: _*)
+    }
+    val triples = grid.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), p$i, d$i" }.mkString(", ")
+    pairAgg.crossJoin(docAgg)
+      .selectExpr(
+        s"stack(${grid.size}, $triples) AS (threshold, n_pairs, n_docs)")
+      // the grouped oracle emits NO row for a threshold no pair reaches
+      // (and nothing at all on an empty corpus) — n_pairs=0 implies
+      // n_docs=0, so this filter reproduces that shape exactly
+      .filter(col("n_pairs") > 0)
       .orderBy(col("threshold"))
   }
 

@@ -71,11 +71,49 @@ object TextStreams {
     // below joins the band index four times per batch — without this the
     // gate re-derives the corpus shingle/minhash pipeline 5× per trigger
     // (measured 300 rows/s vs ~20k after). At 100 TB the same contract
-    // is a pre-built landed index table, not a per-run derivation.
+    // is a pre-built landed index table, not a per-run derivation —
+    // that spelling is [[nearDupGateLanded]] (fingerprint-keyed landed
+    // stage) and [[IndexCompaction]] (the continuously-folded index);
+    // this DataFrame-corpus variant serves ad-hoc/in-memory corpora.
     val bandIdx = Text.bandIndexOf(corpus).localCheckpoint(true)
     val hashes = corpus
       .select(md5(col("text").cast("binary")).as("h")).distinct()
       .localCheckpoint(true)
+    nearDupGateOn(stream, bandIdx, hashes)
+  }
+
+  /** [[nearDupGate]] with the static sides read from LANDED
+    * fingerprint-keyed stages ([[graft.operators.Materialize]]) instead
+    * of per-process `localCheckpoint`s: gate restarts are O(read), not
+    * O(derive) — a second process over the same corpus (a gate restart
+    * after a crash, or bench-after-test) pays a parquet scan where the
+    * DataFrame variant re-runs the shingle→minhash pipeline. The landed
+    * corpus is the docs at `dir` from `corpusSource` (the landed-lake
+    * convention the bench and specs use: src0 is the lake, other
+    * sources arrive).
+    */
+  def nearDupGateLanded(spark: SparkSession, stream: DataFrame, dir: String,
+      corpusSource: String = "src0"): DataFrame = {
+    import graft.operators.{Materialize, Text}
+    def corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === corpusSource)
+      .select(col("doc_id"), col("text"))
+    val bandIdx = Materialize.table(spark, s"gate_bandidx_$corpusSource", dir,
+      Text.bandIndexOf(corpus))
+    val hashes = Materialize.table(spark, s"gate_hashes_$corpusSource", dir,
+      corpus.select(md5(col("text").cast("binary")).as("h")).distinct())
+    nearDupGateOn(stream, bandIdx, hashes)
+  }
+
+  /** The gate's join core against PRE-BUILT static sides: `bandIdx` is
+    * a (band, sig) table, `hashes` a single-column `h` md5 table.
+    * Duplicate rows on either static side are harmless (left-anti join
+    * semantics), which is what lets [[IndexCompaction]] serve the gate
+    * append-only delta segments without a rewrite.
+    */
+  private[graft] def nearDupGateOn(stream: DataFrame, bandIdx: DataFrame,
+      hashes: DataFrame): DataFrame = {
+    import graft.operators.Text
     val withSig = stream
       .withColumn("h", md5(col("text").cast("binary")))
       .withColumn("w", split(col("text"), " "))
@@ -171,7 +209,13 @@ object TextStreams {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("bs.sig").as("sig"), col("bs.band").as("band"), col("doc_id"))
       .as[(String, Int, Long)]
-      .groupByKey { case (sig, _, _) => sig }
+      // state key is the (band, sig) PAIR — the batch bucket definition
+      // (arrivalDedup windows on (band, sig); nearDupGate anti-joins per
+      // band). Keying by sig alone would let a cross-band signature
+      // equality (~2^-60/pair, but nonzero) emit a collision the batch
+      // rule does not; the stream == batch drop-set claim is exact only
+      // under the pair key.
+      .groupByKey { case (sig, band, _) => s"$band|$sig" }
       // a TTL'd state store needs the processing-time clock; without a
       // TTL the operator is clock-free
       .transformWithState(new BandOwnerProcessor(ttl),
@@ -238,7 +282,10 @@ object TextStreams {
       sum(col("n_chars")).cast("long").as("n_chars"),
       approx_count_distinct(col("lang")).as("n_langs_approx"),
       approx_count_distinct(col("source")).as("n_sources_approx"),
-      (count(lit(1)) - approx_count_distinct(md5(col("text").cast("binary"))))
+      // clamped at 0: the HLL sketch can OVERestimate, and a dup-free
+      // corpus must not show a negative dup count on a live dashboard
+      greatest(lit(0L),
+        count(lit(1)) - approx_count_distinct(md5(col("text").cast("binary"))))
         .as("n_exact_dup_docs_approx"))
 
   /** Frozen retrieval model for [[standingRetrieval]]: per query term,

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Text
+import graft.streaming.{IndexCompaction, TextStreams}
+
+/** The stream→landed-index compaction contract: folding landed arrivals
+  * into the gate index moves bucket ownership from the streaming state
+  * store to the stateless gate WITHOUT changing the service's drop set
+  * (the batch q123 earlier-doc band rule is the invariant).
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def docsWithSource: DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+
+  /** Per-doc (band, sig) rows — the same 4×2 banding every operator in
+    * the dedup family uses.
+    */
+  private def bandRows(docs: DataFrame): DataFrame = {
+    val banded = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("hs", Text.shingleHashes)
+    (0 until 4).map { b =>
+      banded.select(col("doc_id"), lit(b).as("band"), Text.bandSigCol(b).as("sig"))
+    }.reduce(_ unionAll _)
+  }
+
+  test("epoch mechanics: init, delta compaction, union reads, merge, races") {
+    import spark.implicits._
+    val root = tempDir("gate_index").toPath.toString + "/idx"
+    val filler = (0 until 30).map(i => s"base$i").mkString(" ")
+    val c = Seq((1L, s"one $filler")).toDF("doc_id", "text")
+    IndexCompaction.init(spark, root, c)
+    assert(IndexCompaction.epochs(root) === Seq(0L))
+    // re-init is a no-op, not a second epoch
+    IndexCompaction.init(spark, root, c)
+    assert(IndexCompaction.epochs(root) === Seq(0L))
+    val delta = Seq((2L, s"two $filler x y z")).toDF("doc_id", "text")
+    assert(IndexCompaction.compact(spark, root, delta) === 1L)
+    assert(IndexCompaction.epochs(root) === Seq(0L, 1L))
+    // union view covers both epochs
+    val bands = IndexCompaction.bands(spark, root)
+    assert(bands.columns.toSeq === Seq("band", "sig"))
+    val expected = Text.bandIndexOf(c.unionAll(delta))
+    assert(bands.distinct().count() === expected.count())
+    assert(IndexCompaction.hashes(spark, root).distinct().count() === 2L)
+    // major compaction folds to one distinct segment, same content
+    val merged = IndexCompaction.merge(spark, root)
+    assert(IndexCompaction.epochs(root) === Seq(merged))
+    assert(IndexCompaction.bands(spark, root).count() === expected.count())
+    assert(IndexCompaction.hashes(spark, root).count() === 2L)
+    // a crashed compaction's temp dir is swept by the next publish
+    val crashed = new java.io.File(root, "epoch_99999999.tmp_1")
+    crashed.mkdirs()
+    IndexCompaction.compact(spark, root,
+      Seq((3L, s"three $filler p q r")).toDF("doc_id", "text"))
+    assert(!crashed.exists(), "stale temp dir must be swept")
+  }
+
+  test("gate over the compacted index drops near-dups, exact dups and short exact dups of landed arrivals") {
+    import spark.implicits._
+    val root = tempDir("gate_index2").toPath.toString + "/idx"
+    val longA = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    IndexCompaction.init(spark, root,
+      Seq((100L, longA)).toDF("doc_id", "text"))
+    // arrivals land in the lake, then a MINOR compaction folds them in
+    val landed = Seq((200L, (0 until 40).map(i => s"beta$i").mkString(" ")),
+      (201L, "tiny doc")).toDF("doc_id", "text")
+    IndexCompaction.compact(spark, root, landed)
+    val probes = Seq(
+      (1L, longA),                                        // dup of epoch-0 doc
+      (2L, (0 until 40).map(i => s"beta$i").mkString(" ")), // dup of delta doc
+      (3L, "beta0 " + (1 until 40).map(i => s"beta$i").mkString(" ")
+        .replace("beta39", "changed")),                   // near-dup of delta doc
+      (4L, "tiny doc"),                                   // SHORT exact dup: hash layer only
+      (5L, (0 until 40).map(i => s"nu$i").mkString(" ")), // novel
+      (6L, "wee words"))                                  // short novel
+      .toDF("doc_id", "text")
+      .withColumn("eventTime", to_timestamp(lit("2025-08-03T13:00:00Z")))
+    val passed = IndexCompaction.gate(spark, root, probes)
+      .collect().map(_.getLong(0)).toSet
+    assert(passed === Set(5L, 6L),
+      "dups/near-dups of BOTH epochs drop (incl. the short exact dup via " +
+        "the hash layer); novel docs pass")
+  }
+
+  test("handoff invariant: identical drop set immediately before and after compaction (q123 rule)") {
+    withRocksDb {
+      import spark.implicits._
+      val all = docsWithSource
+      val corpus = all.filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+      val rest = all.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).as[(Long, String)].collect().toSeq
+      assert(rest.forall(_._2.split(" ").length >= 3),
+        "fixture docs must all band (the exact-hash layer then coincides " +
+          "with the band rule, keeping the LSH invariant exact)")
+      val (a, b) = rest.splitAt(rest.size / 2)
+      val bDf = b.toDF("doc_id", "text")
+        .withColumn("eventTime", to_timestamp(lit("2025-08-03T13:00:00Z")))
+
+      // ---- truth: the q123 earlier-doc band rule over arrival order
+      // corpus+A (all earlier) then B in doc_id order ----
+      val ranked = bandRows(corpus.unionAll(a.toDF("doc_id", "text")))
+        .withColumn("rnk", lit(-1L))
+        .unionAll(bandRows(b.toDF("doc_id", "text"))
+          .withColumn("rnk", col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+      val expected = ranked
+        .withColumn("mn", min(col("rnk")).over(w))
+        .filter(col("rnk") > lit(-1L) && col("mn") < col("rnk"))
+        .select(col("doc_id")).distinct().as[Long].collect().toSet
+      assert(expected.nonEmpty, "fixture must contain cross-phase near-dups")
+
+      def streamColl(feeds: Seq[Seq[(Long, String)]], name: String): Set[Long] = {
+        val mem = MemoryStream[(Long, String)](spark)
+        val q = TextStreams.streamingLshCollisions(
+          spark, mem.toDF().toDF("doc_id", "text"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+        try {
+          feeds.foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+          spark.table(name).select(col("docId")).as[Long].collect().toSet
+        } finally q.stop()
+      }
+      def gateDrops(root: String): Set[Long] = {
+        val passed = IndexCompaction.gate(spark, root, bDf)
+          .collect().map(_.getLong(0)).toSet
+        b.map(_._1).toSet -- passed
+      }
+
+      // ---- BEFORE compaction: index holds only the corpus; the stream
+      // state covers A (it arrived through the same standing query) ----
+      val root = tempDir("gate_index3").toPath.toString + "/idx"
+      IndexCompaction.init(spark, root, corpus)
+      val beforeStream = streamColl(
+        Seq(a, b.take(b.size / 2), b.drop(b.size / 2)), "coll_before")
+        .filter(b.map(_._1).toSet)
+      val dropsBefore = gateDrops(root) ++ beforeStream
+
+      // ---- compaction: A has landed; fold it into the index. The
+      // stream forgets A (fresh state = what the TTL horizon ages out) ----
+      IndexCompaction.compact(spark, root, a.toDF("doc_id", "text"))
+      val afterStream = streamColl(
+        Seq(b.take(b.size / 2), b.drop(b.size / 2)), "coll_after")
+      val dropsAfter = gateDrops(root) ++ afterStream
+
+      assert(dropsBefore === expected,
+        "pre-compaction service (gate vs corpus + stream state over A) " +
+          "must drop exactly the q123 rule's set")
+      assert(dropsAfter === expected,
+        "post-compaction service (gate vs corpus∪A + fresh stream) must " +
+          "drop the SAME set — ownership moved, the decision didn't")
+    }
+  }
+}
