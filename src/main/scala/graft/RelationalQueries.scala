@@ -81,6 +81,21 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // q125: TPC-H Q18 shape — large-volume orders via the classic
+    // IN (GROUP BY ... HAVING SUM ...) subquery (oracle keeps that
+    // spelling; the Spark side decorrelates to ONE per-order aggregate
+    // reused as both filter and output, halving the lineitem scans).
+    QueryDef("q125_large_volume_orders", (s, d) => largeVolumeOrders(s, d), Some(
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

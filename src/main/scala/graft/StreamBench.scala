@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, StreamingQueryProgress}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, StreamingQueryProgress, TTLConfig, Trigger}
 
 /** Streaming benchmark: replays the `events`, `documents` and
   * `embeddings` tables through the library's streaming operators as
@@ -94,14 +94,23 @@ object StreamBench {
     val state =
       if (stateful.isEmpty) ""
       else {
+        import scala.jdk.CollectionConverters._
         val rowsLast = stateful.last.stateOperators.map(_.numRowsTotal).sum
         val rowsMax = stateful.map(_.stateOperators.map(_.numRowsTotal).sum).max
         val mem = stateful.last.stateOperators.map(_.memoryUsedBytes).sum
         val removed = stateful.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
         val dropped = stateful.map(
           _.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+        // TTL'd transformWithState evictions surface as a custom metric,
+        // not numRowsRemoved — report them so a TTL'd stage's cleanup
+        // rate is visible next to its rows_last plateau
+        val ttlExpired = stateful.map(_.stateOperators.map(o =>
+          Option(o.customMetrics).map(_.asScala.collect {
+            case (k, v) if k.contains("RemovedDueToTTL") => v.longValue()
+          }.sum).getOrElse(0L)).sum).sum
         s""","state":{"rows_last":$rowsLast,"rows_max":$rowsMax,""" +
           s""""mem_bytes":$mem,"removed":$removed,""" +
+          s""""ttl_expired":$ttlExpired,""" +
           s""""dropped_by_watermark":$dropped}"""
       }
     s""""rows_per_sec":${fmt(inRows / wallSec)},"in_rows":$inRows,""" +
@@ -112,9 +121,12 @@ object StreamBench {
       s""""max":${fmt(if (secs.isEmpty) -1.0 else secs.max, 2)}}""" + state
   }
 
-  /** Run one streaming stage to completion against a memory sink. */
+  /** Run one streaming stage to completion against a memory sink.
+    * Returns the JSON fragment and the wall seconds (the latter feeds
+    * the paced-latency stages' max-throughput calibration).
+    */
   private def stage(spark: SparkSession, name: String, df: DataFrame,
-      mode: OutputMode, inRows: Long): String = {
+      mode: OutputMode, inRows: Long): (String, Double) = {
     val t0 = System.nanoTime()
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
@@ -123,7 +135,31 @@ object StreamBench {
     val outRows = spark.table(name).count()
     val progress = q.recentProgress.toSeq
     q.stop()
-    s""""$name":{${progressJson(progress, inRows, outRows, wall)}}"""
+    (s""""$name":{${progressJson(progress, inRows, outRows, wall)}}""", wall)
+  }
+
+  /** Drain a PROCESSING-TIME-clocked query over a finite input: a TTL'd
+    * or fixed-interval-trigger query never goes idle (the clock keeps
+    * the engine triggering), so `processAllAvailable` cannot be used —
+    * instead poll until every input row has been admitted, then let it
+    * run `settleMs` longer (TTL eviction / trailing commits happen in
+    * those extra triggers) and stop. Returns (progress, wall-to-drain).
+    */
+  private def runPaced(q: StreamingQuery, inRows: Long,
+      settleMs: Long): (Seq[StreamingQueryProgress], Double) = {
+    val t0 = System.nanoTime()
+    val deadline = System.currentTimeMillis() + 300000
+    while (q.isActive &&
+        q.recentProgress.map(_.numInputRows).sum < inRows &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.exception.foreach(e => throw new IllegalStateException(
+      s"paced stage ${q.name} failed", e))
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(settleMs)
+    val p = q.recentProgress.toSeq
+    q.stop()
+    (p, wall)
   }
 
   /** Run a checkpointed stage with one mid-replay KILL: stop the query
@@ -202,20 +238,28 @@ object StreamBench {
     val embStream = spark.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/emb")
 
+    // paced/TTL'd stages run many short triggers; keep every progress
+    // in the window so admission sums and latency distributions are
+    // computed over the full run, not a 100-entry suffix
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+
     // stage 1: watermarked tumbling aggregation over the events replay
-    val tumbling = stage(spark, "sb",
+    val (tumbling, _) = stage(spark, "sb",
       streaming.EventStreams.tumblingSignupsOn(eventsStream, "1 hour"),
       OutputMode.Complete, totalRows)
 
-    // stage 2: near-dup ingest gate (stateless stream-static anti-joins)
-    val gate = stage(spark, "gate",
-      streaming.TextStreams.nearDupGate(arrivals, corpus),
+    // stage 2: near-dup ingest gate (stateless stream-static anti-joins;
+    // static sides read from the fingerprint-keyed LANDED stages, so a
+    // bench run after a verify run pays a parquet scan, not a
+    // shingle-pipeline derivation — the gate-restart contract)
+    val (gate, _) = stage(spark, "gate",
+      streaming.TextStreams.nearDupGateLanded(spark, arrivals, sfDir),
       OutputMode.Append, gateIn)
 
     // stage 3: stateless IVF cell assignment of the embedding stream
     // (the vector store's write path — literal broadcast centroids,
     // per-row argmin, zero shuffles)
-    val assign = stage(spark, "cell_assign",
+    val (assign, _) = stage(spark, "cell_assign",
       streaming.VectorStreams.cellAssign(spark, embStream, sfDir),
       OutputMode.Append, embRows)
 
@@ -280,6 +324,91 @@ object StreamBench {
       gateIn, nSlices,
       () => try spark.read.parquet(lshOut).count() catch { case _: Throwable => 0L })
 
+    // stage 5a': the TTL'd lsh_dedup variant MEASURED, not asserted —
+    // the production setting bounds ownership to a TTL horizon (sized
+    // ~4 trigger intervals here, i.e. the compaction-interval contract
+    // scaled down to bench time). Driven by a fixed ProcessingTime
+    // trigger because a TTL'd state store runs on the processing-time
+    // clock (processAllAvailable never sees it idle); the settle window
+    // after the last admission gives the clock time to evict, so
+    // rows_last shows the post-horizon plateau and ttl_expired > 0
+    // shows the cleanup actually ran.
+    val ttlMs = 2000L
+    val lshTtl = {
+      val q = streaming.TextStreams.streamingLshCollisions(spark,
+          arrivals.select(col("doc_id"), col("text")),
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+        .toDF().writeStream.format("memory").queryName("lsh_ttl")
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .outputMode(OutputMode.Append).start()
+      val (progress, drainWall) = runPaced(q, gateIn, settleMs = 2 * ttlMs + 1500)
+      val outRows = spark.table("lsh_ttl").count()
+      s""""lsh_dedup_ttl":{${progressJson(progress, gateIn, outRows, drainWall)},""" +
+        s""""ttl_ms":$ttlMs}"""
+    }
+
+    // stage 5a'': the COMPACTION handoff measured. Phase 1 arrivals
+    // accrete ownership state; then IndexCompaction folds them into the
+    // landed gate index (the once-per-interval batch job); phase 2 runs
+    // against the compacted gate with a FRESH stream — its state holds
+    // only the phase-2 horizon. phase1_state_rows vs phase2_state_rows
+    // is the state the compaction moved out of the store; CompactionSpec
+    // pins that the drop DECISION is unchanged across the move.
+    def lastStateRows(q: StreamingQuery): Long =
+      q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val compaction = {
+      import streaming.IndexCompaction
+      val mid = arrivalsBatch.stat
+        .approxQuantile("doc_id", Array(0.5), 0.001).head
+      val p1 = arrivalsBatch.filter(col("doc_id") <= mid)
+      val p2 = arrivalsBatch.filter(col("doc_id") > mid)
+      val n2 = p2.count()
+      val half = math.max(2, nSlices / 2)
+      sliceOrdered(p1, "doc_id", half, s"$base/docs_p1")
+      sliceOrdered(p2, "doc_id", half, s"$base/docs_p2")
+      def str(path: String) = spark.readStream.schema(arrivalsBatch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      // phase 1: ownership accretes over the phase-1 replay
+      val q1 = streaming.TextStreams.streamingLshCollisions(spark,
+          str(s"$base/docs_p1").select(col("doc_id"), col("text")))
+        .toDF().writeStream.format("memory").queryName("lshc_p1")
+        .outputMode(OutputMode.Append).start()
+      q1.processAllAvailable()
+      val rowsBefore = lastStateRows(q1)
+      q1.stop()
+      // the compaction job: phase-1 docs have landed in the lake
+      val idxRoot = s"$base/gate_index"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxRoot))
+      val tC = System.nanoTime()
+      IndexCompaction.init(spark, idxRoot, corpus)
+      IndexCompaction.compact(spark, idxRoot,
+        p1.select(col("doc_id"), col("text")))
+      val compactS = (System.nanoTime() - tC) / 1e9
+      // phase 2: gate owns phase-1 buckets statically now
+      val t2 = System.nanoTime()
+      val qg = IndexCompaction.gate(spark, idxRoot, str(s"$base/docs_p2"))
+        .writeStream.format("memory").queryName("lshc_gate")
+        .outputMode(OutputMode.Append).start()
+      qg.processAllAvailable()
+      val admitted = spark.table("lshc_gate").count()
+      val gWall = (System.nanoTime() - t2) / 1e9
+      val gProg = qg.recentProgress.toSeq
+      qg.stop()
+      val q2 = streaming.TextStreams.streamingLshCollisions(spark,
+          str(s"$base/docs_p2").select(col("doc_id"), col("text")))
+        .toDF().writeStream.format("memory").queryName("lshc_p2")
+        .outputMode(OutputMode.Append).start()
+      q2.processAllAvailable()
+      val rowsAfter = lastStateRows(q2)
+      q2.stop()
+      s""""lsh_compaction":{"phase1_state_rows":$rowsBefore,""" +
+        s""""compact_s":${fmt(compactS, 2)},""" +
+        s""""phase2_state_rows":$rowsAfter,""" +
+        s""""gate_dropped_after":${n2 - admitted},""" +
+        s""""gate_after":{${progressJson(gProg, n2, admitted, gWall)}}}"""
+    }
+
     // stage 5b: the DSv2 paced replay source itself, over a multi-file
     // segment directory built from the events table — measures what the
     // custom source sustains (admission-controlled offsets, per-file
@@ -312,9 +441,53 @@ object StreamBench {
       .select(col("userId").as("user_id"),
         col("activity").as("event_type"),
         to_timestamp(col("timestamp")).as("ts"))
-    val replaySrc = stage(spark, "replay_source",
+    val (replaySrc, replayWall) = stage(spark, "replay_source",
       streaming.EventStreams.tumblingSignupsOn(replayed, "1 hour"),
       OutputMode.Complete, activityRows.length.toLong)
+
+    // stage 5b': latency under a SUSTAINED ARRIVAL RATE, not drain
+    // rate — the number an SLO is written against. The as-fast replay
+    // above measures what the pipeline can drain; production offers a
+    // RATE, and the binding metric is event-to-commit latency at that
+    // rate. The DSv2 source's admission control paces the offer:
+    // eventsPerBatch per fixed ProcessingTime trigger = the offered
+    // rows/s. Per data batch, latency = commit end − the batch's
+    // SCHEDULED admission instant (first-batch start + k·interval) —
+    // falling behind the offered rate accumulates queueing delay into
+    // the number, exactly as an arriving event experiences it. Run at
+    // 50% and 90% of the measured as-fast throughput.
+    val maxRps = activityRows.length / math.max(replayWall, 0.001)
+    def paced(tag: String, frac: Double): String = {
+      val intervalMs = 500L
+      val rps = maxRps * frac
+      val perBatch = math.max(1, (rps * intervalMs / 1000.0).toInt)
+      val src = spark.readStream.format("user-activity-replay")
+        .option("path", replayDir.toString)
+        .option("eventsPerBatch", perBatch.toString).load()
+        .select(col("userId").as("user_id"),
+          col("activity").as("event_type"),
+          to_timestamp(col("timestamp")).as("ts"))
+      val q = streaming.EventStreams.tumblingSignupsOn(src, "1 hour")
+        .writeStream.format("memory").queryName(s"paced_$tag")
+        .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+        .outputMode(OutputMode.Complete).start()
+      val (progress, wall) = runPaced(q, activityRows.length.toLong, 0L)
+      val data = progress.filter(_.numInputRows > 0).sortBy(_.timestamp)
+      val t0ms = java.time.Instant.parse(data.head.timestamp).toEpochMilli
+      val lats = data.zipWithIndex.map { case (p, k) =>
+        val start = java.time.Instant.parse(p.timestamp).toEpochMilli
+        val exec = Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).getOrElse(0L)
+        (start + exec - (t0ms + k * intervalMs)).toDouble
+      }
+      val p95 = pct(lats, 0.95)
+      s""""paced_$tag":{"offered_rps":${fmt(rps)},"interval_ms":$intervalMs,""" +
+        s""""batches":${data.size},"wall_sec":${fmt(wall, 2)},""" +
+        s""""e2e_ms":{"p50":${fmt(pct(lats, 0.5))},"p95":${fmt(p95)},""" +
+        s""""max":${fmt(lats.max)}},"kept_up":${p95 < 2 * intervalMs}}"""
+    }
+    val paced50 = paced("50", 0.5)
+    val paced90 = paced("90", 0.9)
 
     // stage 5c: multimodal CAS ingest gate — binary payloads through
     // content-address dedup (watermark-bounded intra-stream state keyed
@@ -323,7 +496,7 @@ object StreamBench {
     val landedBlobs = corpus
       .select(encode(col("text"), "UTF-8").as("payload"))
       .withColumn("meta", struct(md5(col("payload")).as("checksum")))
-    val blobGate = stage(spark, "blob_ingest",
+    val (blobGate, _) = stage(spark, "blob_ingest",
       streaming.MediaStreams.blobIngest(
         arrivals.select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload"), col("eventTime")),
@@ -377,7 +550,8 @@ object StreamBench {
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
-      s"""$tumbling,$replaySrc,$gate,$assign,$sessions,$lsh,$blobGate,$audit,$standing,""" +
+      s"""$tumbling,$replaySrc,$paced50,$paced90,$gate,$assign,$sessions,""" +
+      s"""$lsh,$lshTtl,$compaction,$blobGate,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")

@@ -185,6 +185,36 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q18 shape (q125): large-volume orders — orders whose summed
+    * line quantity clears a threshold (the classic
+    * `IN (... GROUP BY ... HAVING SUM ...)` subquery), with their
+    * customer, top-100 by order value. Spark-first decorrelation does
+    * BETTER than the literal SQL: Q18's spelling scans lineitem twice
+    * (once in the subquery, once for the output sum); here ONE
+    * per-order aggregate serves as both the HAVING filter and the
+    * output column. Joins are keyed equi-joins (o_orderkey, then
+    * c_custkey) — customer grows with SF, so no forced broadcast; the
+    * final top-100 is a TakeOrdered (per-partition heap + driver merge
+    * of 100-row heads), never a global sort.
+    */
+  def largeVolumeOrders(s: SparkSession, dir: String,
+      minQty: Int = 250): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("tq"))
+      .filter(col("tq") > minQty)
+    Tables.orders(s, dir)
+      .join(big, Seq("o_orderkey"))
+      .join(Tables.customer(s, dir).select(
+        col("c_custkey").as("o_custkey"), col("c_name")),
+        Seq("o_custkey"))
+      .select(col("o_custkey").as("c_custkey"), col("c_name"),
+        col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("tq").cast(DoubleType).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Top-k customers by total order value (group → TakeOrdered). */
   def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.orders(s, dir)

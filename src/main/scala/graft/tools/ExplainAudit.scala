@@ -30,7 +30,8 @@ object ExplainAudit {
       "q108_pair_degrees", "q109_gap_percentiles",
       "q110_threshold_sensitivity", "q111_ann_scoreboard",
       "q112_cas_accounting", "q113_vocab_growth",
-      "q114_watermark_audit", "q115_skew_report")
+      "q114_watermark_audit", "q115_skew_report",
+      "q125_large_volume_orders")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -55,6 +55,16 @@ def main():
         "dedup-history store that production bounds via TTL/compaction",
         "(see the operator docs).",
         "",
+        "Reading `state MB`: under RocksDB the reported memoryUsedBytes",
+        "has a ~34 MB FLOOR per stateful stage — the block cache and",
+        "working set of the store itself, not per-row state (compare",
+        "lsh_dedup: ~18k 8-byte ownership rows report ~0.3 MB under the",
+        "HDFS-backed store vs ~34 MB under RocksDB). Do NOT divide",
+        "state MB by state rows for a bytes/key figure; the per-key",
+        "cost is the delta OVER that floor as rows grow, which at these",
+        "SFs is noise. The meaningful columns at bench scale are state",
+        "ROWS and the eviction counters.",
+        "",
     ]
     for st in stages:
         lines.append(f"## {st}")
@@ -93,6 +103,59 @@ def main():
                 f"State growth sf{sf0}→sf{sf1}: input ×{in_growth:.1f}, "
                 f"state rows ×{st_growth:.1f}, evicted {rm1} → **{kind}**.")
             lines.append("")
+
+    # paced-latency stages: the SLO view (latency at an offered rate),
+    # not a throughput view — separate table shape
+    paced = [k for k, v in runs[-1][1].items()
+             if isinstance(v, dict) and "e2e_ms" in v]
+    if paced:
+        lines.append("## latency at offered rate (paced replay)")
+        lines.append("")
+        lines.append("Event-to-commit latency (commit end minus the batch's")
+        lines.append("scheduled admission instant) with the DSv2 source paced")
+        lines.append("at a fraction of the measured as-fast drain rate —")
+        lines.append("queueing delay from falling behind accumulates into the")
+        lines.append("number, exactly as an arriving event experiences it.")
+        lines.append("")
+        lines.append("| sf | stage | offered rows/s | e2e p50 ms | e2e p95 ms"
+                     " | e2e max ms | kept up |")
+        lines.append("|---|---|---|---|---|---|---|")
+        for sf, d in runs:
+            for st in paced:
+                v = d.get(st)
+                if v is None:
+                    continue
+                e = v["e2e_ms"]
+                lines.append(
+                    f"| {sf} | {st} | {fmt(v['offered_rps'])} "
+                    f"| {fmt(e['p50'])} | {fmt(e['p95'])} | {fmt(e['max'])} "
+                    f"| {v['kept_up']} |")
+        lines.append("")
+
+    # compaction handoff: state rows moved out of the store per run
+    if any("lsh_compaction" in d for _, d in runs):
+        lines.append("## compaction handoff (lsh_compaction)")
+        lines.append("")
+        lines.append("Phase-1 arrivals accrete LSH ownership state; the")
+        lines.append("IndexCompaction batch job folds them into the landed")
+        lines.append("gate index; phase 2 runs against the compacted gate")
+        lines.append("with a fresh stream. `gate dropped` counts phase-2")
+        lines.append("docs the STATELESS gate now rejects because a phase-1")
+        lines.append("doc owns their bucket — decisions that needed state")
+        lines.append("before the compaction (CompactionSpec pins the drop")
+        lines.append("set as identical across the move).")
+        lines.append("")
+        lines.append("| sf | phase-1 state rows | compact s "
+                     "| phase-2 state rows | gate dropped after |")
+        lines.append("|---|---|---|---|---|")
+        for sf, d in runs:
+            v = d.get("lsh_compaction")
+            if v is None:
+                continue
+            lines.append(
+                f"| {sf} | {v['phase1_state_rows']} | {fmt(v['compact_s'], 2)} "
+                f"| {v['phase2_state_rows']} | {v['gate_dropped_after']} |")
+        lines.append("")
 
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
