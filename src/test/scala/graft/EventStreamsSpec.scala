@@ -247,6 +247,23 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("landed-stage gate decides exactly like the DataFrame-corpus gate") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    val arrivals = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+      .withColumn("eventTime", to_timestamp(lit("2025-08-03T13:00:00Z")))
+    val fromDf = TextStreams.nearDupGate(arrivals, corpus)
+      .collect().map(_.getLong(0)).toSet
+    val fromLanded = TextStreams.nearDupGateLanded(spark, arrivals, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(fromLanded === fromDf,
+      "reading the static sides from landed stages must not change the decision")
+    assert(fromDf.nonEmpty && fromDf.size < arrivals.count(),
+      "fixture must exercise both admit and drop paths")
+  }
+
   test("intra-stream LSH collisions: golden owners and bands") {
     withRocksDb {
       import spark.implicits._

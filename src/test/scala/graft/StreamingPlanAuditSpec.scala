@@ -69,6 +69,29 @@ class StreamingPlanAuditSpec extends SparkSpec {
       s"the gate is stateless by contract:\n$plan")
   }
 
+  test("compacted-index gate: broadcast-only joins, stateless, across delta epochs") {
+    import spark.implicits._
+    val root = tempDir("audit_gate_idx").toPath.toString + "/idx"
+    graft.streaming.IndexCompaction.init(spark, root, docCorpus)
+    // a delta epoch: the gate must stay broadcast-only over the UNION of
+    // epoch segments, not just a single-table static side
+    graft.streaming.IndexCompaction.compact(spark, root,
+      Seq((3L, s"delta $filler x y z")).toDF("doc_id", "text"))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    mem.addData(Seq((9L, s"gamma $filler", ts0)))
+    val plan = executedPlan(
+      graft.streaming.IndexCompaction.gate(spark, root,
+        mem.toDF().toDF("doc_id", "text", "eventTime"))
+        .writeStream.format("memory").queryName("audit_gate_compacted")
+        .outputMode(OutputMode.Append).start())
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"epoch-union static side must broadcast, not sort-merge per trigger:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") === 5, plan)
+    assert(!plan.contains("StateStore") && !plan.contains("TransformWithState"),
+      s"the compacted gate is stateless by contract:\n$plan")
+  }
+
   test("IVF cell assignment: zero exchanges, zero state") {
     import spark.implicits._
     val mem = MemoryStream[(Long, Seq[Float])](spark)
