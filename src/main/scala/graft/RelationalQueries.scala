@@ -96,6 +96,32 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // q126: TPC-H Q17 shape — correlated scalar-avg subquery (oracle
+    // keeps that spelling; Spark restricts to the brand's parts via
+    // broadcast semi-join then computes the per-part average as a
+    // partitioned window over the SAME rows: one scan, one shuffle).
+    QueryDef("q126_small_qty_revenue", (s, d) => smallQuantityRevenue(s, d), Some(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    // q127: TPC-H Q20 shape — nested IN whose HAVING compares a group
+    // aggregate against a CORRELATED per-part aggregate (oracle keeps
+    // that spelling; Spark aggregates to (part, supplier) once and
+    // takes the per-part total as a window over the reduced aggregate,
+    // then semi-joins supplier).
+    QueryDef("q127_dominant_suppliers", (s, d) => dominantSuppliers(s, d), Some(
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l1
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING SUM(l_quantity) > 0.2 * (SELECT SUM(l2.l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

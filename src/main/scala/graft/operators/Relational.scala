@@ -215,6 +215,67 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q17 shape (q126): revenue from "small-quantity" lines of one
+    * brand's parts — lines whose quantity is under 20% of that part's
+    * average quantity across ALL its lineitems. The oracle keeps the
+    * classic correlated scalar-subquery spelling
+    * (`l_quantity < (SELECT 0.2*avg(l_quantity) … WHERE l2.l_partkey =
+    * p_partkey)`); re-running that subquery per probe row is the
+    * O(rows·rows-per-part) plan a naive engine executes.
+    *
+    * Spark plan: broadcast-semi-join the brand's part keys into
+    * lineitem first (the correlated subquery ranges over one part's
+    * rows, so restricting to brand parts loses nothing), then compute
+    * the per-part average as a PARTITIONED WINDOW over the same rows —
+    * ONE lineitem scan, ONE shuffle (hash by l_partkey), no join-back.
+    * Exactness: quantities are integral, so per-part double sums are
+    * exact and `0.2 * avg` is the same IEEE double in both engines.
+    */
+  def smallQuantityRevenue(s: SparkSession, dir: String,
+      brand: String = "Brand#4"): DataFrame = {
+    val partKeys = Tables.part(s, dir)
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey").as("l_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(partKeys), Seq("l_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(dsum2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q20 shape (q127): dominant suppliers — suppliers who shipped
+    * more than a `frac` share of some part's total shipped quantity.
+    * The oracle keeps the nested spelling: `s_suppkey IN (GROUP BY
+    * part, supplier HAVING sum(qty) > 0.2 * (correlated per-part
+    * total))` — an aggregate-vs-correlated-aggregate comparison inside
+    * an IN.
+    *
+    * Spark plan: one hash aggregation to (l_partkey, l_suppkey) sums,
+    * the per-part total as a partitioned window OVER THE AGGREGATE
+    * (O(parts·suppliers) rows, not lineitems), then a semi-join into
+    * supplier. One lineitem shuffle; the window input is the already-
+    * reduced aggregate, so the second pass is tiny at any SF.
+    * Exactness: integral quantities make the per-part sums exact
+    * doubles, so `0.2 * total` is the same IEEE multiply both engines.
+    */
+  def dominantSuppliers(s: SparkSession, dir: String,
+      frac: Double = 0.2): DataFrame = {
+    val perPartSupp = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val dominant = perPartSupp
+      .withColumn("pt", sum(col("sq")).over(w))
+      .filter(col("sq") > lit(frac) * col("pt"))
+      .select(col("l_suppkey").as("s_suppkey"))
+    Tables.supplier(s, dir)
+      .join(dominant, Seq("s_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Top-k customers by total order value (group → TakeOrdered). */
   def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.orders(s, dir)

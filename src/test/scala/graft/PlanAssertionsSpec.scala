@@ -71,6 +71,34 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(formatted("q8_top_customers").contains("TakeOrderedAndProject"))
   }
 
+  test("q126 Q17 shape: brand filter pushed to part scan, part keys " +
+      "broadcast, per-part avg is ONE window over ONE lineitem pass") {
+    val plan = formatted("q126_small_qty_revenue")
+    assert(plan.contains("EqualTo(p_brand,Brand#4)"),
+      "brand filter must reach the part parquet scan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the brand's part keys must broadcast into lineitem")
+    // the correlated avg decorrelates to a partitioned window, NOT a
+    // second lineitem aggregate joined back — one scan, one shuffle
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 1)
+    assert("Location[^\\n]*lineitem".r.findAllIn(plan).size == 1,
+      "lineitem must be scanned exactly once")
+  }
+
+  test("q127 Q20 shape: per-part total is a window over the REDUCED " +
+      "(part,supplier) aggregate; supplier joined LeftSemi") {
+    val plan = formatted("q127_dominant_suppliers")
+    assert(plan.contains("LeftSemi"), "supplier filter must be a semi join")
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 1)
+    assert("Location[^\\n]*lineitem".r.findAllIn(plan).size == 1,
+      "lineitem must be scanned exactly once")
+    // lineitem shuffles once (the (part,supplier) hash aggregate); the
+    // window's exchange repartitions only the reduced aggregate
+    assert("hashpartitioning\\(l_partkey[^,)]*, l_suppkey".r
+      .findAllIn(plan).nonEmpty,
+      "expected the (l_partkey, l_suppkey) aggregate exchange")
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.
