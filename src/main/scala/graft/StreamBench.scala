@@ -126,7 +126,8 @@ object StreamBench {
     * the paced-latency stages' max-throughput calibration).
     */
   private def stage(spark: SparkSession, name: String, df: DataFrame,
-      mode: OutputMode, inRows: Long): (String, Double) = {
+      mode: OutputMode, inRows: Long)
+      : (String, Double, Seq[StreamingQueryProgress]) = {
     val t0 = System.nanoTime()
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
@@ -135,7 +136,8 @@ object StreamBench {
     val outRows = spark.table(name).count()
     val progress = q.recentProgress.toSeq
     q.stop()
-    (s""""$name":{${progressJson(progress, inRows, outRows, wall)}}""", wall)
+    (s""""$name":{${progressJson(progress, inRows, outRows, wall)}}""",
+      wall, progress)
   }
 
   /** Drain a PROCESSING-TIME-clocked query over a finite input: a TTL'd
@@ -244,7 +246,7 @@ object StreamBench {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
 
     // stage 1: watermarked tumbling aggregation over the events replay
-    val (tumbling, _) = stage(spark, "sb",
+    val (tumbling, _, _) = stage(spark, "sb",
       streaming.EventStreams.tumblingSignupsOn(eventsStream, "1 hour"),
       OutputMode.Complete, totalRows)
 
@@ -252,14 +254,14 @@ object StreamBench {
     // static sides read from the fingerprint-keyed LANDED stages, so a
     // bench run after a verify run pays a parquet scan, not a
     // shingle-pipeline derivation — the gate-restart contract)
-    val (gate, _) = stage(spark, "gate",
+    val (gate, _, _) = stage(spark, "gate",
       streaming.TextStreams.nearDupGateLanded(spark, arrivals, sfDir),
       OutputMode.Append, gateIn)
 
     // stage 3: stateless IVF cell assignment of the embedding stream
     // (the vector store's write path — literal broadcast centroids,
     // per-row argmin, zero shuffles)
-    val (assign, _) = stage(spark, "cell_assign",
+    val (assign, _, _) = stage(spark, "cell_assign",
       streaming.VectorStreams.cellAssign(spark, embStream, sfDir),
       OutputMode.Append, embRows)
 
@@ -441,7 +443,7 @@ object StreamBench {
       .select(col("userId").as("user_id"),
         col("activity").as("event_type"),
         to_timestamp(col("timestamp")).as("ts"))
-    val (replaySrc, replayWall) = stage(spark, "replay_source",
+    val (replaySrc, replayWall, replayProg) = stage(spark, "replay_source",
       streaming.EventStreams.tumblingSignupsOn(replayed, "1 hour"),
       OutputMode.Complete, activityRows.length.toLong)
 
@@ -457,8 +459,23 @@ object StreamBench {
     // the number, exactly as an arriving event experiences it. Run at
     // 50% and 90% of the measured as-fast throughput.
     val maxRps = activityRows.length / math.max(replayWall, 0.001)
+    // The trigger interval is a deployment knob and it MUST exceed the
+    // per-batch fixed cost (plan dispatch + state-store commit, ~flat in
+    // rows at these SFs) or no offered rate is sustainable — the engine
+    // falls one batch further behind at every trigger regardless of how
+    // few rows each batch admits. Size the cadence from the as-fast
+    // run's measured per-batch p50, exactly as a deployment would, and
+    // report it: the latency floor scales with the interval, which is
+    // the micro-batch latency/efficiency trade-off stated honestly.
+    val asFastBatchMs = {
+      val execs = replayProg.filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")))
+        .map(_.toDouble)
+      if (execs.isEmpty) 500.0 else pct(execs, 0.5)
+    }
     def paced(tag: String, frac: Double): String = {
-      val intervalMs = 500L
+      val intervalMs = math.max(500L,
+        (math.ceil(asFastBatchMs * 1.3 / 250.0) * 250).toLong)
       val rps = maxRps * frac
       val perBatch = math.max(1, (rps * intervalMs / 1000.0).toInt)
       val src = spark.readStream.format("user-activity-replay")
@@ -472,19 +489,49 @@ object StreamBench {
         .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
         .outputMode(OutputMode.Complete).start()
       val (progress, wall) = runPaced(q, activityRows.length.toLong, 0L)
-      val data = progress.filter(_.numInputRows > 0).sortBy(_.timestamp)
-      val t0ms = java.time.Instant.parse(data.head.timestamp).toEpochMilli
+      val all = progress.filter(_.numInputRows > 0).sortBy(_.timestamp)
+      // batch 0 pays one-time plan compile + codegen + state-store init;
+      // with admission capped at the offered rate the pipeline can never
+      // "catch up" after it, so anchoring the schedule there would fold
+      // the deploy cost into EVERY batch's latency forever. The SLO is
+      // steady-state: anchor at batch 1, report batch 0 separately.
+      val warmupMs = Option(all.head.durationMs.get("triggerExecution"))
+        .map(_.toLong).getOrElse(0L)
+      val data = if (all.size > 2) all.drop(1) else all
+      // Schedule origin: the ProcessingTime trigger aligns to the
+      // engine's own clock, not to batch 1's start — if batch 1 itself
+      // fired late (it queues behind the slow warmup batch), anchoring
+      // at its start would make every ON-TIME later batch read as
+      // negative latency. Fit the origin instead: the smallest
+      // (start_k − k·interval) over the run is the cadence the engine
+      // actually held, so the best batch's latency is exactly its
+      // execution time and any batch behind that cadence shows its
+      // queueing delay. A steadily-falling-behind run still shows
+      // growing latency (the min sits at the first batch).
+      val starts = data.map(p =>
+        java.time.Instant.parse(p.timestamp).toEpochMilli)
+      val t0ms = starts.zipWithIndex
+        .map { case (s, k) => s - k * intervalMs }.min
       val lats = data.zipWithIndex.map { case (p, k) =>
-        val start = java.time.Instant.parse(p.timestamp).toEpochMilli
         val exec = Option(p.durationMs.get("triggerExecution"))
           .map(_.toLong).getOrElse(0L)
-        (start + exec - (t0ms + k * intervalMs)).toDouble
+        (starts(k) + exec - (t0ms + k * intervalMs)).toDouble
       }
-      val p95 = pct(lats, 0.95)
+      // "kept up" means the engine sustained the OFFERED rate: it ran a
+      // full-admission batch every interval (data batches == the
+      // admission count the rate implies) and the commit-vs-schedule
+      // drift did not GROW across the run (a too-slow pipeline commits
+      // each batch later than the last; absolute latency alone can't
+      // distinguish steady per-batch cost from accumulating backlog)
+      val expected = math.ceil(activityRows.length.toDouble / perBatch).toLong
+      val driftGrowth = lats.last - lats.head
+      val keptUp = all.size <= expected + 1 && driftGrowth < 2.0 * intervalMs
       s""""paced_$tag":{"offered_rps":${fmt(rps)},"interval_ms":$intervalMs,""" +
-        s""""batches":${data.size},"wall_sec":${fmt(wall, 2)},""" +
-        s""""e2e_ms":{"p50":${fmt(pct(lats, 0.5))},"p95":${fmt(p95)},""" +
-        s""""max":${fmt(lats.max)}},"kept_up":${p95 < 2 * intervalMs}}"""
+        s""""batches":${all.size},"expected_batches":$expected,""" +
+        s""""warmup_batch_ms":$warmupMs,"wall_sec":${fmt(wall, 2)},""" +
+        s""""e2e_ms":{"p50":${fmt(pct(lats, 0.5))},"p95":${fmt(pct(lats, 0.95))},""" +
+        s""""max":${fmt(lats.max)}},""" +
+        s""""drift_growth_ms":${fmt(driftGrowth)},"kept_up":$keptUp}"""
     }
     val paced50 = paced("50", 0.5)
     val paced90 = paced("90", 0.9)
@@ -496,7 +543,7 @@ object StreamBench {
     val landedBlobs = corpus
       .select(encode(col("text"), "UTF-8").as("payload"))
       .withColumn("meta", struct(md5(col("payload")).as("checksum")))
-    val (blobGate, _) = stage(spark, "blob_ingest",
+    val (blobGate, _, _) = stage(spark, "blob_ingest",
       streaming.MediaStreams.blobIngest(
         arrivals.select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload"), col("eventTime")),

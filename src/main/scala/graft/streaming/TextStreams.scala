@@ -182,9 +182,12 @@ object TextStreams {
     *
     * `ttl` bounds the ownership horizon (processing-time TTL, the
     * state-store contract): a production pipeline sets it to its
-    * compaction interval — once buckets age into the landed band index,
-    * [[nearDupGate]] owns them and stream state can forget; TTLConfig
-    * .NONE keeps owners forever (dev/test). Docs under 3 words carry no
+    * compaction interval — once [[IndexCompaction.compact]] folds the
+    * landed docs into the gate index, [[nearDupGate]] owns their
+    * buckets and stream state can forget (drop-set equality across
+    * that handoff is pinned in CompactionSpec and measured in
+    * StreamBench's lsh_compaction stage); TTLConfig.NONE keeps owners
+    * forever (dev/test). Docs under 3 words carry no
     * bands and never collide, exactly like the batch pipeline.
     *
     * A TTL'd instance runs on the processing-time clock, under which the

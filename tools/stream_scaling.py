@@ -117,9 +117,24 @@ def main():
         lines.append("queueing delay from falling behind accumulates into the")
         lines.append("number, exactly as an arriving event experiences it.")
         lines.append("")
+        lines.append("`kept up` = the engine ran a full-admission batch every")
+        lines.append("interval AND commit-vs-schedule drift did not grow over")
+        lines.append("the run (absolute latency alone cannot distinguish a")
+        lines.append("steady per-batch cost from an accumulating backlog).")
+        lines.append("The trigger interval is sized from the as-fast run's")
+        lines.append("measured per-batch p50 (x1.3): an interval below the")
+        lines.append("per-batch fixed cost is unsustainable at ANY offered")
+        lines.append("rate, so a fixed cadence would misread tiny-SF runs as")
+        lines.append("backlog. The schedule origin is the best-fit cadence")
+        lines.append("(min over batches of start_k - k*interval), so the best")
+        lines.append("batch's latency is exactly its execution time and any")
+        lines.append("batch behind that cadence shows its queueing delay;")
+        lines.append("batch 0 (one-time plan-compile/codegen/state-init cost)")
+        lines.append("is excluded and reported as `warmup ms`.")
+        lines.append("")
         lines.append("| sf | stage | offered rows/s | e2e p50 ms | e2e p95 ms"
-                     " | e2e max ms | kept up |")
-        lines.append("|---|---|---|---|---|---|---|")
+                     " | e2e max ms | drift growth ms | warmup ms | kept up |")
+        lines.append("|---|---|---|---|---|---|---|---|---|")
         for sf, d in runs:
             for st in paced:
                 v = d.get(st)
@@ -129,6 +144,8 @@ def main():
                 lines.append(
                     f"| {sf} | {st} | {fmt(v['offered_rps'])} "
                     f"| {fmt(e['p50'])} | {fmt(e['p95'])} | {fmt(e['max'])} "
+                    f"| {fmt(v.get('drift_growth_ms'))} "
+                    f"| {v.get('warmup_batch_ms', '-')} "
                     f"| {v['kept_up']} |")
         lines.append("")
 
@@ -143,7 +160,11 @@ def main():
         lines.append("docs the STATELESS gate now rejects because a phase-1")
         lines.append("doc owns their bucket — decisions that needed state")
         lines.append("before the compaction (CompactionSpec pins the drop")
-        lines.append("set as identical across the move).")
+        lines.append("set as identical across the move). Compare phase-2")
+        lines.append("state rows to lsh_dedup's full-run rows above: without")
+        lines.append("the compaction a continuously-running stream holds the")
+        lines.append("WHOLE corpus's buckets; with it, only the docs landed")
+        lines.append("since the last compaction interval.")
         lines.append("")
         lines.append("| sf | phase-1 state rows | compact s "
                      "| phase-2 state rows | gate dropped after |")
