@@ -122,6 +122,22 @@ object RelationalQueries {
         |    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
         |ORDER BY s_suppkey""".stripMargin)),
 
+    // q128: TPC-H Q15 shape — argmax with ties (oracle keeps the
+    // revenue view + scalar-MAX equality; Spark broadcasts the 1-row
+    // max back as an equi-join ON THE REVENUE VALUE — no global sort,
+    // no window over all suppliers, ties survive by construction).
+    QueryDef("q128_top_revenue_supplier", (s, d) => topRevenueSupplier(s, d), Some(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

@@ -276,6 +276,35 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q15 shape (q128): the top supplier(s) by quarterly revenue —
+    * argmax WITH TIES. The oracle keeps the classic revenue-view
+    * spelling with `total_rev = (SELECT MAX(total_rev) FROM revenue)`.
+    *
+    * Spark plan: one lineitem aggregation to per-supplier revenue
+    * (shipdate filter pushed to the scan), then the scalar max becomes
+    * a 1-row broadcast joined back ON THE REVENUE VALUE — an equi
+    * BroadcastHashJoin, not a global sort and not a window over all
+    * suppliers; ties survive by construction. Revenue accumulates in
+    * DECIMAL so the max-equality is exact in both engines; the DOUBLE
+    * cast happens only on output.
+    */
+  def topRevenueSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("total_rev"))
+    rev.join(broadcast(maxRev), Seq("total_rev"))
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast(DoubleType).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Top-k customers by total order value (group → TakeOrdered). */
   def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.orders(s, dir)

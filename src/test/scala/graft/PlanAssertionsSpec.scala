@@ -99,6 +99,19 @@ class PlanAssertionsSpec extends SparkSpec {
       "expected the (l_partkey, l_suppkey) aggregate exchange")
   }
 
+  test("q128 Q15 shape: shipdate pushed to scan; scalar max joins back " +
+      "as a broadcast EQUI join — no sort/window over suppliers") {
+    val plan = formatted("q128_top_revenue_supplier")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      "quarter filter must reach the lineitem scan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "max-revenue row and supplier dim must both broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the max must join on the value (equi), not cross+filter")
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).isEmpty,
+      "no window over all suppliers — the max is a scalar aggregate")
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.
