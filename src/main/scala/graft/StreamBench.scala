@@ -164,6 +164,75 @@ object StreamBench {
     (p, wall)
   }
 
+  /** Per-batch execution p50 of a finished as-fast run — the fixed cost
+    * a paced cadence must clear.
+    */
+  private def batchP50Ms(progress: Seq[StreamingQueryProgress]): Double = {
+    val execs = progress.filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")))
+      .map(_.toDouble)
+    if (execs.isEmpty) 500.0 else pct(execs, 0.5)
+  }
+
+  /** A sustainable trigger interval for a paced run: the measured
+    * per-batch p50 with 30% headroom, rounded up to 250 ms, floored at
+    * 500 ms. An interval below the per-batch fixed cost is
+    * unsustainable at ANY offered rate — the engine falls one batch
+    * further behind every trigger regardless of rows per batch.
+    */
+  private def fitIntervalMs(asFastBatchP50: Double): Long =
+    math.max(500L, (math.ceil(asFastBatchP50 * 1.3 / 250.0) * 250).toLong)
+
+  /** Latency-at-offered-rate analysis of a finished paced run; returns
+    * the JSON fields AFTER the stage's own prefix (offered_rps etc.),
+    * including the closing brace.
+    *
+    * Schedule origin: the ProcessingTime trigger aligns to the engine's
+    * own clock, not to batch 1's start — if batch 1 itself fired late
+    * (it queues behind the slow warmup batch), anchoring at its start
+    * would make every ON-TIME later batch read as negative latency.
+    * Fit the origin instead: the smallest (start_k − k·interval) over
+    * the run is the cadence the engine actually held, so the best
+    * batch's latency is exactly its execution time and any batch
+    * behind that cadence shows its queueing delay. A steadily-falling-
+    * behind run still shows growing latency (the min sits at the first
+    * batch). Batch 0 pays the one-time plan-compile/codegen/state-init
+    * cost; with admission capped at the offered rate the pipeline can
+    * never catch up after it, so it is excluded from the distribution
+    * and reported separately as warmup_batch_ms.
+    *
+    * kept_up = the engine ran a full-admission batch every interval
+    * (data batches == the admission count the rate implies) and the
+    * commit-vs-schedule drift did not GROW across the run — absolute
+    * latency alone cannot distinguish a steady per-batch cost from an
+    * accumulating backlog.
+    */
+  private def pacedStats(progress: Seq[StreamingQueryProgress],
+      intervalMs: Long, expected: Long, wall: Double): String = {
+    val all = progress.filter(_.numInputRows > 0).sortBy(_.timestamp)
+    val warmupMs = Option(all.head.durationMs.get("triggerExecution"))
+      .map(_.toLong).getOrElse(0L)
+    val data = if (all.size > 2) all.drop(1) else all
+    val starts = data.map(p =>
+      java.time.Instant.parse(p.timestamp).toEpochMilli)
+    val t0ms = starts.zipWithIndex
+      .map { case (s, k) => s - k * intervalMs }.min
+    val lats = data.zipWithIndex.map { case (p, k) =>
+      val exec = Option(p.durationMs.get("triggerExecution"))
+        .map(_.toLong).getOrElse(0L)
+      (starts(k) + exec - (t0ms + k * intervalMs)).toDouble
+    }
+    val driftGrowth = lats.last - lats.head
+    val keptUp = all.size <= expected + 1 && driftGrowth < 2.0 * intervalMs
+    s""""interval_ms":$intervalMs,"batches":${all.size},""" +
+      s""""expected_batches":$expected,""" +
+      s""""warmup_batch_ms":$warmupMs,"wall_sec":${fmt(wall, 2)},""" +
+      s""""e2e_ms":{"p50":${fmt(pct(lats, 0.5))},""" +
+      s""""p95":${fmt(pct(lats, 0.95))},""" +
+      s""""max":${fmt(lats.max)}},""" +
+      s""""drift_growth_ms":${fmt(driftGrowth)},"kept_up":$keptUp}"""
+  }
+
   /** Run a checkpointed stage with one mid-replay KILL: stop the query
     * once ~half the micro-batches have committed, restart it from the
     * checkpoint, and drain. `restore_s` = wall time of the restarted run
@@ -254,9 +323,28 @@ object StreamBench {
     // static sides read from the fingerprint-keyed LANDED stages, so a
     // bench run after a verify run pays a parquet scan, not a
     // shingle-pipeline derivation — the gate-restart contract)
-    val (gate, _, _) = stage(spark, "gate",
+    val (gate, _, gateProg) = stage(spark, "gate",
       streaming.TextStreams.nearDupGateLanded(spark, arrivals, sfDir),
       OutputMode.Append, gateIn)
+
+    // stage 2': the SLO view of the DEDUP SERVICE itself — the near-dup
+    // gate under a paced cadence, not drain rate. The file source's
+    // maxFilesPerTrigger=1 admits exactly one pre-sliced arrival
+    // segment per trigger, so offered rows/s = (rows/slice)/interval;
+    // the interval is sized from the gate's own as-fast per-batch p50
+    // and latency is measured against the best-fit schedule origin,
+    // same contract as paced_50/paced_90.
+    val pacedGate = {
+      val intervalMs = fitIntervalMs(batchP50Ms(gateProg))
+      val rps = (gateIn.toDouble / nSlices) / (intervalMs / 1000.0)
+      val q = streaming.TextStreams.nearDupGateLanded(spark, arrivals, sfDir)
+        .writeStream.format("memory").queryName("paced_gate")
+        .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+        .outputMode(OutputMode.Append).start()
+      val (progress, wall) = runPaced(q, gateIn, 0L)
+      s""""paced_gate":{"offered_rps":${fmt(rps)},""" +
+        pacedStats(progress, intervalMs, nSlices.toLong, wall)
+    }
 
     // stage 3: stateless IVF cell assignment of the embedding stream
     // (the vector store's write path — literal broadcast centroids,
@@ -404,10 +492,21 @@ object StreamBench {
       q2.processAllAvailable()
       val rowsAfter = lastStateRows(q2)
       q2.stop()
+      // MAJOR compaction: fold the delta-epoch segments into one.
+      // Measured here because its cost is what bounds how often a
+      // deployment can afford to re-base the gate's union-read; the
+      // decision-equality across merge is pinned in CompactionSpec.
+      val segsBefore = IndexCompaction.epochs(idxRoot).size
+      val tM = System.nanoTime()
+      IndexCompaction.merge(spark, idxRoot)
+      val mergeS = (System.nanoTime() - tM) / 1e9
+      val segsAfter = IndexCompaction.epochs(idxRoot).size
       s""""lsh_compaction":{"phase1_state_rows":$rowsBefore,""" +
         s""""compact_s":${fmt(compactS, 2)},""" +
         s""""phase2_state_rows":$rowsAfter,""" +
         s""""gate_dropped_after":${n2 - admitted},""" +
+        s""""merge_s":${fmt(mergeS, 2)},""" +
+        s""""segments":{"before":$segsBefore,"after":$segsAfter},""" +
         s""""gate_after":{${progressJson(gProg, n2, admitted, gWall)}}}"""
     }
 
@@ -459,23 +558,14 @@ object StreamBench {
     // the number, exactly as an arriving event experiences it. Run at
     // 50% and 90% of the measured as-fast throughput.
     val maxRps = activityRows.length / math.max(replayWall, 0.001)
-    // The trigger interval is a deployment knob and it MUST exceed the
-    // per-batch fixed cost (plan dispatch + state-store commit, ~flat in
-    // rows at these SFs) or no offered rate is sustainable — the engine
-    // falls one batch further behind at every trigger regardless of how
-    // few rows each batch admits. Size the cadence from the as-fast
-    // run's measured per-batch p50, exactly as a deployment would, and
-    // report it: the latency floor scales with the interval, which is
-    // the micro-batch latency/efficiency trade-off stated honestly.
-    val asFastBatchMs = {
-      val execs = replayProg.filter(_.numInputRows > 0)
-        .flatMap(p => Option(p.durationMs.get("triggerExecution")))
-        .map(_.toDouble)
-      if (execs.isEmpty) 500.0 else pct(execs, 0.5)
-    }
+    // The trigger interval is a deployment knob sized from the as-fast
+    // run's measured per-batch p50 (see fitIntervalMs), exactly as a
+    // deployment would: the latency floor scales with the interval,
+    // which is the micro-batch latency/efficiency trade-off stated
+    // honestly.
+    val replayIntervalMs = fitIntervalMs(batchP50Ms(replayProg))
     def paced(tag: String, frac: Double): String = {
-      val intervalMs = math.max(500L,
-        (math.ceil(asFastBatchMs * 1.3 / 250.0) * 250).toLong)
+      val intervalMs = replayIntervalMs
       val rps = maxRps * frac
       val perBatch = math.max(1, (rps * intervalMs / 1000.0).toInt)
       val src = spark.readStream.format("user-activity-replay")
@@ -489,49 +579,9 @@ object StreamBench {
         .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
         .outputMode(OutputMode.Complete).start()
       val (progress, wall) = runPaced(q, activityRows.length.toLong, 0L)
-      val all = progress.filter(_.numInputRows > 0).sortBy(_.timestamp)
-      // batch 0 pays one-time plan compile + codegen + state-store init;
-      // with admission capped at the offered rate the pipeline can never
-      // "catch up" after it, so anchoring the schedule there would fold
-      // the deploy cost into EVERY batch's latency forever. The SLO is
-      // steady-state: anchor at batch 1, report batch 0 separately.
-      val warmupMs = Option(all.head.durationMs.get("triggerExecution"))
-        .map(_.toLong).getOrElse(0L)
-      val data = if (all.size > 2) all.drop(1) else all
-      // Schedule origin: the ProcessingTime trigger aligns to the
-      // engine's own clock, not to batch 1's start — if batch 1 itself
-      // fired late (it queues behind the slow warmup batch), anchoring
-      // at its start would make every ON-TIME later batch read as
-      // negative latency. Fit the origin instead: the smallest
-      // (start_k − k·interval) over the run is the cadence the engine
-      // actually held, so the best batch's latency is exactly its
-      // execution time and any batch behind that cadence shows its
-      // queueing delay. A steadily-falling-behind run still shows
-      // growing latency (the min sits at the first batch).
-      val starts = data.map(p =>
-        java.time.Instant.parse(p.timestamp).toEpochMilli)
-      val t0ms = starts.zipWithIndex
-        .map { case (s, k) => s - k * intervalMs }.min
-      val lats = data.zipWithIndex.map { case (p, k) =>
-        val exec = Option(p.durationMs.get("triggerExecution"))
-          .map(_.toLong).getOrElse(0L)
-        (starts(k) + exec - (t0ms + k * intervalMs)).toDouble
-      }
-      // "kept up" means the engine sustained the OFFERED rate: it ran a
-      // full-admission batch every interval (data batches == the
-      // admission count the rate implies) and the commit-vs-schedule
-      // drift did not GROW across the run (a too-slow pipeline commits
-      // each batch later than the last; absolute latency alone can't
-      // distinguish steady per-batch cost from accumulating backlog)
       val expected = math.ceil(activityRows.length.toDouble / perBatch).toLong
-      val driftGrowth = lats.last - lats.head
-      val keptUp = all.size <= expected + 1 && driftGrowth < 2.0 * intervalMs
-      s""""paced_$tag":{"offered_rps":${fmt(rps)},"interval_ms":$intervalMs,""" +
-        s""""batches":${all.size},"expected_batches":$expected,""" +
-        s""""warmup_batch_ms":$warmupMs,"wall_sec":${fmt(wall, 2)},""" +
-        s""""e2e_ms":{"p50":${fmt(pct(lats, 0.5))},"p95":${fmt(pct(lats, 0.95))},""" +
-        s""""max":${fmt(lats.max)}},""" +
-        s""""drift_growth_ms":${fmt(driftGrowth)},"kept_up":$keptUp}"""
+      s""""paced_$tag":{"offered_rps":${fmt(rps)},""" +
+        pacedStats(progress, intervalMs, expected, wall)
     }
     val paced50 = paced("50", 0.5)
     val paced90 = paced("90", 0.9)
@@ -597,7 +647,7 @@ object StreamBench {
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
-      s"""$tumbling,$replaySrc,$paced50,$paced90,$gate,$assign,$sessions,""" +
+      s"""$tumbling,$replaySrc,$paced50,$paced90,$gate,$pacedGate,$assign,$sessions,""" +
       s"""$lsh,$lshTtl,$compaction,$blobGate,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""

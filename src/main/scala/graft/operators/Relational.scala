@@ -253,10 +253,14 @@ object Relational {
     * an IN.
     *
     * Spark plan: one hash aggregation to (l_partkey, l_suppkey) sums,
-    * the per-part total as a partitioned window OVER THE AGGREGATE
-    * (O(parts·suppliers) rows, not lineitems), then a semi-join into
-    * supplier. One lineitem shuffle; the window input is the already-
-    * reduced aggregate, so the second pass is tiny at any SF.
+    * the per-part total as a partitioned window OVER THE AGGREGATE,
+    * then a semi-join into supplier. One lineitem shuffle; the window
+    * input is bounded by the distinct (part, supplier) pairs — the
+    * reduction factor is lines-per-pair, so on TPC-H's ~4 suppliers
+    * per part it is ~rows/4·|orders-per-part|, while on a random
+    * supplier assignment it approaches the input size; either way the
+    * window is keyed by l_partkey and fully parallel, never a global
+    * sort.
     * Exactness: integral quantities make the per-part sums exact
     * doubles, so `0.2 * total` is the same IEEE multiply both engines.
     */

@@ -164,18 +164,26 @@ def main():
         lines.append("state rows to lsh_dedup's full-run rows above: without")
         lines.append("the compaction a continuously-running stream holds the")
         lines.append("WHOLE corpus's buckets; with it, only the docs landed")
-        lines.append("since the last compaction interval.")
+        lines.append("since the last compaction interval. `merge s` times")
+        lines.append("the MAJOR compaction (delta epochs folded to one) —")
+        lines.append("the cost that bounds how often a deployment re-bases")
+        lines.append("the gate's union-read.")
         lines.append("")
         lines.append("| sf | phase-1 state rows | compact s "
-                     "| phase-2 state rows | gate dropped after |")
-        lines.append("|---|---|---|---|---|")
+                     "| phase-2 state rows | gate dropped after "
+                     "| merge s | segments |")
+        lines.append("|---|---|---|---|---|---|---|")
         for sf, d in runs:
             v = d.get("lsh_compaction")
             if v is None:
                 continue
+            seg = v.get("segments", {})
+            segs = (f"{seg.get('before', '-')}→{seg.get('after', '-')}"
+                    if seg else "-")
             lines.append(
                 f"| {sf} | {v['phase1_state_rows']} | {fmt(v['compact_s'], 2)} "
-                f"| {v['phase2_state_rows']} | {v['gate_dropped_after']} |")
+                f"| {v['phase2_state_rows']} | {v['gate_dropped_after']} "
+                f"| {fmt(v.get('merge_s'), 2)} | {segs} |")
         lines.append("")
 
     with open(out_path, "w") as f:
