@@ -65,33 +65,53 @@ object IndexCompaction {
       .flatMap(f => f.getName.stripPrefix("epoch_").toLongOption)
       .sorted.toSeq
 
-  /** Write `(bands, hashes)` as epoch `n` under `root`, atomically. */
+  /** Write `(bands, hashes)` as epoch `n` under `root`, atomically.
+    * Returns true if OUR rename published the epoch, false if another
+    * publisher already holds that epoch number (our copy is discarded —
+    * the CALLER decides whether to retry under a fresh number; unlike
+    * Materialize's same-key races, two compactions' deltas are NOT
+    * interchangeable content).
+    */
   private def publish(root: String, n: Long, bands: DataFrame,
-      hashes: DataFrame): Unit = {
+      hashes: DataFrame): Boolean = {
     val rootF = new java.io.File(root)
     rootF.mkdirs()
-    // sweep temp dirs from crashed compactions (same fail-safe contract
-    // as Materialize: only our own naming pattern, never a published epoch)
+    // sweep temp dirs from CRASHED compactions only (the Materialize
+    // fail-safe contract: our naming pattern AND an owner pid that is
+    // provably dead — a live concurrent compaction's in-progress temp
+    // dir must never be deleted from under it)
     Option(rootF.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains(".tmp_"))
+      .filter(f => f.isDirectory && f.getName.contains(".tmp_") &&
+        graft.operators.Materialize.isStaleShared(f))
       .foreach(deleteRecursively)
     val pid = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getName.takeWhile(_ != '@')
     val tmp = new java.io.File(rootF, s"${epochName(n)}.tmp_$pid")
     bands.write.mode("overwrite").parquet(s"$tmp/bands")
     hashes.write.mode("overwrite").parquet(s"$tmp/hashes")
-    try java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(rootF, epochName(n)).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // lost a publish race for this epoch number: the winner landed the
-      // same deterministic content — discard ours
+    try {
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(rootF, epochName(n)).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      // lost the rename race for this epoch number — discard our copy
       case _: java.nio.file.FileAlreadyExistsException |
            _: java.nio.file.DirectoryNotEmptyException |
            _: java.nio.file.FileSystemException
           if new java.io.File(rootF, epochName(n)).isDirectory =>
         deleteRecursively(tmp)
+        false
     }
+  }
+
+  /** Publish under the first free epoch number at or above `from`. */
+  private def publishRetrying(root: String, from: Long, bands: DataFrame,
+      hashes: DataFrame): Long = {
+    var n = from
+    while (!publish(root, n, bands, hashes))
+      n = math.max(n + 1, epochs(root).lastOption.getOrElse(n) + 1L)
+    n
   }
 
   private def bandsOf(docs: DataFrame): DataFrame =
@@ -104,33 +124,44 @@ object IndexCompaction {
     * (doc_id, text). No-op if the index already has epochs.
     */
   def init(spark: SparkSession, root: String, corpus: DataFrame): Unit =
-    if (epochs(root).isEmpty)
-      publish(root, 0L, bandsOf(corpus), hashesOf(corpus))
+    if (epochs(root).isEmpty) {
+      // a lost init race means another process published epoch 0 over
+      // the SAME base corpus — identical by construction, keep theirs
+      publish(root, 0L, bandsOf(corpus), hashesOf(corpus)): Unit
+    }
 
   /** MINOR compaction: fold `landedDocs` (doc_id, text — the docs that
     * landed in the lake since the last compaction) into the index as a
     * new delta epoch. Returns the published epoch number. O(new docs).
+    * A lost epoch-number race (another compaction landed first) retries
+    * under the next free number — deltas are never interchangeable, so
+    * ours must still land.
     */
-  def compact(spark: SparkSession, root: String, landedDocs: DataFrame): Long = {
-    val next = epochs(root).lastOption.getOrElse(-1L) + 1L
-    publish(spark, root, next, landedDocs)
-    next
-  }
-
-  private def publish(spark: SparkSession, root: String, n: Long,
-      docs: DataFrame): Unit =
-    publish(root, n, bandsOf(docs), hashesOf(docs))
+  def compact(spark: SparkSession, root: String, landedDocs: DataFrame): Long =
+    publishRetrying(root, epochs(root).lastOption.getOrElse(-1L) + 1L,
+      bandsOf(landedDocs), hashesOf(landedDocs))
 
   /** MAJOR compaction: merge every published epoch into one distinct
     * segment (published as the next epoch number) and drop the merged
     * ones. Run when the delta count hurts scan planning; the gate's
     * anti-joins never require it for correctness.
+    *
+    * Race safety: the merged segment covers exactly the epoch set
+    * captured at entry, and ONLY those epochs are deleted, only after
+    * our publish succeeded — a delta published concurrently keeps its
+    * own epoch dir and stays in every union read. Concurrent merges of
+    * the same root are the caller's responsibility (it is the
+    * run-rarely job); everything here still fails safe — at worst both
+    * merged segments publish and the sources are deleted once.
     */
   def merge(spark: SparkSession, root: String): Long = {
     val es = epochs(root)
     require(es.nonEmpty, s"no index at $root to merge")
-    val next = es.last + 1L
-    publish(root, next, bands(spark, root).distinct(), hashes(spark, root).distinct())
+    val mergedBands = spark.read
+      .parquet(es.map(e => s"$root/${epochName(e)}/bands"): _*).distinct()
+    val mergedHashes = spark.read
+      .parquet(es.map(e => s"$root/${epochName(e)}/hashes"): _*).distinct()
+    val next = publishRetrying(root, es.last + 1L, mergedBands, mergedHashes)
     es.foreach(e => deleteRecursively(new java.io.File(root, epochName(e))))
     next
   }

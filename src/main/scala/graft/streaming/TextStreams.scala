@@ -98,9 +98,10 @@ object TextStreams {
     def corpus = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("source") === corpusSource)
       .select(col("doc_id"), col("text"))
-    val bandIdx = Materialize.table(spark, s"gate_bandidx_$corpusSource", dir,
-      Text.bandIndexOf(corpus))
-    val hashes = Materialize.table(spark, s"gate_hashes_$corpusSource", dir,
+    val bandIdx = Materialize.table(spark,
+      s"gate_bandidx_${corpusSource}_$dir", dir, Text.bandIndexOf(corpus))
+    val hashes = Materialize.table(spark,
+      s"gate_hashes_${corpusSource}_$dir", dir,
       corpus.select(md5(col("text").cast("binary")).as("h")).distinct())
     nearDupGateOn(stream, bandIdx, hashes)
   }

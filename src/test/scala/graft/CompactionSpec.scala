@@ -55,12 +55,18 @@ class CompactionSpec extends SparkSpec {
     assert(IndexCompaction.epochs(root) === Seq(merged))
     assert(IndexCompaction.bands(spark, root).count() === expected.count())
     assert(IndexCompaction.hashes(spark, root).count() === 2L)
-    // a crashed compaction's temp dir is swept by the next publish
-    val crashed = new java.io.File(root, "epoch_99999999.tmp_1")
-    crashed.mkdirs()
+    // a CRASHED compaction's temp dir (owner pid provably dead) is
+    // swept by the next publish; a LIVE owner's in-progress temp dir
+    // (pid 1 = init, always alive) must survive the sweep
+    val crashed = new java.io.File(root, "epoch_99999999.tmp_987654321")
+    val live = new java.io.File(root, "epoch_99999998.tmp_1")
+    crashed.mkdirs(); live.mkdirs()
     IndexCompaction.compact(spark, root,
       Seq((3L, s"three $filler p q r")).toDF("doc_id", "text"))
     assert(!crashed.exists(), "stale temp dir must be swept")
+    assert(live.exists(), "a live concurrent compaction's temp dir " +
+      "must never be deleted from under it")
+    live.delete(): Unit
   }
 
   test("gate over the compacted index drops near-dups, exact dups and short exact dups of landed arrivals") {
