@@ -122,8 +122,9 @@ object StreamBench {
   }
 
   /** Run one streaming stage to completion against a memory sink.
-    * Returns the JSON fragment and the wall seconds (the latter feeds
-    * the paced-latency stages' max-throughput calibration).
+    * Returns the JSON fragment, the wall seconds, and the raw progress
+    * list (the latter two feed the paced-latency stages' throughput and
+    * trigger-interval calibration).
     */
   private def stage(spark: SparkSession, name: String, df: DataFrame,
       mode: OutputMode, inRows: Long)
@@ -580,9 +581,8 @@ object StreamBench {
     // deployment would: the latency floor scales with the interval,
     // which is the micro-batch latency/efficiency trade-off stated
     // honestly.
-    val replayIntervalMs = fitIntervalMs(batchP50Ms(replayProg))
+    val intervalMs = fitIntervalMs(batchP50Ms(replayProg))
     def paced(tag: String, frac: Double): String = {
-      val intervalMs = replayIntervalMs
       val rps = maxRps * frac
       val perBatch = math.max(1, (rps * intervalMs / 1000.0).toInt)
       val src = spark.readStream.format("user-activity-replay")

@@ -49,12 +49,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialize {
   private val runtime = java.lang.management.ManagementFactory.getRuntimeMXBean
-  private val pid = runtime.getName.takeWhile(_ != '@')
+  private[graft] val pid = runtime.getName.takeWhile(_ != '@')
   private val localHost = runtime.getName.dropWhile(_ != '@').drop(1)
   private val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
   private val base = new java.io.File(tmpRoot, "graft_mat_v2")
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }

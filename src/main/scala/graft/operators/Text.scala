@@ -383,6 +383,13 @@ object Text {
       .distinct()
   }
 
+  /** Distinct md5 content hashes of a corpus (single column `h`) — the
+    * exact-dup side of the streaming near-dup gate and the compaction
+    * index, spelled once.
+    */
+  private[graft] def contentHashesOf(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text").cast("binary")).as("h")).distinct()
+
   def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     Materialize.table(s, s"text_pairs_${dir}_$threshold", dir,
       minhashLshPairsBuild(s, dir, threshold))

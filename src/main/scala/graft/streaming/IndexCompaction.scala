@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.{Materialize, Text}
 
 /** Stream→landed-index COMPACTION: the batch job that closes the dedup
   * service's lifecycle loop. A continuously-running near-dup service is
@@ -49,11 +50,6 @@ object IndexCompaction {
 
   private def epochName(n: Long) = f"epoch_$n%08d"
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
-
   /** Published epoch numbers under `root`, ascending. A dir counts only
     * once fully renamed into place (atomic publish), so a reader never
     * sees a half-written epoch.
@@ -82,11 +78,9 @@ object IndexCompaction {
     // dir must never be deleted from under it)
     Option(rootF.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains(".tmp_") &&
-        graft.operators.Materialize.isStaleShared(f))
-      .foreach(deleteRecursively)
-    val pid = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getName.takeWhile(_ != '@')
-    val tmp = new java.io.File(rootF, s"${epochName(n)}.tmp_$pid")
+        Materialize.isStaleShared(f))
+      .foreach(Materialize.deleteRecursively)
+    val tmp = new java.io.File(rootF, s"${epochName(n)}.tmp_${Materialize.pid}")
     bands.write.mode("overwrite").parquet(s"$tmp/bands")
     hashes.write.mode("overwrite").parquet(s"$tmp/hashes")
     try {
@@ -100,7 +94,7 @@ object IndexCompaction {
            _: java.nio.file.DirectoryNotEmptyException |
            _: java.nio.file.FileSystemException
           if new java.io.File(rootF, epochName(n)).isDirectory =>
-        deleteRecursively(tmp)
+        Materialize.deleteRecursively(tmp)
         false
     }
   }
@@ -114,11 +108,9 @@ object IndexCompaction {
     n
   }
 
-  private def bandsOf(docs: DataFrame): DataFrame =
-    graft.operators.Text.bandIndexOf(docs)
+  private def bandsOf(docs: DataFrame): DataFrame = Text.bandIndexOf(docs)
 
-  private def hashesOf(docs: DataFrame): DataFrame =
-    docs.select(md5(col("text").cast("binary")).as("h")).distinct()
+  private def hashesOf(docs: DataFrame): DataFrame = Text.contentHashesOf(docs)
 
   /** Initialize the index at `root` as epoch 0 over the base `corpus`
     * (doc_id, text). No-op if the index already has epochs.
@@ -162,7 +154,8 @@ object IndexCompaction {
     val mergedHashes = spark.read
       .parquet(es.map(e => s"$root/${epochName(e)}/hashes"): _*).distinct()
     val next = publishRetrying(root, es.last + 1L, mergedBands, mergedHashes)
-    es.foreach(e => deleteRecursively(new java.io.File(root, epochName(e))))
+    es.foreach(e =>
+      Materialize.deleteRecursively(new java.io.File(root, epochName(e))))
     next
   }
 

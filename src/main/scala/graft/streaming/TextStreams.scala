@@ -76,9 +76,7 @@ object TextStreams {
     // stage) and [[IndexCompaction]] (the continuously-folded index);
     // this DataFrame-corpus variant serves ad-hoc/in-memory corpora.
     val bandIdx = Text.bandIndexOf(corpus).localCheckpoint(true)
-    val hashes = corpus
-      .select(md5(col("text").cast("binary")).as("h")).distinct()
-      .localCheckpoint(true)
+    val hashes = Text.contentHashesOf(corpus).localCheckpoint(true)
     nearDupGateOn(stream, bandIdx, hashes)
   }
 
@@ -101,8 +99,7 @@ object TextStreams {
     val bandIdx = Materialize.table(spark,
       s"gate_bandidx_${corpusSource}_$dir", dir, Text.bandIndexOf(corpus))
     val hashes = Materialize.table(spark,
-      s"gate_hashes_${corpusSource}_$dir", dir,
-      corpus.select(md5(col("text").cast("binary")).as("h")).distinct())
+      s"gate_hashes_${corpusSource}_$dir", dir, Text.contentHashesOf(corpus))
     nearDupGateOn(stream, bandIdx, hashes)
   }
 

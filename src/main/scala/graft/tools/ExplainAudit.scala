@@ -31,7 +31,8 @@ object ExplainAudit {
       "q110_threshold_sensitivity", "q111_ann_scoreboard",
       "q112_cas_accounting", "q113_vocab_growth",
       "q114_watermark_audit", "q115_skew_report",
-      "q125_large_volume_orders")
+      "q125_large_volume_orders", "q126_small_qty_revenue",
+      "q127_dominant_suppliers", "q128_top_revenue_supplier")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
