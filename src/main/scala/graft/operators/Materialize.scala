@@ -37,9 +37,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Sweeping (all fail-safe — a disk leak beats deleting a live run's
   * tables): at startup, published stages whose recorded source dir now
   * fingerprints differently (data changed or deleted) are removed, as
-  * are crashed builds' temp dirs whose owner pid is provably dead.
-  * Legacy per-process scratch dirs from older layouts are removed only
-  * when their embedded host matches this machine AND their pid is gone.
+  * are crashed builds' temp dirs whose embedded host matches this
+  * machine AND whose owner pid is provably dead (a foreign host's pid
+  * is meaningless in the local /proc, so its temp dirs are never
+  * touched). Legacy per-process scratch dirs from older layouts are
+  * removed under the same host-and-pid rule.
   *
   * Concurrency (in-process): per-key monitors make the build
   * single-flight — parallel test suites touching the same stage block
@@ -51,6 +53,14 @@ object Materialize {
   private val runtime = java.lang.management.ManagementFactory.getRuntimeMXBean
   private[graft] val pid = runtime.getName.takeWhile(_ != '@')
   private val localHost = runtime.getName.dropWhile(_ != '@').drop(1)
+  /** Host segment safe to embed in dir names (hostnames are already
+    * [A-Za-z0-9.-]; anything else maps to '-'); used by every temp-dir
+    * name so the sweeps can refuse to touch a FOREIGN host's live
+    * temp dir on shared storage (a remote pid is meaningless in the
+    * local /proc).
+    */
+  private[graft] val hostTag =
+    localHost.map(c => if (c.isLetterOrDigit || c == '.' || c == '-') c else '-')
   private val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
   private val base = new java.io.File(tmpRoot, "graft_mat_v2")
 
@@ -135,20 +145,36 @@ object Materialize {
     }
   }
 
+  /** Name a temp dir for an atomic publish under any shared root:
+    * `<base>.tmp_<pid>_<host>_<nanos>`. The embedded host lets
+    * [[isStaleShared]] refuse to sweep a foreign host's live temp dir.
+    */
+  private[graft] def tmpName(base: String): String =
+    s"$base.tmp_${pid}_${hostTag}_${System.nanoTime()}"
+
   /** Fail-SAFE staleness test for an entry under the shared root.
     * Published stage dirs (name `<key>__<fp>`, marker present): stale
     * iff the recorded source dir now fingerprints differently.
-    * Abandoned temp dirs (name contains `.tmp_<pid>_`): stale iff the
-    * owner pid is provably dead. Anything unrecognizable is kept.
+    * Abandoned temp dirs (name `…​.tmp_<pid>_<host>_<nanos>`): stale iff
+    * the embedded host matches THIS machine AND the owner pid is
+    * provably dead — on shared storage a remote run's pid is
+    * meaningless in the local /proc, so a foreign or host-less
+    * (legacy-format) temp dir is always kept. Anything unrecognizable
+    * is kept.
     */
   private[graft] def isStaleShared(dir: java.io.File,
-      procRoot: java.io.File = new java.io.File("/proc")): Boolean = {
+      procRoot: java.io.File = new java.io.File("/proc"),
+      host: String = hostTag): Boolean = {
     val name = dir.getName
     val tmpIdx = name.indexOf(".tmp_")
     if (tmpIdx >= 0) {
-      val pidPart = name.drop(tmpIdx + ".tmp_".length).takeWhile(_.isDigit)
-      procRoot.isDirectory && pidPart.toLongOption.exists(p =>
-        !new java.io.File(procRoot, p.toString).exists())
+      val rest = name.drop(tmpIdx + ".tmp_".length)
+      val pidPart = rest.takeWhile(_.isDigit)
+      val hostPart = rest.drop(pidPart.length).stripPrefix("_")
+        .reverse.dropWhile(_.isDigit).stripPrefix("_").reverse
+      hostPart.nonEmpty && hostPart == host &&
+        procRoot.isDirectory && pidPart.toLongOption.exists(p =>
+          !new java.io.File(procRoot, p.toString).exists())
     } else {
       val marker = new java.io.File(dir, SrcMarker)
       val fpIdx = name.lastIndexOf("__")
@@ -238,7 +264,7 @@ object Materialize {
         } else {
           val t0 = System.nanoTime()
           base.mkdirs()
-          val tmp = new java.io.File(base, s"$safe.tmp_${pid}_${t0}")
+          val tmp = new java.io.File(base, tmpName(safe))
           build.write.mode("overwrite").parquet(tmp.toString)
           java.nio.file.Files.writeString(
             tmp.toPath.resolve(SrcMarker), srcDir)

@@ -44,20 +44,55 @@ import graft.operators.{Materialize, Text}
   * [[graft.operators.Materialize]] contract): a gate constructed
   * mid-compaction reads the old epoch set; the next gate restart reads
   * the new one. A crashed compaction leaves only a `.tmp_` dir that the
-  * next run sweeps.
+  * next run sweeps (only when the temp's embedded host matches this
+  * machine and its owner pid is provably dead — shared storage).
+  *
+  * MAJOR-merge vs concurrent-reader safety: a merge never deletes the
+  * epochs it folded — it TOMBSTONES them (a `_folded` marker; readers
+  * listing afterwards skip them) and the NEXT merge physically sweeps
+  * them. A reader that listed the pre-merge epoch set therefore keeps
+  * a full merge interval (the run-rarely cadence) to finish its reads
+  * against dirs that still exist; a reader listing after the tombstone
+  * sees only the merged segment — identical content either way.
+  * Belt-and-braces, [[union]] also re-lists and retries once if its
+  * read trips on a path a (doubly-delayed) sweep removed.
   */
 object IndexCompaction {
 
   private def epochName(n: Long) = f"epoch_$n%08d"
 
-  /** Published epoch numbers under `root`, ascending. A dir counts only
-    * once fully renamed into place (atomic publish), so a reader never
-    * sees a half-written epoch.
+  /** Marker dropped into an epoch dir by the merge that folded it:
+    * readers skip the epoch (its content lives on in the merged
+    * segment) but the dir survives until the NEXT merge's sweep — the
+    * grace period that lets an in-flight reader of the old epoch set
+    * finish.
+    */
+  private val Folded = "_graft_folded"
+
+  private def isFolded(root: String, e: Long): Boolean =
+    new java.io.File(new java.io.File(root, epochName(e)), Folded).isFile
+
+  /** LIVE epoch numbers under `root`, ascending. A dir counts only once
+    * fully renamed into place (atomic publish), so a reader never sees
+    * a half-written epoch; epochs tombstoned by a merge are excluded
+    * (their content is in the merged segment).
     */
   def epochs(root: String): Seq[Long] =
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("epoch_") &&
-        !f.getName.contains(".tmp_"))
+        !f.getName.contains(".tmp_") &&
+        !new java.io.File(f, Folded).isFile)
+      .flatMap(f => f.getName.stripPrefix("epoch_").toLongOption)
+      .sorted.toSeq
+
+  /** Epoch numbers tombstoned by a previous merge and awaiting the next
+    * merge's physical sweep (grace-period dirs).
+    */
+  private[graft] def foldedEpochs(root: String): Seq[Long] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch_") &&
+        !f.getName.contains(".tmp_") &&
+        new java.io.File(f, Folded).isFile)
       .flatMap(f => f.getName.stripPrefix("epoch_").toLongOption)
       .sorted.toSeq
 
@@ -80,7 +115,7 @@ object IndexCompaction {
       .filter(f => f.isDirectory && f.getName.contains(".tmp_") &&
         Materialize.isStaleShared(f))
       .foreach(Materialize.deleteRecursively)
-    val tmp = new java.io.File(rootF, s"${epochName(n)}.tmp_${Materialize.pid}")
+    val tmp = new java.io.File(rootF, Materialize.tmpName(epochName(n)))
     bands.write.mode("overwrite").parquet(s"$tmp/bands")
     hashes.write.mode("overwrite").parquet(s"$tmp/hashes")
     try {
@@ -133,20 +168,31 @@ object IndexCompaction {
     publishRetrying(root, epochs(root).lastOption.getOrElse(-1L) + 1L,
       bandsOf(landedDocs), hashesOf(landedDocs))
 
-  /** MAJOR compaction: merge every published epoch into one distinct
-    * segment (published as the next epoch number) and drop the merged
-    * ones. Run when the delta count hurts scan planning; the gate's
+  /** MAJOR compaction: merge every live epoch into one distinct
+    * segment (published as the next epoch number) and TOMBSTONE the
+    * merged ones — their dirs are physically swept by the NEXT merge,
+    * so a reader that listed the pre-merge epoch set has a full merge
+    * interval to finish reading them (the grace period; see object
+    * doc). Run when the delta count hurts scan planning; the gate's
     * anti-joins never require it for correctness.
     *
     * Race safety: the merged segment covers exactly the epoch set
-    * captured at entry, and ONLY those epochs are deleted, only after
-    * our publish succeeded — a delta published concurrently keeps its
-    * own epoch dir and stays in every union read. Concurrent merges of
-    * the same root are the caller's responsibility (it is the
-    * run-rarely job); everything here still fails safe — at worst both
-    * merged segments publish and the sources are deleted once.
+    * captured at entry, and ONLY those epochs are tombstoned, only
+    * after our publish succeeded — a delta published concurrently
+    * keeps its own epoch dir and stays in every union read. A crash
+    * mid-tombstoning leaves some sources live: the union then carries
+    * their rows twice (merged + source), which the duplicate-
+    * insensitive anti-joins ignore, and the next merge folds them
+    * again. Concurrent merges of the same root are the caller's
+    * responsibility (it is the run-rarely job); everything here still
+    * fails safe — at worst both merged segments publish and the
+    * sources are tombstoned once.
     */
   def merge(spark: SparkSession, root: String): Long = {
+    // physically sweep epochs tombstoned by the PREVIOUS merge — their
+    // grace period (one merge interval) is over
+    foldedEpochs(root).foreach(e =>
+      Materialize.deleteRecursively(new java.io.File(root, epochName(e))))
     val es = epochs(root)
     require(es.nonEmpty, s"no index at $root to merge")
     val mergedBands = spark.read
@@ -154,15 +200,31 @@ object IndexCompaction {
     val mergedHashes = spark.read
       .parquet(es.map(e => s"$root/${epochName(e)}/hashes"): _*).distinct()
     val next = publishRetrying(root, es.last + 1L, mergedBands, mergedHashes)
-    es.foreach(e =>
-      Materialize.deleteRecursively(new java.io.File(root, epochName(e))))
+    es.foreach { e =>
+      val marker = new java.io.File(
+        new java.io.File(root, epochName(e)), Folded)
+      try java.nio.file.Files.writeString(marker.toPath, epochName(next)): Unit
+      catch { case _: java.io.IOException => () } // dir already swept: fine
+    }
     next
   }
 
+  /** Union read over the live epoch set, with one re-list-and-retry if
+    * the read trips on a dir a concurrent merge's sweep removed
+    * between our listing and the scan's file listing (possible only
+    * when a reader straddles TWO merges — the tombstone grace period
+    * covers one; see object doc).
+    */
   private def union(spark: SparkSession, root: String, sub: String): DataFrame = {
-    val paths = epochs(root).map(e => s"$root/${epochName(e)}/$sub")
-    require(paths.nonEmpty, s"no index at $root")
-    spark.read.parquet(paths: _*)
+    def read(): DataFrame = {
+      val paths = epochs(root).map(e => s"$root/${epochName(e)}/$sub")
+      require(paths.nonEmpty, s"no index at $root")
+      val df = spark.read.parquet(paths: _*)
+      df.schema // force analysis (file listing) now, inside the retry
+      df
+    }
+    try read()
+    catch { case _: org.apache.spark.sql.AnalysisException => read() }
   }
 
   /** The index's (band, sig) table — union of all published epochs (may

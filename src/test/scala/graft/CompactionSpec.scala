@@ -50,23 +50,51 @@ class CompactionSpec extends SparkSpec {
     val expected = Text.bandIndexOf(c.unionAll(delta))
     assert(bands.distinct().count() === expected.count())
     assert(IndexCompaction.hashes(spark, root).distinct().count() === 2L)
-    // major compaction folds to one distinct segment, same content
+    // ---- MAJOR merge with a CONCURRENT READER: the reader lists the
+    // pre-merge epoch set (lazy union), the merge runs, and the
+    // reader's scan must still succeed with identical content — the
+    // merge TOMBSTONES its sources instead of deleting them ----
+    val preMergeBands = IndexCompaction.bands(spark, root) // pre-merge listing
     val merged = IndexCompaction.merge(spark, root)
-    assert(IndexCompaction.epochs(root) === Seq(merged))
+    assert(IndexCompaction.epochs(root) === Seq(merged),
+      "tombstoned epochs must vanish from the live listing")
+    assert(preMergeBands.distinct().count() === expected.count(),
+      "a reader holding the pre-merge epoch set must still read it " +
+        "(grace-period deletion, not immediate)")
+    assert(IndexCompaction.foldedEpochs(root) === Seq(0L, 1L),
+      "merged sources are tombstoned, awaiting the next merge's sweep")
+    assert(new java.io.File(root, "epoch_00000000").isDirectory &&
+      new java.io.File(root, "epoch_00000001").isDirectory,
+      "tombstoned epoch dirs must survive until the next merge")
     assert(IndexCompaction.bands(spark, root).count() === expected.count())
     assert(IndexCompaction.hashes(spark, root).count() === 2L)
-    // a CRASHED compaction's temp dir (owner pid provably dead) is
-    // swept by the next publish; a LIVE owner's in-progress temp dir
-    // (pid 1 = init, always alive) must survive the sweep
-    val crashed = new java.io.File(root, "epoch_99999999.tmp_987654321")
-    val live = new java.io.File(root, "epoch_99999998.tmp_1")
-    crashed.mkdirs(); live.mkdirs()
+    // the NEXT merge physically sweeps the tombstoned dirs
+    val merged2 = IndexCompaction.merge(spark, root)
+    assert(!new java.io.File(root, "epoch_00000000").exists() &&
+      !new java.io.File(root, "epoch_00000001").exists(),
+      "the next merge sweeps the previous merge's tombstoned sources")
+    assert(IndexCompaction.epochs(root) === Seq(merged2))
+    assert(IndexCompaction.bands(spark, root).count() === expected.count())
+    // a CRASHED compaction's temp dir (this host, owner pid provably
+    // dead) is swept by the next publish; a LIVE owner's in-progress
+    // temp dir (pid 1 = init, always alive) and a FOREIGN host's temp
+    // dir (its pid is meaningless in the local /proc) must survive
+    import graft.operators.Materialize
+    val crashed = new java.io.File(root,
+      s"epoch_99999999.tmp_987654321_${Materialize.hostTag}_1")
+    val live = new java.io.File(root,
+      s"epoch_99999998.tmp_1_${Materialize.hostTag}_1")
+    val foreign = new java.io.File(root,
+      "epoch_99999997.tmp_987654321_some-other-host_1")
+    crashed.mkdirs(); live.mkdirs(); foreign.mkdirs()
     IndexCompaction.compact(spark, root,
       Seq((3L, s"three $filler p q r")).toDF("doc_id", "text"))
     assert(!crashed.exists(), "stale temp dir must be swept")
     assert(live.exists(), "a live concurrent compaction's temp dir " +
       "must never be deleted from under it")
-    live.delete(): Unit
+    assert(foreign.exists(), "a foreign host's temp dir must never be " +
+      "swept — its pid is meaningless in the local /proc")
+    live.delete(); foreign.delete(): Unit
   }
 
   test("gate over the compacted index drops near-dups, exact dups and short exact dups of landed arrivals") {

@@ -116,14 +116,23 @@ class MaterializeSpec extends SparkSpec {
     assert(!Materialize.isStaleShared(d))
   }
 
-  test("shared sweep: abandoned temp dir of a dead pid is stale; live pid kept") {
+  test("shared sweep: abandoned temp dir of a dead pid on THIS host is stale; live pid, foreign host, and legacy host-less names are kept") {
     val proc = tempDir("fake_proc_")
     Files.createDirectory(proc.toPath.resolve("4242"))
-    val dead = new java.io.File(sharedBase, "spec_x__ab.tmp_9999999_1")
-    val live = new java.io.File(sharedBase, "spec_x__ab.tmp_4242_1")
-    dead.mkdirs(); live.mkdirs()
+    val host = Materialize.hostTag
+    val dead = new java.io.File(sharedBase, s"spec_x__ab.tmp_9999999_${host}_1")
+    val live = new java.io.File(sharedBase, s"spec_x__ab.tmp_4242_${host}_1")
+    // a FOREIGN host's temp dir: its pid is meaningless in the local
+    // /proc, so it must never be swept (shared-NFS contract)
+    val foreign = new java.io.File(sharedBase,
+      "spec_x__ab.tmp_9999999_another-host_1")
+    // legacy host-less format: ambiguous origin, kept (fail safe)
+    val legacy = new java.io.File(sharedBase, "spec_x__ab.tmp_9999999_1")
+    dead.mkdirs(); live.mkdirs(); foreign.mkdirs(); legacy.mkdirs()
     assert(Materialize.isStaleShared(dead, proc))
     assert(!Materialize.isStaleShared(live, proc))
+    assert(!Materialize.isStaleShared(foreign, proc))
+    assert(!Materialize.isStaleShared(legacy, proc))
   }
 
   // ------------------------------------------------------------------
