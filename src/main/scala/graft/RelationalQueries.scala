@@ -138,6 +138,39 @@ object RelationalQueries {
          |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
          |ORDER BY s_suppkey""".stripMargin)),
 
+    // q129: TPC-H Q13 shape — the oracle keeps the classic left-outer
+    // join + two-level GROUP BY; Spark aggregates orders alone first
+    // and joins customer to the O(customers) summary (one fact-table
+    // shuffle, no forced broadcast of customer).
+    QueryDef("q129_order_count_distribution",
+      (s, d) => customerOrderDistribution(s, d), Some(
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // q130: TPC-H Q19 shape — OR-of-ANDs across lineitem⋈part; the
+    // oracle keeps the flat disjunction, Spark factors the per-side
+    // implications into the scans (pushed filters) and evaluates the
+    // residual OR inside the broadcast join.
+    QueryDef("q130_disjunctive_revenue",
+      (s, d) => disjunctivePredicateRevenue(s, d), Some(
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_returnflag IN ('N','A') AND (
+        |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

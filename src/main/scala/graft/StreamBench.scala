@@ -141,28 +141,69 @@ object StreamBench {
       wall, progress)
   }
 
+  /** Cumulative per-run progress recorder. `recentProgress` is a
+    * BOUNDED buffer (`numRecentProgressUpdates`): a paced/TTL'd run
+    * past the cap would undercount admissions read through it, spin to
+    * the drain deadline, and misreport a progress-retention artifact
+    * as engine lag — so paced drains and paced stats read EVERY
+    * progress event via this listener instead.
+    */
+  private final class ProgressRecorder
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val byRun = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID,
+      java.util.concurrent.ConcurrentLinkedQueue[StreamingQueryProgress]]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      byRun.computeIfAbsent(e.progress.runId,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[StreamingQueryProgress]())
+        .add(e.progress)
+      ()
+    }
+    def of(runId: java.util.UUID): Seq[StreamingQueryProgress] = {
+      import scala.jdk.CollectionConverters._
+      Option(byRun.get(runId)).map(_.asScala.toSeq).getOrElse(Seq.empty)
+    }
+    def admitted(runId: java.util.UUID): Long =
+      of(runId).map(_.numInputRows).sum
+  }
+  private val recorder = new ProgressRecorder
+
   /** Drain a PROCESSING-TIME-clocked query over a finite input: a TTL'd
     * or fixed-interval-trigger query never goes idle (the clock keeps
     * the engine triggering), so `processAllAvailable` cannot be used —
-    * instead poll until every input row has been admitted, then let it
-    * run `settleMs` longer (TTL eviction / trailing commits happen in
-    * those extra triggers) and stop. Returns (progress, wall-to-drain).
+    * instead poll until every input row has been admitted (cumulative
+    * listener count, immune to the recentProgress retention cap), then
+    * let it run `settleMs` longer (TTL eviction / trailing commits
+    * happen in those extra triggers) and stop. Returns the FULL
+    * recorded progress series and the wall-to-drain.
     */
   private def runPaced(q: StreamingQuery, inRows: Long,
       settleMs: Long): (Seq[StreamingQueryProgress], Double) = {
     val t0 = System.nanoTime()
     val deadline = System.currentTimeMillis() + 300000
     while (q.isActive &&
-        q.recentProgress.map(_.numInputRows).sum < inRows &&
+        recorder.admitted(q.runId) < inRows &&
         System.currentTimeMillis() < deadline)
       Thread.sleep(100)
     q.exception.foreach(e => throw new IllegalStateException(
       s"paced stage ${q.name} failed", e))
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(settleMs)
-    val p = q.recentProgress.toSeq
+    // listener events post asynchronously: wait for the bus to quiesce
+    // before snapshotting so the trailing settle batches are included
+    var snap = recorder.of(q.runId)
+    var stable = 0
+    val qDeadline = System.currentTimeMillis() + 3000
+    while (stable < 2 && System.currentTimeMillis() < qDeadline) {
+      Thread.sleep(150)
+      val s2 = recorder.of(q.runId)
+      if (s2.size == snap.size) stable += 1 else { snap = s2; stable = 0 }
+    }
     q.stop()
-    (p, wall)
+    (snap, wall)
   }
 
   /** Per-batch execution p50 of a finished as-fast run — the fixed cost
@@ -206,7 +247,10 @@ object StreamBench {
     * (data batches == the admission count the rate implies) and the
     * commit-vs-schedule drift did not GROW across the run — absolute
     * latency alone cannot distinguish a steady per-batch cost from an
-    * accumulating backlog.
+    * accumulating backlog. Drift growth compares the MEDIANS of the
+    * first and last thirds of the latency series, not the two endpoint
+    * samples: a single GC-paused final batch (or a coincidentally fast
+    * one) must not flip the headline flag.
     */
   private def pacedStats(progress: Seq[StreamingQueryProgress],
       intervalMs: Long, expected: Long, wall: Double): String = {
@@ -233,7 +277,8 @@ object StreamBench {
         .map(_.toLong).getOrElse(0L)
       (starts(k) + exec - (t0ms + k * intervalMs)).toDouble
     }
-    val driftGrowth = lats.last - lats.head
+    val third = math.max(1, lats.size / 3)
+    val driftGrowth = pct(lats.takeRight(third), 0.5) - pct(lats.take(third), 0.5)
     // full admission on BOTH sides: fewer batches than the rate implies
     // means a deadline-truncated run (rows never processed), more means
     // partial-admission stutter; either breaks the offered-rate claim
@@ -328,6 +373,8 @@ object StreamBench {
     // in the window so admission sums and latency distributions are
     // computed over the full run, not a 100-entry suffix
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    // cumulative progress for paced drains/stats — see ProgressRecorder
+    spark.streams.addListener(recorder)
 
     // stage 1: watermarked tumbling aggregation over the events replay
     val (tumbling, _, _) = stage(spark, "sb",
@@ -528,6 +575,113 @@ object StreamBench {
         s""""gate_after":{${progressJson(gProg, n2, admitted, gWall)}}}"""
     }
 
+    // stage 5a''': the COMPOSED SERVICE measured over REPEATED
+    // compaction intervals — the steady-state claim, not one handoff.
+    // ONE TTL'd intra-stream collision query runs CONTINUOUSLY across
+    // all cycles while, per cycle: a FRESH GATE is constructed from the
+    // current epoch index (the rebuild a deployment pays after each
+    // compaction — measured in-line), the cycle's arrivals replay
+    // through gate + collision query together, the cycle's docs land
+    // in the lake, and a MINOR compaction folds them into the index;
+    // the middle cycle also runs the MAJOR merge concurrently with the
+    // live query and the next cycle's gate reads the post-merge epoch
+    // set (the grace-period deletion contract exercised end-to-end).
+    // The artifact is the per-cycle sawtooth: state rows climb while
+    // the cycle replays, then drain to the TTL plateau; compact_s
+    // stays O(delta) across cycles; epochs follow the minor/major
+    // cadence.
+    val dedupService = {
+      import streaming.IndexCompaction
+      val nCycles = 3
+      val svcRoot = s"$base/svc_docs"
+      val idxRoot = s"$base/svc_index"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(svcRoot))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxRoot))
+      new java.io.File(svcRoot).mkdirs()
+      val qs = arrivalsBatch.stat
+        .approxQuantile("doc_id", Array(1.0 / 3, 2.0 / 3), 0.001)
+      val phases = Seq(
+        arrivalsBatch.filter(col("doc_id") <= qs(0)),
+        arrivalsBatch.filter(col("doc_id") > qs(0) && col("doc_id") <= qs(1)),
+        arrivalsBatch.filter(col("doc_id") > qs(1)))
+      IndexCompaction.init(spark, idxRoot, corpus)
+      val collQ = streaming.TextStreams.streamingLshCollisions(spark,
+          spark.readStream.schema(arrivalsBatch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(svcRoot)
+            .select(col("doc_id"), col("text")),
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+        .toDF().writeStream.format("memory").queryName("svc_coll")
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .outputMode(OutputMode.Append).start()
+      var fed = 0L
+      val cycleJsons = (0 until nCycles).map { c =>
+        val ph = phases(c)
+        val nPh = ph.count()
+        val cycDir = s"$base/svc_c$c"
+        sliceOrdered(ph, "doc_id", math.max(2, nSlices / nCycles), cycDir)
+        val progBefore = recorder.of(collQ.runId).size
+        // gate REBUILD from the live epoch listing: O(read) of the
+        // index segments, the per-interval restart cost
+        val tG = System.nanoTime()
+        val gateDf = IndexCompaction.gate(spark, idxRoot,
+          spark.readStream.schema(arrivalsBatch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(cycDir))
+        val gateBuildS = (System.nanoTime() - tG) / 1e9
+        val gq = gateDf.writeStream.format("memory")
+          .queryName(s"svc_gate_$c").outputMode(OutputMode.Append).start()
+        // feed the SAME arrival files to the standing collision query
+        // (distinct mtimes keep the file source's replay order)
+        new java.io.File(cycDir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .foreach { f =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(svcRoot, s"c${c}_${f.getName}").toPath)
+            Thread.sleep(15)
+          }
+        gq.processAllAvailable()
+        val admitted = spark.table(s"svc_gate_$c").count()
+        gq.stop()
+        fed += nPh
+        val deadline = System.currentTimeMillis() + 120000
+        while (collQ.isActive && recorder.admitted(collQ.runId) < fed &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        collQ.exception.foreach(e => throw new IllegalStateException(
+          "svc_coll failed", e))
+        // settle past the TTL horizon: the sawtooth's drain edge
+        Thread.sleep(2 * ttlMs + 1500)
+        val cycleProg = recorder.of(collQ.runId).drop(progBefore)
+          .filter(_.stateOperators.nonEmpty)
+        val rowsMax =
+          if (cycleProg.isEmpty) 0L
+          else cycleProg.map(_.stateOperators.map(_.numRowsTotal).sum).max
+        val rowsLast = cycleProg.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        // the cycle's docs have landed: fold them into the gate index
+        val tC = System.nanoTime()
+        IndexCompaction.compact(spark, idxRoot,
+          ph.select(col("doc_id"), col("text")))
+        val compactS = (System.nanoTime() - tC) / 1e9
+        // middle cycle: MAJOR merge while the collision query is live
+        val mergeS =
+          if (c == nCycles / 2) {
+            val tM = System.nanoTime()
+            IndexCompaction.merge(spark, idxRoot)
+            (System.nanoTime() - tM) / 1e9
+          } else -1.0
+        val epochsAfter = IndexCompaction.epochs(idxRoot).size
+        s"""{"cycle":$c,"arrivals":$nPh,"gate_admitted":$admitted,""" +
+          s""""gate_dropped":${nPh - admitted},""" +
+          s""""gate_build_s":${fmt(gateBuildS, 2)},""" +
+          s""""state_rows_max":$rowsMax,"state_rows_settled":$rowsLast,""" +
+          s""""compact_s":${fmt(compactS, 2)},""" +
+          s""""merge_s":${if (mergeS < 0) "-1" else fmt(mergeS, 2)},""" +
+          s""""epochs_after":$epochsAfter}"""
+      }
+      collQ.stop()
+      s""""dedup_service":{"ttl_ms":$ttlMs,"cycles":[${cycleJsons.mkString(",")}]}"""
+    }
+
     // stage 5b: the DSv2 paced replay source itself, over a multi-file
     // segment directory built from the events table — measures what the
     // custom source sustains (admission-controlled offsets, per-file
@@ -582,9 +736,8 @@ object StreamBench {
     // which is the micro-batch latency/efficiency trade-off stated
     // honestly.
     val intervalMs = fitIntervalMs(batchP50Ms(replayProg))
-    def paced(tag: String, frac: Double): String = {
-      val rps = maxRps * frac
-      val perBatch = math.max(1, (rps * intervalMs / 1000.0).toInt)
+    def pacedRun(tag: String, perBatch: Int, interval: Long,
+        rps: Double): String = {
       val src = spark.readStream.format("user-activity-replay")
         .option("path", replayDir.toString)
         .option("eventsPerBatch", perBatch.toString).load()
@@ -593,15 +746,35 @@ object StreamBench {
           to_timestamp(col("timestamp")).as("ts"))
       val q = streaming.EventStreams.tumblingSignupsOn(src, "1 hour")
         .writeStream.format("memory").queryName(s"paced_$tag")
-        .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+        .trigger(Trigger.ProcessingTime(s"$interval milliseconds"))
         .outputMode(OutputMode.Complete).start()
       val (progress, wall) = runPaced(q, activityRows.length.toLong, 0L)
       val expected = math.ceil(activityRows.length.toDouble / perBatch).toLong
       s""""paced_$tag":{"offered_rps":${fmt(rps)},""" +
-        pacedStats(progress, intervalMs, expected, wall)
+        pacedStats(progress, interval, expected, wall)
+    }
+    def paced(tag: String, frac: Double): String = {
+      val rps = maxRps * frac
+      pacedRun(tag, math.max(1, (rps * intervalMs / 1000.0).toInt),
+        intervalMs, rps)
     }
     val paced50 = paced("50", 0.5)
     val paced90 = paced("90", 0.9)
+
+    // stage 5b'': NEGATIVE CONTROL — the same pipeline deliberately
+    // OVER-offered: as-fast-sized batches on a trigger interval set
+    // BELOW the measured per-batch cost (~60% of p50), an offered rate
+    // no interval-sizing could sustain. The backlog instrumentation has
+    // only ever been artifacted in the kept-up direction; this stage
+    // must report kept_up=false with visibly growing drift, proving the
+    // SLO instrument reads both ways (a detector that has never fired
+    // is unproven exactly where it matters).
+    val pacedOver = {
+      val perBatch = math.max(1, activityRows.length / nSlices)
+      val overMs = math.max(250L,
+        ((batchP50Ms(replayProg) * 0.6) / 250.0).toLong * 250L)
+      pacedRun("over", perBatch, overMs, perBatch * 1000.0 / overMs)
+    }
 
     // stage 5c: multimodal CAS ingest gate — binary payloads through
     // content-address dedup (watermark-bounded intra-stream state keyed
@@ -664,8 +837,8 @@ object StreamBench {
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
-      s"""$tumbling,$replaySrc,$paced50,$paced90,$gate,$pacedGate,$assign,$sessions,""" +
-      s"""$lsh,$lshTtl,$compaction,$blobGate,$audit,$standing,""" +
+      s"""$tumbling,$replaySrc,$paced50,$paced90,$pacedOver,$gate,$pacedGate,$assign,$sessions,""" +
+      s"""$lsh,$lshTtl,$compaction,$dedupService,$blobGate,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")

@@ -309,6 +309,81 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q13 shape (q129): customer order-count distribution — how
+    * many customers placed exactly N qualifying orders, INCLUDING the
+    * zero-order customers (the reason Q13 is the outer-join aggregate
+    * benchmark). The oracle keeps the classic left-outer-join +
+    * two-level GROUP BY spelling.
+    *
+    * Spark plan, sized for the fact table being the big side: aggregate
+    * ORDERS ALONE to per-customer counts first (one shuffle on
+    * o_custkey — the only pass over the fact table), then left-join
+    * customer to that O(customers) summary and count customers per
+    * order-count. No forced broadcast of customer (it grows with SF);
+    * the join and second aggregate run over customer-sized data, and
+    * the literal SQL's join-then-group-the-fact-rows plan (shuffling
+    * every order row through the join) is avoided. The qualifying
+    * filter (priority ≠ 1-URGENT, the o_comment analog in the driver
+    * schema) is pushed to the orders scan.
+    */
+  def customerOrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("c_count"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(perCust, Seq("c_custkey"), "left_outer")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19 shape (q130): revenue from an OR-of-ANDs predicate over
+    * the lineitem⋈part join — three (brand, size-range, quantity-range)
+    * branches under common line-level conjuncts, the classic
+    * disjunctive-pushdown stress. The oracle keeps the flat
+    * `WHERE (A AND …) OR (B AND …) OR (C AND …)` spelling.
+    *
+    * Spark plan: the per-side implications of the disjunction are
+    * written as explicit scan filters — part keeps rows matching ANY
+    * branch's (brand AND size) conjuncts, lineitem keeps rows matching
+    * the common conjuncts AND any branch's quantity range — so both
+    * parquet scans prune with pushed filters (min/max row-group skip
+    * on l_quantity/p_size, dictionary skip on p_brand) instead of
+    * joining everything and filtering after. The surviving part side
+    * is brand-filtered and small → broadcast; the full mixed-side
+    * residual OR evaluates inside the join, so semantics are exactly
+    * the flat spelling's. This is the manual CNF factoring Catalyst's
+    * own CNF conversion targets; spelling it in the plan keeps the
+    * pushdown independent of optimizer thresholds.
+    */
+  def disjunctivePredicateRevenue(s: SparkSession, dir: String): DataFrame = {
+    // (brand, max p_size, quantity lo/hi) per branch; p_size >= 1 always
+    val branches = Seq(("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20),
+      ("Brand#3", 15, 20, 30))
+    def branchPart(b: (String, Int, Int, Int)): Column =
+      col("p_brand") === b._1 && col("p_size").between(1, b._2)
+    def branchLine(b: (String, Int, Int, Int)): Column =
+      col("l_quantity").between(b._3, b._4)
+    def branchFull(b: (String, Int, Int, Int)): Column =
+      branchPart(b) && branchLine(b)
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .filter(branches.map(branchPart).reduce(_ || _))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+      .filter(col("l_returnflag").isin("N", "A") &&
+        branches.map(branchLine).reduce(_ || _))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+        branches.map(branchFull).reduce(_ || _))
+      .agg(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Top-k customers by total order value (group → TakeOrdered). */
   def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.orders(s, dir)
