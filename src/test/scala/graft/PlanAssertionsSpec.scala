@@ -112,6 +112,44 @@ class PlanAssertionsSpec extends SparkSpec {
       "no window over all suppliers — the max is a scalar aggregate")
   }
 
+  test("q129 Q13 shape: priority filter pushed to the orders scan; " +
+      "the fact aggregates BEFORE the outer join (each table read once)") {
+    val plan = formatted("q129_order_count_distribution")
+    assert("Not\\(EqualTo\\(o_orderpriority".r.findFirstIn(plan).isDefined,
+      "qualifying-order filter must reach the orders parquet scan")
+    assert("Location[^\\n]*/orders".r.findAllIn(plan).size == 1,
+      "orders must be scanned exactly once")
+    assert("Location[^\\n]*/customer".r.findAllIn(plan).size == 1,
+      "customer must be scanned exactly once")
+    assert(plan.contains("LeftOuter"),
+      "zero-order customers must survive (left outer join)")
+    // the literal SQL's plan shuffles every ORDER row through the join;
+    // ours joins customer to the per-customer SUMMARY — so no exchange
+    // may partition on a raw orders column other than the aggregate's
+    // own o_custkey grouping
+    assert(!plan.contains("hashpartitioning(o_orderkey"),
+      "raw order rows must not be shuffled through the join")
+  }
+
+  test("q130 Q19 shape: per-side disjunction implications reach BOTH " +
+      "scans; residual OR evaluates inside a broadcast join") {
+    val plan = formatted("q130_disjunctive_revenue")
+    assert("PushedFilters[^\\n]*p_brand".r.findFirstIn(plan).isDefined,
+      "brand disjunction must push to the part scan")
+    assert("PushedFilters[^\\n]*l_quantity".r.findFirstIn(plan).isDefined ||
+      "GreaterThanOrEqual\\(l_quantity".r.findFirstIn(plan).isDefined,
+      "quantity-range disjunction must push to the lineitem scan")
+    assert("In\\(l_returnflag".r.findFirstIn(plan).isDefined,
+      "common returnflag conjunct must push to the lineitem scan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the brand-filtered part side must broadcast")
+    assert("Location[^\\n]*/lineitem".r.findAllIn(plan).size == 1,
+      "lineitem must be scanned exactly once")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the OR must ride the equi join, not a nested loop")
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.
