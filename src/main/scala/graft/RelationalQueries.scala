@@ -171,6 +171,43 @@ object RelationalQueries {
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin)),
 
+    // q131: TPC-H Q22 shape — scalar-subquery balance threshold +
+    // NOT EXISTS anti-join, date-bounded to "no recent order" (every
+    // customer in this generator has orders, so the literal Q22
+    // anti-join would be always-empty). Oracle keeps the classic
+    // spelling; the threshold comparison is multiply-only so both
+    // engines compare exact decimals.
+    QueryDef("q131_sales_opportunity", (s, d) => salesOpportunity(s, d), Some(
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_nationkey IN (3,7,11,15,19)
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) *
+        |    (SELECT COUNT(*) FROM customer
+        |     WHERE c_acctbal > 0 AND c_nationkey IN (3,7,11,15,19))
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+        |       WHERE c_acctbal > 0 AND c_nationkey IN (3,7,11,15,19))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-09-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)),
+
+    // q132: TPC-H Q11 shape — per-group aggregate HAVING against a
+    // global aggregate (oracle keeps the scalar-subquery spelling with
+    // its second lineitem scan; Spark computes the global total OVER
+    // the per-part summary and reuses the summary's exchange, so the
+    // fact table is scanned once — plan-asserted).
+    QueryDef("q132_important_parts", (s, d) => importantParts(s, d), Some(
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) *
+        |    (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) * 5
+        |  > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem) * 6
+        |ORDER BY part_value DESC, l_partkey""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

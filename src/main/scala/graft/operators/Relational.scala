@@ -384,6 +384,100 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q22 shape (q131): "global sales opportunity" — customers in
+    * a fixed nation set with an above-average positive balance and no
+    * RECENT order (this generator gives every customer orders, so the
+    * literal no-orders-ever spelling is degenerate; the anti-join is
+    * date-bounded instead — the churn-risk variant of the same shape).
+    * The driver schema has no c_phone, so the nation key stands in for
+    * Q22's substring country code; the oracle keeps the classic
+    * scalar-subquery + NOT EXISTS spelling.
+    *
+    * Determinism: the "above average" comparison is spelled
+    * multiply-only — `bal × n > total` instead of `bal > total / n` —
+    * so both engines compare exact DECIMALs and no customer can flip
+    * sides on a last-ulp division difference.
+    *
+    * Spark plan, sized for orders ≫ customer: the positive-balance
+    * stats run as an uncorrelated scalar subquery (one cheap pass over
+    * the nation-filtered, column-pruned customer scan), the NOT EXISTS
+    * decorrelates to a LEFT ANTI join whose orders side prunes to
+    * (o_custkey, o_orderdate) with the date filter pushed to the scan,
+    * and the per-nation rollup runs over the O(survivors) remainder.
+    * Customer is read twice (stats pass + filter pass) — the classic
+    * Q22 plan; both reads prune and push the nation-set filter.
+    */
+  def salesOpportunity(s: SparkSession, dir: String,
+      nations: Seq[Int] = Seq(3, 7, 11, 15, 19),
+      recentCutoff: String = "2000-09-01"): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .filter(col("c_nationkey").isin(nations: _*))
+    // uncorrelated scalar subquery (Spark 4 Dataset.scalar): the stats
+    // pair evaluates ONCE as its own tiny job and embeds in the filter
+    // as a runtime constant — the filter stays a plain parallel Filter,
+    // no join against the 1-row side at all
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(struct(sum(dec2(col("c_acctbal"))).as("tot"),
+        count(lit(1)).as("n")).as("s"))
+      .scalar()
+    val rich = cust.filter(
+      dec2(col("c_acctbal")) * stats.getField("n") > stats.getField("tot"))
+    // NOT EXISTS via Dataset.exists + Column.outer — Catalyst
+    // decorrelates to a LEFT ANTI join; the date bound pushes to the
+    // orders scan, the join carries only the surviving o_custkey
+    rich.filter(!Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(recentCutoff).cast("timestamp") &&
+          col("o_custkey") === col("c_custkey").outer()).exists())
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum2(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** TPC-H Q11 shape (q132): "important stock" — parts whose total
+    * line value exceeds a global-share threshold. The driver schema
+    * has no partsupp, so lineitem value per part stands in for
+    * ps_supplycost × ps_availqty. Q11's fixed fraction would go
+    * degenerate across SFs (part count grows, so a constant share
+    * admits everything at sf0.001 and nothing at sf0.1); the
+    * threshold here is 1.2× the AVERAGE per-part value — the same
+    * aggregate-vs-global-aggregate HAVING, selective at every SF.
+    * Spelled multiply-only (`value × n × 5 > total × 6`) so the
+    * comparison is exact DECIMAL in both engines.
+    *
+    * Spark plan: lineitem reduces ONCE to per-part sums (the only
+    * fact shuffle); the global total and part count are an
+    * uncorrelated scalar subquery OVER THAT SUMMARY, embedded in the
+    * HAVING filter as a runtime constant. AQE's stage cache spans the
+    * main plan and its subqueries, so the subquery's identical
+    * summary shuffle resolves to a ReusedExchange (plan-asserted on
+    * the executed plan) and the struct's two field reads collapse via
+    * ReusedSubquery — the literal SQL's second full lineitem scan
+    * never happens.
+    */
+  def importantParts(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_extendedprice"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("__val"))
+    // uncorrelated scalar subquery over the SUMMARY (not the fact
+    // table): evaluates once, embeds in the HAVING filter as a runtime
+    // constant; AQE's stage cache spans subqueries, so the summary's
+    // shuffle is computed once and the subquery branch reads the
+    // reused exchange instead of rescanning lineitem
+    val global = perPart
+      .agg(struct(sum(col("__val")).as("tot"),
+        count(lit(1)).as("n")).as("s"))
+      .scalar()
+    perPart
+      .filter(col("__val") * global.getField("n") * 5 >
+        global.getField("tot") * 6)
+      .select(col("l_partkey"),
+        col("__val").cast(DoubleType).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
   /** Top-k customers by total order value (group → TakeOrdered). */
   def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.orders(s, dir)

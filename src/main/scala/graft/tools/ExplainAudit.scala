@@ -33,7 +33,8 @@ object ExplainAudit {
       "q114_watermark_audit", "q115_skew_report",
       "q125_large_volume_orders", "q126_small_qty_revenue",
       "q127_dominant_suppliers", "q128_top_revenue_supplier",
-      "q129_order_count_distribution", "q130_disjunctive_revenue")
+      "q129_order_count_distribution", "q130_disjunctive_revenue",
+      "q131_sales_opportunity", "q132_important_parts")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

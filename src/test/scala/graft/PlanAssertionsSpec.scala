@@ -150,6 +150,50 @@ class PlanAssertionsSpec extends SparkSpec {
       "the OR must ride the equi join, not a nested loop")
   }
 
+  test("q131 Q22 shape: scalar-subquery threshold stays a parallel " +
+      "Filter (no 1-row join); NOT EXISTS decorrelates to an anti join " +
+      "with the date bound pushed to the pruned orders scan") {
+    val plan = formatted("q131_sales_opportunity")
+    assert("In\\(c_nationkey".r.findAllIn(plan).size >= 2,
+      "nation-set filter must reach BOTH customer scan passes " +
+        "(main + scalar-subquery stats pass)")
+    assert(plan.contains("scalar-subquery") || plan.contains("Subquery"),
+      "the balance threshold must be a scalar subquery, not a join")
+    assert(plan.contains("LeftAnti"),
+      "NOT EXISTS must plan as a left anti join")
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).isDefined,
+      "recent-order date bound must push to the orders scan")
+    assert("Location[^\\n]*/orders".r.findAllIn(plan).size == 1 &&
+      "ReadSchema[^\\n]*o_custkey".r.findFirstIn(plan).isDefined &&
+      !plan.contains("o_totalprice"),
+      "orders must be scanned once, pruned to (o_custkey, o_orderdate)")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the scalar threshold must not become a nested-loop join")
+  }
+
+  test("q132 Q11 shape: lineitem scanned once — the global-total scalar " +
+      "subquery reads the per-part summary's reused exchange") {
+    // subquery exchange reuse under AQE is a RUNTIME decision: execute,
+    // then audit the final adaptive plan (the section before the
+    // initial-plan echo), whose subquery final plans print inline
+    val df = SparkEntry.queries("q132_important_parts")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"),
+      "the subquery's summary shuffle must reuse the main plan's stage")
+    assert(plan.contains("ReusedSubquery"),
+      "the struct's two field reads must collapse to one subquery run")
+    val pre = formatted("q132_important_parts")
+    assert("ReadSchema[^\\n]*l_partkey".r.findFirstIn(pre).isDefined &&
+      !pre.contains("l_shipdate"),
+      "scan pruned to the two value columns")
+    assert(!pre.contains("BroadcastNestedLoopJoin") &&
+      !pre.contains("CartesianProduct"),
+      "the global total must not become a nested-loop join")
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.

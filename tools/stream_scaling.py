@@ -186,6 +186,68 @@ def main():
                 f"| {fmt(v.get('merge_s'), 2)} | {segs} |")
         lines.append("")
 
+    # composed dedup service over REPEATED compaction intervals: the
+    # steady-state sawtooth, not one handoff
+    if any("dedup_service" in d for _, d in runs):
+        lines.append("## dedup service steady state (dedup_service)")
+        lines.append("")
+        lines.append("One TTL'd intra-stream collision query runs CONTINUOUSLY")
+        lines.append("across all cycles; per cycle a FRESH gate is built from")
+        lines.append("the live epoch index (`gate build s` — the rebuild a")
+        lines.append("deployment pays after each compaction interval), the")
+        lines.append("cycle's arrivals replay through gate + collision query,")
+        lines.append("the landed docs fold into the index (MINOR `compact s`),")
+        lines.append("and the middle cycle also runs the MAJOR merge while the")
+        lines.append("query is live — the grace-period deletion contract")
+        lines.append("exercised end-to-end. The service is steady iff, per")
+        lines.append("cycle: `state max` plateaus (the sawtooth's climb stays")
+        lines.append("O(cycle arrivals), not O(corpus)), `state settled`")
+        lines.append("returns to ~0 after the TTL horizon (the drain edge),")
+        lines.append("`compact s` stays O(delta) across cycles, and the epoch")
+        lines.append("count follows the minor/major cadence instead of")
+        lines.append("accreting. `gate dropped` GROWS across cycles because")
+        lines.append("each compaction moves the previous cycle's ownership")
+        lines.append("into the stateless gate — the handoff doing its job.")
+        lines.append("")
+        lines.append("| sf | cycle | arrivals | gate dropped | gate build s "
+                     "| state max | state settled | compact s | merge s "
+                     "| epochs after |")
+        lines.append("|---|---|---|---|---|---|---|---|---|---|")
+        for sf, d in runs:
+            v = d.get("dedup_service")
+            if v is None:
+                continue
+            for c in v["cycles"]:
+                ms = c.get("merge_s", -1)
+                lines.append(
+                    f"| {sf} | {c['cycle']} | {c['arrivals']} "
+                    f"| {c['gate_dropped']} | {fmt(c['gate_build_s'], 2)} "
+                    f"| {c['state_rows_max']} | {c['state_rows_settled']} "
+                    f"| {fmt(c['compact_s'], 2)} "
+                    f"| {fmt(ms, 2) if ms >= 0 else '-'} "
+                    f"| {c['epochs_after']} |")
+        lines.append("")
+        last = runs[-1][1].get("dedup_service")
+        if last:
+            cs = last["cycles"]
+            maxes = [c["state_rows_max"] for c in cs]
+            settles = [c["state_rows_settled"] for c in cs]
+            compacts = [c["compact_s"] for c in cs]
+            flat = (max(maxes) <= 1.5 * min(maxes)
+                    and max(settles) <= 0.05 * max(maxes)
+                    and max(compacts) <= 2.0 * min(compacts))
+            lines.append(
+                f"Largest SF: state max per cycle {maxes} (plateau "
+                f"{'FLAT' if flat else 'NOT flat'}: spread "
+                f"×{max(maxes) / max(1, min(maxes)):.2f}), settled "
+                f"{settles}, compact s {[f'{c:.1f}' for c in compacts]} — "
+                + ("the continuously-running service holds its per-interval "
+                   "horizon, independent of how many cycles have passed."
+                   if flat else
+                   "NOT steady — investigate before claiming the service "
+                   "bounds state."))
+            lines.append("")
+
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}")
