@@ -168,6 +168,13 @@ object Relational {
     * no float division to diverge from the oracle), and NOT EXISTS
     * becomes a left-anti hash join on the order key. Shuffles only on
     * o_custkey (anti join) and the final tiny nation aggregate.
+    *
+    * NOTE: the driver corpus gives EVERY customer at least one order,
+    * so this literal spelling returns zero rows at every SF — kept
+    * deliberately as the empty-result hash-equality pin (both engines
+    * must agree on schema over an empty set). [[salesOpportunity]]
+    * (q131) is the selective variant of the same shape (date-bounded
+    * anti-join) and the Spark 4 subquery-expression spelling.
     */
   def waitingCustomers(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)

@@ -186,6 +186,38 @@ def main():
                 f"| {fmt(v.get('merge_s'), 2)} | {segs} |")
         lines.append("")
 
+    # gate rebuild vs index segmentation (optional artifact from
+    # graft.tools.GateRebuildBench): the MAJOR-merge cadence input
+    try:
+        with open("gate_rebuild.json") as f:
+            gr = json.load(f)
+    except OSError:
+        gr = None
+    if gr:
+        lines.append("## gate rebuild vs index segmentation (gate_rebuild)")
+        lines.append("")
+        lines.append("`tools.GateRebuildBench`: the SAME corpus spread over")
+        lines.append("1/4/16/64 delta epochs; `build s` is the gate's eager")
+        lines.append("static-side rebuild (union-read every epoch + checkpoint")
+        lines.append("both sides) — the cost a deployment pays per compaction")
+        lines.append("interval and per restart. Minor compactions never")
+        lines.append("invalidate the gate's decisions, so the MAJOR merge is")
+        lines.append("purely this curve's economics: merge once its amortized")
+        lines.append("cost beats the per-interval rebuild delta.")
+        lines.append("")
+        lines.append("| epochs | build s |")
+        lines.append("|---|---|")
+        for p in gr["points"]:
+            lines.append(f"| {p['epochs']} | {p['build_s']} |")
+        lines.append("")
+        lines.append(
+            f"MAJOR merge of the widest index: {gr['merge_s']} s, after "
+            f"which the rebuild costs {gr['build_after_merge_s']} s — at "
+            f"these numbers the merge pays for itself in "
+            f"~{max(1, round(float(gr['merge_s']) / max(0.01, float(gr['points'][-1]['build_s']) - float(gr['build_after_merge_s']))))}"
+            f" compaction intervals at the widest segmentation.")
+        lines.append("")
+
     # composed dedup service over REPEATED compaction intervals: the
     # steady-state sawtooth, not one handoff
     if any("dedup_service" in d for _, d in runs):
