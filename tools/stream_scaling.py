@@ -132,6 +132,12 @@ def main():
         lines.append("batch 0 (one-time plan-compile/codegen/state-init cost)")
         lines.append("is excluded and reported as `warmup ms`.")
         lines.append("")
+        lines.append("`paced_over` is the NEGATIVE CONTROL: deliberately")
+        lines.append("offered well above the measured drain rate, it must")
+        lines.append("report kept up = False with growing drift at every SF —")
+        lines.append("proof the detector reads both directions, not a")
+        lines.append("regression.")
+        lines.append("")
         lines.append("| sf | stage | offered rows/s | e2e p50 ms | e2e p95 ms"
                      " | e2e max ms | drift growth ms | warmup ms | kept up |")
         lines.append("|---|---|---|---|---|---|---|---|---|")
