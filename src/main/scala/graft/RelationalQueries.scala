@@ -208,6 +208,22 @@ object RelationalQueries {
         |  > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem) * 6
         |ORDER BY part_value DESC, l_partkey""".stripMargin)),
 
+    // q133: TPC-H Q16 shape — COUNT(DISTINCT) per (brand, size) with a
+    // NOT IN supplier deny-list (oracle keeps that spelling; Spark
+    // broadcasts the deny-list as a left anti join — equivalent here
+    // because s_suppkey is non-nullable — and two-phase-rewrites the
+    // distinct aggregate so no shuffle carries raw fact rows).
+    QueryDef("q133_supplier_diversity", (s, d) => supplierDiversity(s, d), Some(
+      """SELECT p_brand, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#4'
+        |  AND p_size IN (1,7,14,23,36,45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

@@ -485,6 +485,41 @@ object Relational {
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
 
+  /** TPC-H Q16 shape (q133): supplier diversity per (brand, size) —
+    * how many DISTINCT suppliers ship each qualifying part family,
+    * excluding a deny-list of suppliers (negative balance stands in
+    * for Q16's complaint-comment filter; lineitem's (partkey, suppkey)
+    * stands in for partsupp). The oracle keeps the classic
+    * `COUNT(DISTINCT …)` + `NOT IN (subquery)` spelling.
+    *
+    * Spark plan, sized for lineitem ≫ everything: ONE pass over the
+    * two-column lineitem scan, the deny-list as a broadcast LEFT ANTI
+    * (tiny, applied before any shuffle) and the brand/size-filtered
+    * part side as a broadcast equi-join (filters pushed to the part
+    * scan — dictionary skip on p_brand, min/max on p_size). The
+    * distinct aggregate is Catalyst's two-phase rewrite: partial
+    * dedup on (brand, size, suppkey) map-side, one shuffle keyed by
+    * the same triple, then the count over the deduped summary — no
+    * shuffle ever carries raw lineitem rows wider than three columns.
+    * NOT IN vs anti-join equivalence holds because s_suppkey is
+    * non-nullable in this schema (the null-aware edge can't fire).
+    */
+  def supplierDiversity(s: SparkSession, dir: String,
+      sizes: Seq[Int] = Seq(1, 7, 14, 23, 36, 45)): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .filter(col("p_brand") =!= "Brand#4" && col("p_size").isin(sizes: _*))
+    val denied = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   /** Top-k customers by total order value (group → TakeOrdered). */
   def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.orders(s, dir)

@@ -34,7 +34,8 @@ object ExplainAudit {
       "q125_large_volume_orders", "q126_small_qty_revenue",
       "q127_dominant_suppliers", "q128_top_revenue_supplier",
       "q129_order_count_distribution", "q130_disjunctive_revenue",
-      "q131_sales_opportunity", "q132_important_parts")
+      "q131_sales_opportunity", "q132_important_parts",
+      "q133_supplier_diversity")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

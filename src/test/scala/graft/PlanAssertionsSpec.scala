@@ -194,6 +194,28 @@ class PlanAssertionsSpec extends SparkSpec {
       "the global total must not become a nested-loop join")
   }
 
+  test("q133 Q16 shape: brand/size filters pushed to the part scan; " +
+      "deny-list and part both broadcast; the distinct aggregate's " +
+      "shuffle carries the deduped triple, never raw fact rows") {
+    val plan = formatted("q133_supplier_diversity")
+    assert("Not\\(EqualTo\\(p_brand".r.findFirstIn(plan).isDefined &&
+      "In\\(p_size".r.findFirstIn(plan).isDefined,
+      "brand/size predicates must reach the part parquet scan")
+    assert(plan.contains("LeftAnti"),
+      "the deny-list must plan as an anti join")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "deny-list AND part side must both broadcast — the fact table " +
+        "never shuffles through a join")
+    assert("Location[^\\n]*/lineitem".r.findAllIn(plan).size == 1 &&
+      "ReadSchema[^\\n]*l_partkey:bigint,l_suppkey".r.findFirstIn(plan)
+        .isDefined,
+      "lineitem scanned once, pruned to (l_partkey, l_suppkey)")
+    assert("hashpartitioning\\(p_brand[^\\n]*l_suppkey".r.findFirstIn(plan)
+      .isDefined,
+      "the distinct rewrite must shuffle the (brand, size, suppkey) " +
+        "triple — map-side dedup before the exchange")
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.
