@@ -224,6 +224,98 @@ object TextStreams {
         OutputMode.Append())
   }
 
+  /** One per-(arrival, band) ownership verdict: `ownerDoc == docId`
+    * means the arrival owns the bucket (first arrival inside the TTL
+    * horizon); otherwise it collides with the earlier `ownerDoc`.
+    */
+  final case class BandVerdict(docId: Long, band: Int, ownerDoc: Long)
+
+  /** [[BandOwnerProcessor]]'s total sibling: same state contract
+    * (first-arrival owner per (band, sig) key, same TTL semantics) but
+    * emits a verdict for EVERY input row, owned or not — the shape the
+    * ADMIT reduction needs, where silence cannot stand in for
+    * admission.
+    */
+  class BandVerdictProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, (String, Int, Long), BandVerdict] {
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState("owner", Encoders.scalaLong, ttl)
+
+    override def handleInputRows(sig: String, rows: Iterator[(String, Int, Long)],
+        timerValues: TimerValues): Iterator[BandVerdict] = {
+      val sorted = rows.toSeq.sortBy { case (_, _, doc) => doc }
+      var own = if (owner.exists()) owner.get() else -1L
+      val out = Seq.newBuilder[BandVerdict]
+      sorted.foreach { case (_, band, doc) =>
+        if (own < 0L) { own = doc; owner.update(doc) }
+        out += BandVerdict(doc, band, own)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** The ADMITTED-stream side of intra-stream near-dup: per arrival,
+    * one verdict per band bucket ([[BandVerdict]]), from which
+    * [[admittedOf]] reduces the batch-q123 KEEP set — admit iff the doc
+    * owns EVERY one of its buckets. [[streamingLshCollisions]] is the
+    * quarantine feed (emits only the collisions); this is its total
+    * complement for pipelines that want the deduped stream itself, at
+    * the same cost: identical banding, identical single
+    * `transformWithState`, identical O(distinct signatures in the
+    * horizon) state.
+    *
+    * Docs under 3 words carry no band signatures and are NEVER dropped
+    * by the batch rule; silence would read as a missing verdict, so
+    * each short doc flows through the SAME operator under a
+    * doc-unique key (`band = -1`) it trivially owns — one TTL'd state
+    * row, the price of a total output. The per-doc admit decision is
+    * complete WITHIN each micro-batch (an arrival's verdicts are
+    * produced by the batch that processed it), so [[admittedOf]] runs
+    * inside `foreachBatch` with no second stateful operator.
+    *
+    * Same TTL/trigger contract as [[streamingLshCollisions]]: TTL'd
+    * instances run on the processing-time clock — drive with a fixed
+    * ProcessingTime trigger or Trigger.Once, never
+    * `processAllAvailable`.
+    */
+  def streamingNearDupAdmit(spark: SparkSession, stream: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[BandVerdict] = {
+    import spark.implicits._
+    import graft.operators.Text
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"), Text.bandSigCol(b).as("sig"))
+    }
+    stream
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("hs", when(size(col("w")) >= 3, Text.shingleHashes))
+      .withColumn("bs",
+        when(size(col("w")) >= 3, array(bandStructs: _*))
+          .otherwise(array(struct(lit(-1).as("band"),
+            concat(lit("short|"), col("doc_id")).as("sig")))))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .select(col("b.sig").as("sig"), col("b.band").as("band"), col("doc_id"))
+      .as[(String, Int, Long)]
+      .groupByKey { case (sig, band, _) => s"$band|$sig" }
+      .transformWithState(new BandVerdictProcessor(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** Reduce one micro-batch of [[streamingNearDupAdmit]] verdicts to
+    * the admitted doc_ids (batch-q123 keep set): admit iff no band
+    * resolved to an earlier owner. Runs on the `foreachBatch`
+    * DataFrame — valid because every verdict of an arrival lands in
+    * the arrival's own micro-batch.
+    */
+  def admittedOf(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("docId"))
+      .agg(max(when(col("ownerDoc") =!= col("docId"), 1)
+        .otherwise(0)).as("__hit"))
+      .filter(col("__hit") === 0)
+      .select(col("docId").as("doc_id"))
+
   /** Span-level contamination AUDIT stream — the streaming twin of batch
     * q116 for an ARRIVING corpus: per incoming doc, how many of its
     * fixed-stride 60-char spans (operators.Text.docSpans geometry) are

@@ -293,6 +293,68 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingNearDupAdmit golden: dup dropped, owner kept, short " +
+      "docs always admitted, ownership survives across batches") {
+    withRocksDb {
+      import spark.implicits._
+      val filler = (0 until 20).map(i => s"tok$i").mkString(" ")
+      val other = "entirely different words " +
+        (0 until 20).map(i => s"x$i").mkString(" ")
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = TextStreams.streamingNearDupAdmit(
+        spark, mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("admit_golden")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // batch 1: 1 owns every bucket; 2 (identical) must drop; 3
+        // (disjoint) admits; 4 and 5 are IDENTICAL short docs — the
+        // batch rule never drops bandless docs, so BOTH admit
+        mem.addData(Seq((1L, s"alpha $filler"), (2L, s"alpha $filler"),
+          (3L, other), (4L, "too short"), (5L, "too short")))
+        q.processAllAvailable()
+        val a1 = TextStreams.admittedOf(spark.table("admit_golden"))
+          .as[Long].collect().toSet
+        assert(a1 === Set(1L, 3L, 4L, 5L))
+        // batch 2: a later duplicate of 1 still drops — ownership is
+        // in the state store, not the batch
+        mem.addData(Seq(6L -> s"alpha $filler"))
+        q.processAllAvailable()
+        val a2 = TextStreams.admittedOf(spark.table("admit_golden"))
+          .as[Long].collect().toSet
+        assert(a2 === Set(1L, 3L, 4L, 5L), "doc 6 must not be admitted")
+      } finally q.stop()
+    }
+  }
+
+  test("streamingNearDupAdmit == the batch q123 keep set over the " +
+      "documents corpus, fed in doc_id order across multiple batches") {
+    withRocksDb {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .as[(Long, String)].collect()
+      val dropped = SparkEntry.queries("q123_arrival_dedup")(spark, sfDir)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val expected = docs.map(_._1).toSet -- dropped
+      val mem = MemoryStream[(Long, String)](spark)
+      val q = TextStreams.streamingNearDupAdmit(
+        spark, mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("admit_vs_batch")
+        .outputMode(OutputMode.Append).start()
+      try {
+        docs.grouped(math.max(1, docs.length / 3)).foreach { slice =>
+          mem.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+        val admitted = TextStreams.admittedOf(spark.table("admit_vs_batch"))
+          .as[Long].collect().toSet
+        assert(admitted === expected)
+        assert(dropped.nonEmpty && admitted.nonEmpty,
+          "fixture must exercise both outcomes")
+      } finally q.stop()
+    }
+  }
+
   test("intra-stream LSH collisions: TTL'd ownership expires between Trigger.Once runs") {
     withRocksDb {
       import spark.implicits._

@@ -141,6 +141,29 @@ class StreamingPlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("near-dup ADMIT verdicts: exactly one transformWithState, short " +
+      "docs ride the same operator") {
+    withRocksDb {
+      import spark.implicits._
+      val mem = MemoryStream[(Long, String)](spark)
+      // one banded doc and one short doc: BOTH shapes must flow through
+      // the single stateful operator (no union of a second branch, no
+      // second state store for the bandless path)
+      mem.addData(Seq((1L, s"alpha $filler"), (2L, "too short")))
+      val plan = executedPlan(
+        TextStreams.streamingNearDupAdmit(spark,
+          mem.toDF().toDF("doc_id", "text"))
+          .toDF().writeStream.format("memory").queryName("audit_admit")
+          .outputMode(OutputMode.Append).start())
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(countOf(plan, "TransformWithState ") === 1, plan)
+      assert(!plan.contains("StateStoreSave"),
+        s"no accidental second stateful aggregation:\n$plan")
+      assert(!plan.contains("Union"),
+        s"short docs must ride the same operator, not a second branch:\n$plan")
+    }
+  }
+
   test("standing retrieval: one transformWithState over a broadcast-scored stream") {
     withRocksDb {
       import spark.implicits._
