@@ -499,6 +499,29 @@ object StreamBench {
         s""""ttl_ms":$ttlMs}"""
     }
 
+    // stage 5a'''': the ADMIT surface measured — streamingNearDupAdmit
+    // emits one ownership verdict per (arrival, band) (4 per banded
+    // doc, 1 per short doc: ~4x the collision feed's worst case, the
+    // price of a total output), same single state operator, same TTL
+    // horizon. `admitted` is the foreachBatch reduction's answer — the
+    // deduped stream a consumer actually keeps (here reduced over the
+    // whole run: doc_ids are unique, so the per-batch and whole-run
+    // reductions agree).
+    val admit = {
+      val q = streaming.TextStreams.streamingNearDupAdmit(spark,
+          arrivals.select(col("doc_id"), col("text")),
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+        .toDF().writeStream.format("memory").queryName("admit_ttl")
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .outputMode(OutputMode.Append).start()
+      val (progress, drainWall) = runPaced(q, gateIn, settleMs = 2 * ttlMs + 1500)
+      val verdicts = spark.table("admit_ttl")
+      val outRows = verdicts.count()
+      val admitted = streaming.TextStreams.admittedOf(verdicts).count()
+      s""""admit":{${progressJson(progress, gateIn, outRows, drainWall)},""" +
+        s""""admitted":$admitted,"ttl_ms":$ttlMs}"""
+    }
+
     // stage 5a'': the COMPACTION handoff measured. Phase 1 arrivals
     // accrete ownership state; then IndexCompaction folds them into the
     // landed gate index (the once-per-interval batch job); phase 2 runs
@@ -838,7 +861,7 @@ object StreamBench {
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
       s"""$tumbling,$replaySrc,$paced50,$paced90,$pacedOver,$gate,$pacedGate,$assign,$sessions,""" +
-      s"""$lsh,$lshTtl,$compaction,$dedupService,$blobGate,$audit,$standing,""" +
+      s"""$lsh,$lshTtl,$admit,$compaction,$dedupService,$blobGate,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")
