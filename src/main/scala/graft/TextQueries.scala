@@ -812,6 +812,58 @@ object TextQueries {
          |WHERE d.source <> 'src0'
          |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
+    // q134: HyperLogLog distinct audit — the q90/q91 determinism
+    // discipline on the third classic sketch: trailing-zero rank via
+    // lowest-set-bit (exact integer arithmetic; round(log2) of an
+    // exact power of two absorbs libm ulps), ranks capped at 24 so the
+    // harmonic sum is a BIGINT (float sums are order-dependent across
+    // engines), estimate = one exact integer division.
+    QueryDef("q134_hll_distinct", (s, d) => hllDistinct(s, d), Some(
+      s"""WITH it AS (
+         |  SELECT 'token' AS domain, lang,
+         |    unnest(string_split(text, ' ')) AS item FROM documents
+         |  UNION ALL
+         |  SELECT 'shingle' AS domain, lang,
+         |    unnest(list_distinct(list_transform(
+         |      generate_series(1, len(w)-2),
+         |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS item
+         |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)),
+         |h AS (SELECT domain, lang, ${h60("item")} AS h FROM it),
+         |regs AS (
+         |  SELECT domain, lang, h % 256 AS bucket,
+         |    MAX(CASE WHEN (h // 256) = 0 THEN 24
+         |      ELSE LEAST(CAST(round(log2((h // 256) & (-(h // 256)))) AS INT)
+         |        + 1, 24) END) AS r
+         |  FROM h GROUP BY 1, 2, 3),
+         |summ AS (
+         |  SELECT domain, lang,
+         |    SUM(CAST(1 AS BIGINT) << (24 - r)) +
+         |      (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 24) AS s_total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(MAX(r) AS INT) AS max_rho
+         |  FROM regs GROUP BY 1, 2),
+         |est AS (
+         |  SELECT domain, lang, n_buckets, max_rho,
+         |    789749515417550848 // (1000000 * s_total) AS raw,
+         |    256 - n_buckets AS zeros
+         |  FROM summ),
+         |fin AS (
+         |  SELECT domain, lang, n_buckets, max_rho,
+         |    CASE WHEN zeros > 0 AND raw <= 640
+         |      THEN (256 * CAST(round(ln(256.0 / zeros) * 1000000) AS BIGINT))
+         |        // 1000000
+         |      ELSE raw END AS n_hll
+         |  FROM est),
+         |ex AS (SELECT domain, lang, COUNT(DISTINCT item) AS n_exact FROM it
+         |       GROUP BY 1, 2)
+         |SELECT ex.domain, ex.lang, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_hll AS BIGINT) AS n_hll,
+         |  CAST(abs(n_hll - n_exact) * 1000000 // n_exact AS BIGINT)
+         |    AS abs_err_ppm,
+         |  n_buckets, max_rho
+         |FROM ex JOIN fin USING (domain, lang)
+         |ORDER BY ex.domain, ex.lang""".stripMargin)),
+
     QueryDef("q80_source_kl", (s, d) => sourceKl(s, d), Some(
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

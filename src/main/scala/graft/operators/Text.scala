@@ -1576,6 +1576,93 @@ object Text {
       .orderBy(col("term"))
   }
 
+  /** HyperLogLog distinct-count audit — the third classic sketch next
+    * to count-min (q90) and Bloom (q91), spelled fully relationally AND
+    * fully deterministically: per (domain, lang), a 256-register HLL
+    * over the shared 60-bit hash of the domain's items (tokens;
+    * word-3-gram shingles), reported AGAINST the exact distinct count
+    * with the error in ppm — so the oracle rebuilds the identical
+    * sketch and the comparison is exact integers, never a
+    * probabilistic assertion.
+    *
+    * Determinism discipline (the q90/q91 pattern, pushed further):
+    *  - register rank uses TRAILING zeros (distribution-identical to
+    *    the textbook leading-zero rho) because the lowest set bit is
+    *    exact integer arithmetic in both engines — `v & -v`, then
+    *    `round(log2(...))` which is exact (the true value is an
+    *    integer; rounding absorbs any last-ulp libm difference);
+    *  - ranks cap at 24 so the harmonic sum lives in INTEGER space:
+    *    `sum(2^(24-r))` plus `2^24` per empty register — float
+    *    summation is order-dependent across engines, a BIGINT sum is
+    *    not;
+    *  - the estimate is one exact integer division:
+    *    `(alpha_256 in millionths * m^2 * 2^24) div (10^6 * S)` — the
+    *    numerator precomputed as a literal, alpha_256 = 0.718273
+    *    (0.7213 / (1 + 1.079/256)) — plus the textbook small-range
+    *    switch to linear counting (`m·ln(m/zeros)` when zeros > 0 and
+    *    the raw estimate ≤ 2.5m), its one float ln rounded at micro
+    *    precision before exact integer arithmetic (the q80 ln
+    *    discipline). The audit runs BOTH regimes: the token domain's
+    *    per-lang vocab is tiny (linear-counting branch), the shingle
+    *    domain is in the raw-HLL regime.
+    *
+    * Shape at scale: registers aggregate with map-side partial MAX
+    * (the whole sketch is 256 rows per lang — mergeable state, the
+    * reason HLL is the production distinct-counter at 100 TB); the
+    * exact side exists only for the audit and is the expensive
+    * two-shuffle distinct the sketch replaces.
+    */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val cap = 24
+    val num = 789749515417550848L // 718273 * 2^40 = alpha_ppm * m^2 * 2^cap
+    val docs = Tables.documents(s, dir)
+    // two cardinality regimes in one audit: the per-lang token vocab is
+    // TINY in this corpus (exercises the linear-counting branch) and
+    // the shingle space is thousands-to-tens-of-thousands (the raw-HLL
+    // regime) — every code path runs under the oracle
+    val toks = docs.select(lit("token").as("domain"), col("lang"),
+      explode(split(col("text"), " ")).as("item"))
+    val shing = docs.select(col("lang"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(lit("shingle").as("domain"), col("lang"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+        ))).as("item"))
+    val items = toks.unionAll(shing)
+    val hashed = items.select(col("domain"), col("lang"),
+      hash60(col("item")).as("h"))
+    val v = shiftright(col("h"), 8)
+    val rho = when(v === 0, lit(cap)).otherwise(
+      least(round(log2(v.bitwiseAND(-v))).cast(IntegerType) + lit(1), lit(cap)))
+    val regs = hashed
+      .groupBy(col("domain"), col("lang"), pmod(col("h"), lit(m)).as("bucket"))
+      .agg(max(rho).as("r"))
+    val summary = regs.groupBy(col("domain"), col("lang"))
+      .agg(sum(expr(s"shiftleft(1L, $cap - r)")).as("s_present"),
+        count(lit(1)).as("n_buckets"), max(col("r")).as("max_rho"))
+      .withColumn("s_total", col("s_present") +
+        (lit(m.toLong) - col("n_buckets")) * lit(1L << cap))
+      .withColumn("raw", expr(s"${num}L div (1000000L * s_total)"))
+      .withColumn("zeros", lit(m.toLong) - col("n_buckets"))
+      // textbook small-range correction (linear counting), in the q80
+      // round-micro-ln discipline: one float ln rounded at micro
+      // precision, then exact integer arithmetic
+      .withColumn("n_hll", expr(
+        s"""CASE WHEN zeros > 0 AND raw <= ${5 * m / 2}
+           |  THEN (${m}L * CAST(round(ln(${m}.0 / zeros) * 1000000) AS BIGINT))
+           |    div 1000000L
+           |  ELSE raw END""".stripMargin))
+    val exact = items.groupBy(col("domain"), col("lang"))
+      .agg(countDistinct(col("item")).as("n_exact"))
+    exact.join(summary, Seq("domain", "lang"))
+      .select(col("domain"), col("lang"), col("n_exact"), col("n_hll"),
+        expr("(abs(n_hll - n_exact) * 1000000L) div n_exact")
+          .as("abs_err_ppm"),
+        col("n_buckets"), col("max_rho"))
+      .orderBy(col("domain"), col("lang"))
+  }
+
   /** Bloom-filter dedup pre-filter — the cheap membership gate a
     * 100 TB incremental-ingest pipeline runs BEFORE the exact q63
     * anti-join: k=5 salted-hash bit positions, bit space sized to the
