@@ -604,4 +604,75 @@ object TextStreams {
       .transformWithState(new CountMinCellProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** One HLL register as one `transformWithState` key: its value is
+    * the running MAX rank — monotone, so per-batch merges and
+    * checkpoint restores are order-insensitive and exact. Emits
+    * (bucket, rank) only on increase: at most 24 emissions per
+    * register over a stream's whole lifetime.
+    */
+  class HllRegisterProcessor
+      extends StatefulProcessor[Long, (Long, Int), (Long, Int)] {
+    @transient private var reg: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reg = getHandle.getValueState("r", Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(bucket: Long, rows: Iterator[(Long, Int)],
+        timerValues: TimerValues): Iterator[(Long, Int)] = {
+      val incoming = rows.map(_._2).max
+      val cur = if (reg.exists()) reg.get() else 0
+      if (incoming > cur) {
+        reg.update(incoming)
+        Iterator.single(bucket -> incoming)
+      } else Iterator.empty
+    }
+  }
+
+  /** The q134 HyperLogLog maintained INCREMENTALLY over an item
+    * stream — the live distinct counter: each of the 256 registers is
+    * one `transformWithState` key holding its running max rank
+    * (same 60-bit hash, same trailing-zero rank capped at 24 as the
+    * batch sketch), so the sketch partitions across executors, lives
+    * in the state store, and never needs a batch rebuild. Duplicate
+    * and re-fed items are absorbed by the max — exactly the HLL
+    * insert rule. After any stream prefix, the latest emission per
+    * bucket equals the batch register table over the same items, and
+    * [[hllEstimate]] over those registers is the batch q134 estimate —
+    * asserted in `EventStreamsSpec`.
+    */
+  def streamingHll(spark: SparkSession,
+      ds: Dataset[String]): Dataset[(Long, Int)] = {
+    import spark.implicits._
+    ds.map { item =>
+      val h = hash60(item)
+      val v = h >>> 8
+      val rho =
+        if (v == 0L) 24
+        else math.min(java.lang.Long.numberOfTrailingZeros(v) + 1, 24)
+      (h % 256, rho)
+    }
+      .groupByKey(_._1)
+      .transformWithState(new HllRegisterProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The q134 estimate over a register snapshot (latest rank per
+    * bucket): the identical integer arithmetic as the batch/oracle
+    * spelling — BIGINT harmonic sum with ranks capped at 24, one exact
+    * integer division, micro-rounded linear counting in the
+    * small range.
+    */
+  def hllEstimate(regs: Iterable[(Long, Int)]): Long = {
+    val m = 256
+    val cap = 24
+    val present = regs.toMap
+    val sTotal = present.values.map(r => 1L << (cap - r)).sum +
+      (m - present.size).toLong * (1L << cap)
+    val raw = 789749515417550848L / (1000000L * sTotal)
+    val zeros = m - present.size
+    if (zeros > 0 && raw <= 5L * m / 2)
+      m * math.round(math.log(m.toDouble / zeros) * 1e6) / 1000000L
+    else raw
+  }
 }

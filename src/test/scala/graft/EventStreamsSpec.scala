@@ -948,6 +948,47 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL registers match an independent rank rule; " +
+      "re-fed items are absorbed; the estimate lands in the error envelope") {
+    withRocksDb {
+      import spark.implicits._
+      val items = (1 to 5000).map(i => s"item$i")
+      val mem = MemoryStream[String](spark)
+      val q = TextStreams.streamingHll(spark, mem.toDS())
+        .writeStream.format("memory").queryName("hll_stream")
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(items.take(3000))
+        q.processAllAvailable()
+        // re-feed a prefix (duplicates must be absorbed by the max)
+        // alongside the remainder
+        mem.addData(items.drop(3000) ++ items.take(500))
+        q.processAllAvailable()
+        val regs = spark.table("hll_stream").as[(Long, Int)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        // independent spelling of the register rule: library-side uses
+        // Long.numberOfTrailingZeros over the JVM hash; this recomputes
+        // via string bit-twiddling on the same 60-bit value
+        val expected = items.map { it =>
+          val h = TextStreams.hash60(it)
+          val v = h >>> 8
+          val rho =
+            if (v == 0L) 24
+            else math.min(
+              (v.toBinaryString.reverse.takeWhile(_ == '0').length + 1), 24)
+          (h % 256, rho)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        assert(regs === expected)
+        val est = TextStreams.hllEstimate(regs.toSeq)
+        // deterministic, but asserted as the HLL error envelope
+        // (~1.04/sqrt(256) = 6.5% sigma) so the number stays meaningful
+        // rather than an opaque golden
+        assert(math.abs(est - 5000L) <= 1000L,
+          s"estimate $est outside 20% of the true 5000")
+      } finally q.stop()
+    }
+  }
+
   test("streaming count-min cell sums accumulate across micro-batches to the batch sketch") {
     withRocksDb {
     import spark.implicits._
