@@ -158,13 +158,22 @@ object Materialize {
     * Abandoned temp dirs (name `…​.tmp_<pid>_<host>_<nanos>`): stale iff
     * the embedded host matches THIS machine AND the owner pid is
     * provably dead — on shared storage a remote run's pid is
-    * meaningless in the local /proc, so a foreign or host-less
-    * (legacy-format) temp dir is always kept. Anything unrecognizable
-    * is kept.
+    * meaningless in the local /proc, so a foreign temp dir is always
+    * kept. A HOST-LESS temp name (`.tmp_<pid>_<nanos>`, the pre-host
+    * legacy format) can't prove locality from the name alone, so it
+    * gets a one-time migration rule: stale only when the dir has sat
+    * untouched past [[LegacyTmpGraceMs]] (a publish lasts seconds, so
+    * any live writer — local or remote — is far inside the grace
+    * window) AND, when local /proc semantics exist, the embedded pid
+    * is absent. Without the age fence those pre-upgrade crash
+    * leftovers would leak forever. Anything unrecognizable is kept.
     */
+  private[graft] val LegacyTmpGraceMs: Long = 24L * 3600 * 1000
+
   private[graft] def isStaleShared(dir: java.io.File,
       procRoot: java.io.File = new java.io.File("/proc"),
-      host: String = hostTag): Boolean = {
+      host: String = hostTag,
+      nowMs: Long = System.currentTimeMillis()): Boolean = {
     val name = dir.getName
     val tmpIdx = name.indexOf(".tmp_")
     if (tmpIdx >= 0) {
@@ -172,9 +181,19 @@ object Materialize {
       val pidPart = rest.takeWhile(_.isDigit)
       val hostPart = rest.drop(pidPart.length).stripPrefix("_")
         .reverse.dropWhile(_.isDigit).stripPrefix("_").reverse
-      hostPart.nonEmpty && hostPart == host &&
-        procRoot.isDirectory && pidPart.toLongOption.exists(p =>
+      if (hostPart.nonEmpty)
+        hostPart == host && procRoot.isDirectory &&
+          pidPart.toLongOption.exists(p =>
+            !new java.io.File(procRoot, p.toString).exists())
+      else {
+        // legacy host-less format: age fence, plus the pid check
+        // wherever local /proc semantics exist
+        val mtime = dir.lastModified()
+        val pidOk = !procRoot.isDirectory || pidPart.toLongOption.exists(p =>
           !new java.io.File(procRoot, p.toString).exists())
+        pidPart.nonEmpty && mtime > 0L &&
+          nowMs - mtime > LegacyTmpGraceMs && pidOk
+      }
     } else {
       val marker = new java.io.File(dir, SrcMarker)
       val fpIdx = name.lastIndexOf("__")

@@ -211,20 +211,52 @@ object IndexCompaction {
 
   /** Union read over the live epoch set, with one re-list-and-retry if
     * the read trips on a dir a concurrent merge's sweep removed
-    * between our listing and the scan's file listing (possible only
+    * between our listing and ANALYSIS-time file listing (possible only
     * when a reader straddles TWO merges — the tombstone grace period
     * covers one; see object doc).
+    *
+    * The retry covers analysis time only: forcing `df.schema` resolves
+    * the paths now, but Spark may re-list files when the plan later
+    * EXECUTES, so a DataFrame held across a straddled second merge can
+    * still die with a FileNotFoundException at action time, outside
+    * this catch. Callers must not cache a union DataFrame across merge
+    * boundaries — rebuild it per cycle (as the dedup-service gate
+    * does) or wrap the ACTION in [[readRetrying]].
     */
   private def union(spark: SparkSession, root: String, sub: String): DataFrame = {
     def read(): DataFrame = {
       val paths = epochs(root).map(e => s"$root/${epochName(e)}/$sub")
       require(paths.nonEmpty, s"no index at $root")
       val df = spark.read.parquet(paths: _*)
-      df.schema // force analysis (file listing) now, inside the retry
+      df.schema // resolve (analysis-time file listing) inside the retry
       df
     }
     try read()
     catch { case _: org.apache.spark.sql.AnalysisException => read() }
+  }
+
+  /** Run an ACTION over index-reading DataFrames, retrying once with
+    * freshly-built frames if execution-time file listing trips on a
+    * concurrently merged-away epoch dir (FileNotFoundException
+    * surfaces wrapped in a SparkException from the task). `fresh` must
+    * re-derive its frames from [[bands]]/[[hashes]] so the retry sees
+    * the post-merge epoch listing.
+    */
+  def readRetrying[A](fresh: () => A): A =
+    try fresh()
+    catch {
+      case e: org.apache.spark.SparkException
+          if fileGone(e) => fresh()
+      case _: java.io.FileNotFoundException => fresh()
+    }
+
+  private def fileGone(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause
+    }
+    false
   }
 
   /** The index's (band, sig) table — union of all published epochs (may

@@ -401,7 +401,7 @@ object TextStreams {
     import graft.operators.Text
     val tf = Text.tfStage(spark, dir).select(col("term"), col("doc_id"), col("cnt"))
     val ndocs = graft.sources.Tables.documents(spark, dir).count()
-    val total = tf.agg(sum(col("cnt"))).head.getLong(0)
+    val total = tf.agg(sum(col("cnt"))).head().getLong(0)
     val terms = Text.RetrievalQueries.flatMap(_._2).distinct
     val dfs = tf.filter(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
@@ -666,7 +666,11 @@ object TextStreams {
   def hllEstimate(regs: Iterable[(Long, Int)]): Long = {
     val m = 256
     val cap = 24
-    val present = regs.toMap
+    // reduce by MAX per bucket: an Update-mode sink's full emission
+    // history arrives in partition-dependent order, so a snapshot that
+    // still carries superseded (bucket, rank) rows must not let a stale
+    // lower rank win (a plain toMap keeps the LAST duplicate)
+    val present = regs.groupMapReduce(_._1)(_._2)(math.max)
     val sTotal = present.values.map(r => 1L << (cap - r)).sum +
       (m - present.size).toLong * (1L << cap)
     val raw = 789749515417550848L / (1000000L * sTotal)

@@ -985,6 +985,16 @@ class EventStreamsSpec extends SparkSpec {
         // rather than an opaque golden
         assert(math.abs(est - 5000L) <= 1000L,
           s"estimate $est outside 20% of the true 5000")
+        // hllEstimate must reduce duplicates by MAX itself: the raw
+        // Update-mode emission history carries superseded lower ranks in
+        // partition-dependent order — feed it unreduced, worst-case
+        // ordered (stale rank LAST per bucket), and expect the same
+        // estimate
+        val history = spark.table("hll_stream").as[(Long, Int)].collect()
+        val staleLast = scala.util.Random.shuffle(history.toSeq)
+          .sortBy { case (_, r) => -r } // descending rank ⇒ stale rank last
+        assert(TextStreams.hllEstimate(staleLast) === est,
+          "estimate from unreduced emission history must match the reduced snapshot")
       } finally q.stop()
     }
   }

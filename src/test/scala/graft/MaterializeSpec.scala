@@ -126,13 +126,34 @@ class MaterializeSpec extends SparkSpec {
     // /proc, so it must never be swept (shared-NFS contract)
     val foreign = new java.io.File(sharedBase,
       "spec_x__ab.tmp_9999999_another-host_1")
-    // legacy host-less format: ambiguous origin, kept (fail safe)
+    // legacy host-less format: ambiguous origin, kept while fresh
     val legacy = new java.io.File(sharedBase, "spec_x__ab.tmp_9999999_1")
     dead.mkdirs(); live.mkdirs(); foreign.mkdirs(); legacy.mkdirs()
     assert(Materialize.isStaleShared(dead, proc))
     assert(!Materialize.isStaleShared(live, proc))
     assert(!Materialize.isStaleShared(foreign, proc))
     assert(!Materialize.isStaleShared(legacy, proc))
+  }
+
+  test("shared sweep: legacy host-less temp dir migrates — stale once aged past the grace window with a dead pid, kept while young or while the pid lives") {
+    val proc = tempDir("fake_proc_")
+    Files.createDirectory(proc.toPath.resolve("4242"))
+    val agedDead = new java.io.File(sharedBase, "spec_y__ab.tmp_9999999_1")
+    val agedLive = new java.io.File(sharedBase, "spec_y__ab.tmp_4242_1")
+    agedDead.mkdirs(); agedLive.mkdirs()
+    val later = System.currentTimeMillis() + Materialize.LegacyTmpGraceMs + 60000L
+    // aged past grace + provably dead pid: the one-time migration sweeps it
+    assert(Materialize.isStaleShared(agedDead, proc, nowMs = later))
+    // aged but the pid is alive locally: kept
+    assert(!Materialize.isStaleShared(agedLive, proc, nowMs = later))
+    // young (same dirs, real clock): kept regardless of pid
+    assert(!Materialize.isStaleShared(agedDead, proc))
+    // host-CARRYING foreign temp dirs never age out — the migration rule
+    // is only for the host-less legacy format
+    val foreignAged = new java.io.File(sharedBase,
+      "spec_y__ab.tmp_9999999_another-host_1")
+    foreignAged.mkdirs()
+    assert(!Materialize.isStaleShared(foreignAged, proc, nowMs = later))
   }
 
   // ------------------------------------------------------------------
