@@ -224,6 +224,34 @@ object RelationalQueries {
         |GROUP BY p_brand, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
 
+    // q135: TPC-H Q9 shape — product-line profit by (nation, year),
+    // the registry's deepest star probe: lineitem ⋈ part ⋈ supplier ⋈
+    // nation ⋈ orders with a part-name substring filter. No partsupp
+    // in the driver schema, so unit cost comes from p_retailprice.
+    // Oracle keeps the flat five-table join; Spark broadcasts the
+    // name-filtered part and supplier⋈nation dims so the ONLY shuffle
+    // that moves fact rows is lineitem ⋈ orders on the order key.
+    QueryDef("q135_profit_by_nation_year",
+      (s, d) => profitByNationYear(s, d), Some(
+      """SELECT nation, o_year,
+        |  CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+        |  COUNT(*) AS n_lines
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      - CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(p_retailprice AS DECIMAL(18,2)) AS amount
+        |  FROM lineitem
+        |    JOIN part ON p_partkey = l_partkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN nation ON n_nationkey = s_nationkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE p_name LIKE 'red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

@@ -771,4 +771,54 @@ object Relational {
           .as("share_micro"))
       .orderBy(col("o_year"))
   }
+
+  /** TPC-H Q9 shape (q135): product-line profit by (nation, year) —
+    * the deepest star probe in the registry: lineitem against FOUR
+    * other tables (part, supplier, nation, orders) with a part-NAME
+    * substring filter. The driver schema has no partsupp, so the Q9
+    * cost term `ps_supplycost * l_quantity` becomes
+    * `p_retailprice * l_quantity` (cost-of-goods at retail from the
+    * part dimension — same shape: a dimension-sourced unit cost scaled
+    * by quantity and subtracted from discounted revenue). The oracle
+    * keeps the classic flat five-table join.
+    *
+    * Spark plan (the 100 TB shape): part is name-filtered AT THE SCAN
+    * (pushed StartsWith ⇒ dictionary/row-group skip) and broadcast —
+    * the ~13% selectivity cuts fact rows before anything shuffles;
+    * supplier⋈nation folds to one tiny broadcast map. Orders is
+    * fact-sized (never broadcastable at scale), so l_orderkey ⋈
+    * o_orderkey is THE one shuffle that moves fact rows — orders
+    * projected to (key, year) only. The final (nation, year) aggregate
+    * partially aggregates map-side to ~|nations|×|years| rows per
+    * task, so its exchange carries a summary, not the fact stream.
+    * Profit stays in exact two-factor DECIMAL products until the final
+    * cast (both engines compute identical exact decimals).
+    */
+  def profitByNationYear(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supNat = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("nation"))), Seq("s_nationkey"))
+      .select(col("s_suppkey"), col("nation"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("amount", dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))) -
+        dec2(col("l_quantity")) * dec2(col("p_retailprice")))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount")).cast(DoubleType).as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
 }

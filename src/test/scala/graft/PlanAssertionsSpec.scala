@@ -216,6 +216,36 @@ class PlanAssertionsSpec extends SparkSpec {
         "triple — map-side dedup before the exchange")
   }
 
+  test("q135 Q9 shape: part-name filter pushed to the scan; every " +
+      "dimension broadcasts; fact rows reach the (nation, year) " +
+      "aggregate without a pre-aggregation hash shuffle") {
+    val plan = formatted("q135_profit_by_nation_year")
+    assert(plan.contains("StringStartsWith(p_name,red)"),
+      "the part-name prefix filter must push into the part scan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      "part, supplier, nation (and at this SF orders) must broadcast — " +
+        "fact rows never build a hash side")
+    assert("Location[^\\n]*/lineitem".r.findAllIn(plan).size == 1 &&
+      "ReadSchema[^\\n]*l_quantity".r.findFirstIn(plan).isDefined &&
+      !plan.contains("l_shipdate") && !plan.contains("l_tax"),
+      "lineitem scanned once, pruned to its six needed columns")
+    assert("ReadSchema[^\\n]*o_orderdate".r.findFirstIn(plan).isDefined &&
+      !plan.contains("o_custkey") && !plan.contains("o_totalprice"),
+      "orders pruned to (o_orderkey, o_orderdate)")
+    // the aggregate's exchange is the only hash shuffle: partial
+    // HashAggregate reduces each task to ~|nations|x|years| rows before
+    // anything moves. (At 100 TB the orders join adds ONE key shuffle;
+    // at this SF Catalyst broadcasts orders, so zero pre-agg shuffles.)
+    assert("hashpartitioning\\(nation".r.findAllIn(plan).size == 1 &&
+      "hashpartitioning".r.findAllIn(plan).size == 1,
+      "exactly one hash exchange — the (nation, year) summary")
+    // two operators, each printed twice (tree line + detail block)
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(plan).size == 2,
+      "partial + final aggregate pair (map-side combine)")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.
