@@ -63,7 +63,7 @@ object StreamBench {
     * follows event time — the watermark then advances monotonically
     * across micro-batches, exactly how a production stream arrives.
     */
-  private def sliceOrdered(df: DataFrame, orderCol: String, n: Int,
+  private[graft] def sliceOrdered(df: DataFrame, orderCol: String, n: Int,
       path: String): Unit = {
     val dir = new java.io.File(path)
     if (dir.exists()) {

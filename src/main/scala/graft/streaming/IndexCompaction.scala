@@ -273,8 +273,9 @@ object IndexCompaction {
     * continuously-running service constructs after each compaction
     * (and after every restart — O(read), no derivation).
     */
-  def gate(spark: SparkSession, root: String, stream: DataFrame): DataFrame =
+  def gate(spark: SparkSession, root: String, stream: DataFrame,
+      keepText: Boolean = false): DataFrame =
     TextStreams.nearDupGateOn(stream,
       bands(spark, root).localCheckpoint(true),
-      hashes(spark, root).localCheckpoint(true))
+      hashes(spark, root).localCheckpoint(true), keepText)
 }

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+import java.util.concurrent.atomic.AtomicLong
+
+/** The COMPOSED ingest pipeline run as repeating compaction intervals —
+  * the production loop the individual stages measure in isolation:
+  *
+  *   arrivals ─▶ near-dup GATE (vs the landed epoch index)
+  *            ─▶ streamingNearDupAdmit (intra-cycle ownership)
+  *            ─▶ admittedOf inside foreachBatch
+  *            ─▶ EXACTLY-ONCE landing (one batch_id partition per
+  *               micro-batch, idempotent dynamic overwrite)
+  *            ─▶ MINOR compaction folding exactly the landed batch
+  *            ─▶ next cycle's gate reads the grown index.
+  *
+  * One streaming query per cycle: the stream-static anti-joins are
+  * stateless, so the chain carries ONE stateful operator (the band
+  * ownership store), and each cycle's fresh query starts with empty
+  * state — intra-cycle history lives in the store, cross-cycle history
+  * lives in the index. That split fixes the loop's dedup policy:
+  *
+  *  - within a cycle, drop iff an earlier gate-surviving arrival owns
+  *    one of the doc's band buckets (the q123 arrival rule);
+  *  - across cycles, drop iff the doc collides with a doc the dataset
+  *    actually KEPT (the landed index owns only landed signatures).
+  *
+  * The two agree with the batch q123 keep set over the whole stream
+  * unless a NEVER-LANDED doc bridges cycles — doc A dropped in cycle
+  * k, doc E arriving in cycle k+1 colliding only with A's other
+  * buckets. Strict q123 drops E; the loop ADMITS it, deliberately:
+  * A's content never entered the dataset, so E is not a duplicate of
+  * anything kept — dropping it would lose coverage. `IngestLoopSpec`
+  * pins exact q123 equality on the bridge-free corpus SFs and pins the
+  * admit-the-bridge policy where bridges exist (sf0.1).
+  *
+  * 100 TB shape: every per-arrival step is an equi-join against a
+  * broadcast index or a state-store lookup keyed by band signature —
+  * no all-pairs anywhere; the landing join attaches payloads by doc_id
+  * against the cycle's lake segment (broadcasting only the admitted-id
+  * set, never payloads); compaction is O(landed batch).
+  */
+object IngestLoop {
+
+  final case class CycleStats(
+      cycle: Int,
+      arrivals: Long,
+      gateAdmitted: Long, // distinct docs that survived the gate
+      admitted: Long,     // docs admittedOf kept (sum over batches)
+      landed: Long,       // rows read back from the cycle's landed dir
+      folded: Long,       // rows handed to the MINOR compaction
+      epochsAfter: Int,
+      gateBuildS: Double,
+      drainWallS: Double,
+      compactS: Double)
+
+  /** Run ONE compaction interval over the pre-sliced arrival files in
+    * `cycleDir`. The landed docs are written to
+    * `landRoot/cycle_<cycle>` partitioned by micro-batch id
+    * (exactly-once: a replayed batch overwrites its own partition),
+    * then folded into the index at `idxRoot` as a new delta epoch.
+    */
+  def runCycle(spark: SparkSession, idxRoot: String, landRoot: String,
+      cycle: Int, cycleDir: String, schema: StructType,
+      nArrivals: Long): CycleStats = {
+    val cycleLand = s"$landRoot/cycle_$cycle"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(cycleDir)
+      .select(col("doc_id"), col("text"),
+        // synthesize an eventTime when the arrival schema carries none
+        // (the gate projects it through; the loop itself doesn't use it)
+        (if (schema.fieldNames.contains("eventTime")) col("eventTime")
+         else timestamp_seconds(col("doc_id"))).as("eventTime"))
+
+    // gate REBUILD from the live epoch listing — the per-interval
+    // restart cost a deployment pays after each compaction
+    val tG = System.nanoTime()
+    val gated = IndexCompaction.gate(spark, idxRoot, stream, keepText = true)
+    val gateBuildS = (System.nanoTime() - tG) / 1e9
+
+    val verdicts = TextStreams.streamingNearDupAdmit(spark,
+      gated.select(col("doc_id"), col("text")))
+
+    // the cycle's lake segment, for attaching payloads to admitted ids
+    val cycleBatch = spark.read.parquet(cycleDir)
+      .select(col("doc_id"), col("text"))
+    val gateSurvivors = new AtomicLong(0L)
+    val admittedN = new AtomicLong(0L)
+    val tD = System.nanoTime()
+    val q = verdicts.toDF().writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val batch = df.localCheckpoint(true) // verdicts used twice
+        gateSurvivors.addAndGet(
+          batch.select(col("docId")).distinct().count()): Unit
+        val admitted = TextStreams.admittedOf(batch).localCheckpoint(true)
+        admittedN.addAndGet(admitted.count()): Unit
+        val docs = cycleBatch.join(broadcast(admitted), Seq("doc_id"))
+        graft.sources.Sinks.backfillPartitions(
+          docs.withColumn("batch_id", lit(batchId)), "batch_id", cycleLand)
+      }
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val drainWallS = (System.nanoTime() - tD) / 1e9
+
+    // fold EXACTLY the landed batch into the index — the minor
+    // compaction whose delta the next cycle's gate owns statically
+    val landedDocs = spark.read.parquet(cycleLand)
+      .select(col("doc_id"), col("text"))
+    val landed = landedDocs.count()
+    val folded = landed
+    val tC = System.nanoTime()
+    IndexCompaction.compact(spark, idxRoot, landedDocs): Unit
+    val compactS = (System.nanoTime() - tC) / 1e9
+
+    CycleStats(cycle, nArrivals, gateSurvivors.get(), admittedN.get(),
+      landed, folded, IndexCompaction.epochs(idxRoot).size,
+      gateBuildS, drainWallS, compactS)
+  }
+
+  /** All landed docs across the loop's cycles so far (doc_id, text). */
+  def landedAll(spark: SparkSession, landRoot: String): DataFrame = {
+    val dirs = Option(new java.io.File(landRoot).listFiles())
+      .getOrElse(Array.empty).filter(f =>
+        f.isDirectory && f.getName.startsWith("cycle_"))
+      .map(_.getAbsolutePath)
+    require(dirs.nonEmpty, s"no landed cycles under $landRoot")
+    // one read per cycle dir: each is independently partitioned by
+    // batch_id, so a multi-path read would see conflicting layouts
+    dirs.toIndexedSeq
+      .map(d => spark.read.parquet(d).select(col("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+  }
+}

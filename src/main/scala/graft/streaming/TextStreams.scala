@@ -110,19 +110,24 @@ object TextStreams {
     * append-only delta segments without a rewrite.
     */
   private[graft] def nearDupGateOn(stream: DataFrame, bandIdx: DataFrame,
-      hashes: DataFrame): DataFrame = {
+      hashes: DataFrame, keepText: Boolean = false): DataFrame = {
     import graft.operators.Text
     val withSig = stream
       .withColumn("h", md5(col("text").cast("binary")))
       .withColumn("w", split(col("text"), " "))
       .withColumn("hs", Text.shingleHashes)
     val afterExact = withSig.join(hashes, Seq("h"), "left_anti")
-    (0 until 4).foldLeft(afterExact) { (df, b) =>
+    val gated = (0 until 4).foldLeft(afterExact) { (df, b) =>
       df.withColumn("sig", Text.bandSigCol(b))
         .join(bandIdx.filter(col("band") === b).select(col("sig")),
           Seq("sig"), "left_anti")
         .drop("sig")
-    }.select(col("doc_id"), col("eventTime"))
+    }
+    // keepText feeds a downstream consumer that re-derives shingles
+    // (e.g. the gate→admit ingest-loop chain); the default projection
+    // stays minimal for the drop-only gate
+    if (keepText) gated.select(col("doc_id"), col("text"), col("eventTime"))
+    else gated.select(col("doc_id"), col("eventTime"))
   }
 
   /** One intra-stream LSH collision: `docId` shares `band`'s signature

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{IndexCompaction, IngestLoop}
+
+/** End-to-end pins for the composed ingest loop:
+  * gate → admit → exactly-once landing → minor compaction → next gate.
+  *
+  *  - On the bridge-free corpus SFs the landed set equals the batch
+  *    q123 keep set EXACTLY (the oracle-checked arrival-order rule).
+  *  - Where never-landed docs bridge cycles (sf0.1), the loop admits
+  *    the bridged docs — and ONLY docs all of whose earlier band
+  *    sharers were never landed (the documented curation policy).
+  *  - admitted == landed == folded per cycle; landing is idempotent
+  *    per micro-batch (replaying a batch overwrites its partition).
+  */
+class IngestLoopSpec extends SparkSpec {
+
+  /** Run the full loop over `dir`'s documents table in `nCycles`
+    * cycles of `slices` files each, from an EMPTY index. Returns
+    * (cycle stats, landRoot, idxRoot).
+    */
+  private def runLoop(dir: String, nCycles: Int, slices: Int,
+      tag: String): (Seq[IngestLoop.CycleStats], String, String) = {
+    import spark.implicits._
+    val base = tempDir(s"ingest_loop_$tag").getAbsolutePath
+    val idxRoot = s"$base/index"
+    val landRoot = s"$base/landed"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+    // empty cold start: the index owns nothing until the loop lands
+    IndexCompaction.init(spark, idxRoot,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val ids = docs.select(col("doc_id")).as[Long].collect().sorted
+    val n = ids.length
+    val stats = (0 until nCycles).map { c =>
+      val lo = ids(c * n / nCycles)
+      val hiIdx = (c + 1) * n / nCycles
+      val cyc = docs.filter(col("doc_id") >= lo &&
+        (if (hiIdx >= n) lit(true) else col("doc_id") < ids(hiIdx)))
+      val cycDir = s"$base/cycle_in_$c"
+      StreamBench.sliceOrdered(cyc, "doc_id", slices, cycDir)
+      IngestLoop.runCycle(spark, idxRoot, landRoot, c, cycDir,
+        cyc.schema, cyc.count())
+    }
+    (stats, landRoot, idxRoot)
+  }
+
+  private def q123Keep(dir: String): Set[Long] = {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val dropped = operators.Text.arrivalDedup(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    all -- dropped
+  }
+
+  test("ingest loop == batch q123 keep set end to end on the " +
+      "bridge-free SF; admitted == landed == folded every cycle") {
+    import spark.implicits._
+    withRocksDb {
+      val (stats, landRoot, idxRoot) = runLoop(sfDir, 2, 3, "eq")
+      stats.foreach { s =>
+        assert(s.admitted === s.landed && s.landed === s.folded,
+          s"cycle ${s.cycle}: admitted/landed/folded must agree: $s")
+        assert(s.gateAdmitted >= s.admitted,
+          s"cycle ${s.cycle}: admit can only shrink the gate's output")
+      }
+      // epoch count grows by one delta per cycle over the empty base
+      assert(stats.last.epochsAfter === 3, "empty base + one delta/cycle")
+      val landed = IngestLoop.landedAll(spark, landRoot)
+        .select(col("doc_id")).as[Long].collect()
+      assert(landed.length === landed.distinct.length,
+        "no doc lands twice (exactly-once across batches and cycles)")
+      assert(landed.toSet === q123Keep(sfDir),
+        "landed set must equal the oracle-checked q123 keep set")
+      // and the index owns exactly the landed docs' signatures:
+      // re-gating the landed docs themselves drops ALL of them
+      val flat = tempDir("ingest_loop_flat").getAbsolutePath + "/docs"
+      IngestLoop.landedAll(spark, landRoot)
+        .withColumn("eventTime", timestamp_seconds(col("doc_id")))
+        .write.parquet(flat)
+      val regate = IndexCompaction.gate(spark, idxRoot,
+        spark.readStream.schema(spark.read.parquet(flat).schema)
+          .parquet(flat))
+      val q = regate.writeStream.format("memory").queryName("regate")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      try { q.processAllAvailable() } finally q.stop()
+      assert(spark.table("regate").count() === 0L,
+        "every landed doc must collide with the index built from it")
+    }
+  }
+
+  test("landing is idempotent per micro-batch: replaying a landed " +
+      "batch overwrites its own partition, total unchanged") {
+    import spark.implicits._
+    withRocksDb {
+      val (_, landRoot, _) = runLoop(sfDir, 1, 3, "replay")
+      val cycle0 = s"$landRoot/cycle_0"
+      val before = spark.read.parquet(cycle0).count()
+      val someBatch = spark.read.parquet(cycle0)
+        .select(col("batch_id")).as[Long].head()
+      val replay = spark.read.parquet(cycle0)
+        .filter(col("batch_id") === someBatch)
+        .localCheckpoint(true)
+      sources.Sinks.backfillPartitions(replay, "batch_id", cycle0)
+      assert(spark.read.parquet(cycle0).count() === before,
+        "a replayed batch must overwrite its partition, not append")
+    }
+  }
+
+  test("bridge policy at sf0.1: the loop admits exactly the docs whose " +
+      "earlier band sharers were ALL never landed; q123 keep is a " +
+      "strict subset") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    withRocksDb {
+      val (_, landRoot, _) = runLoop(dir, 3, 4, "bridge")
+      val landed = IngestLoop.landedAll(spark, landRoot)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val keep = q123Keep(dir)
+      assert(keep.subsetOf(landed),
+        "the loop can only ever ADD to the q123 keep set (missed " +
+          "bridges), never drop a doc q123 keeps")
+      val extras = landed -- keep
+      assert(extras.nonEmpty,
+        "sf0.1 is the SF with known cross-cycle bridges — if this is " +
+          "empty the corpus changed and the bridge test is vacuous")
+      // each extra doc's EARLIER band sharers must all be docs the
+      // loop never landed: admitting content that duplicates nothing
+      // in the dataset is the deliberate policy divergence from q123
+      val bands = operators.Text.mhBands(operators.Text.minhashAgg(spark, dir))
+      val sharers = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .select(col("a.doc_id").as("e"), col("b.doc_id").as("earlier"))
+        .filter(col("e").isin(extras.toSeq: _*))
+        .select(col("earlier")).distinct()
+        .as[Long].collect()
+      assert(sharers.nonEmpty && sharers.forall(d => !landed.contains(d)),
+        "an extra-admitted doc may collide only with never-landed docs")
+    }
+  }
+}
