@@ -507,7 +507,7 @@ object StreamBench {
     // deduped stream a consumer actually keeps (here reduced over the
     // whole run: doc_ids are unique, so the per-batch and whole-run
     // reductions agree).
-    val admit = {
+    val (admit, admitProg) = {
       val q = streaming.TextStreams.streamingNearDupAdmit(spark,
           arrivals.select(col("doc_id"), col("text")),
           TTLConfig(java.time.Duration.ofMillis(ttlMs)))
@@ -518,8 +518,30 @@ object StreamBench {
       val verdicts = spark.table("admit_ttl")
       val outRows = verdicts.count()
       val admitted = streaming.TextStreams.admittedOf(verdicts).count()
-      s""""admit":{${progressJson(progress, gateIn, outRows, drainWall)},""" +
-        s""""admitted":$admitted,"ttl_ms":$ttlMs}"""
+      (s""""admit":{${progressJson(progress, gateIn, outRows, drainWall)},""" +
+        s""""admitted":$admitted,"ttl_ms":$ttlMs}""", progress)
+    }
+
+    // stage 5a''''': the admit surface's SLO view — the totality cost
+    // (4 verdicts per banded doc + the total output) priced as a
+    // kept-up question: the SAME pipeline on a trigger interval sized
+    // from ITS OWN as-fast per-batch p50 (fitIntervalMs x1.3 headroom,
+    // the paced_gate contract). kept_up=true here means a deployment
+    // paying for total verdicts still meets an offered rate ~75% of
+    // its drain rate; the drain-rate gap vs the collisions-only twin
+    // stays visible in the admit/lsh_dedup_ttl rows_per_sec ratio.
+    val pacedAdmit = {
+      val intervalMs = fitIntervalMs(batchP50Ms(admitProg))
+      val rps = (gateIn.toDouble / nSlices) / (intervalMs / 1000.0)
+      val q = streaming.TextStreams.streamingNearDupAdmit(spark,
+          arrivals.select(col("doc_id"), col("text")),
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+        .toDF().writeStream.format("memory").queryName("paced_admit")
+        .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+        .outputMode(OutputMode.Append).start()
+      val (progress, wall) = runPaced(q, gateIn, 0L)
+      s""""paced_admit":{"offered_rps":${fmt(rps)},""" +
+        pacedStats(progress, intervalMs, nSlices.toLong, wall)
     }
 
     // stage 5a'': the COMPACTION handoff measured. Phase 1 arrivals
@@ -705,6 +727,118 @@ object StreamBench {
       s""""dedup_service":{"ttl_ms":$ttlMs,"cycles":[${cycleJsons.mkString(",")}]}"""
     }
 
+    // stage 5a'''''': the live per-(domain, lang) HLL dataset card —
+    // streamingHllBy maintains every group's 256-register sketch in ONE
+    // operator (state bounded by 256 x groups, ≤24 emissions per
+    // register over the stream's lifetime). After the full replay each
+    // group's hllEstimate must EQUAL the oracle-checked batch q134
+    // n_hll — groups_match counts that equality.
+    val hllLive = {
+      val docsAll = docs.select(col("doc_id"), col("lang"), col("text"))
+      val nDocs = docsAll.count()
+      sliceOrdered(docsAll, "doc_id", nSlices, s"$base/docs_all")
+      val dstream = spark.readStream.schema(docsAll.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/docs_all")
+      val toks = dstream.select(lit("token").as("domain"), col("lang"),
+        explode(split(col("text"), " ")).as("item"))
+      val shing = dstream
+        .select(col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(lit("shingle").as("domain"), col("lang"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+          ))).as("item"))
+      val items = toks.unionAll(shing)
+        .select(concat_ws("|", col("domain"), col("lang")), col("item"))
+        .as[(String, String)]
+      val t0 = System.nanoTime()
+      val q = streaming.TextStreams.streamingHllBy(spark, items)
+        .toDF("grp", "bucket", "r")
+        .writeStream.format("memory").queryName("hll_live")
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      val regs = spark.table("hll_live").as[(String, Long, Int)].collect()
+      val est = regs.groupBy(_._1).view.mapValues(rs =>
+        streaming.TextStreams.hllEstimate(rs.map(t => (t._2, t._3)))).toMap
+      val batch = SparkEntry.queries("q134_hll_distinct")(spark, sfDir)
+        .select(concat_ws("|", col("domain"), col("lang")).as("g"),
+          col("n_hll"))
+        .as[(String, Long)].collect().toMap
+      val matches = batch.count { case (g, n) => est.get(g).contains(n) }
+      // in_rows: both stream branches scan the doc replay → 2x docs
+      s""""hll_live":{${progressJson(progress, 2 * nDocs, regs.length.toLong, wall)},""" +
+        s""""groups":${batch.size},"groups_match":$matches,""" +
+        s""""state_rows_bound":${256L * batch.size}}"""
+    }
+
+    // stage 5a''''''': the COMPOSED INGEST LOOP — gate → admit →
+    // exactly-once landing → minor compaction, repeated over three
+    // cycles from an EMPTY index (streaming.IngestLoop, the pipeline
+    // the other stages measure piecewise). Invariant per cycle:
+    // admitted == landed == folded. End to end the landed set is
+    // audited against the oracle-checked batch q123 keep set —
+    // missed_q123 must be 0 (the loop never drops a q123 keeper) and
+    // every extra admit must be a cross-cycle bridge whose earlier
+    // band sharers were ALL never landed (extras_bridge_only; the
+    // policy IngestLoopSpec pins).
+    val ingestLoop = {
+      import streaming.{IndexCompaction, IngestLoop}
+      val b2 = s"$base/ingest"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b2))
+      val idxRoot = s"$b2/index"; val landRoot = s"$b2/landed"
+      val docsAll = docs.select(col("doc_id"), col("text"))
+      IndexCompaction.init(spark, idxRoot, docsAll.filter(lit(false)))
+      val qsI = docsAll.stat
+        .approxQuantile("doc_id", Array(1.0 / 3, 2.0 / 3), 0.001)
+      val phases = Seq(
+        docsAll.filter(col("doc_id") <= qsI(0)),
+        docsAll.filter(col("doc_id") > qsI(0) && col("doc_id") <= qsI(1)),
+        docsAll.filter(col("doc_id") > qsI(1)))
+      val cycleJ = phases.zipWithIndex.map { case (ph, c) =>
+        val cycDir = s"$b2/in_$c"
+        sliceOrdered(ph, "doc_id", math.max(2, nSlices / 3), cycDir)
+        val st = IngestLoop.runCycle(spark, idxRoot, landRoot, c, cycDir,
+          ph.schema, ph.count())
+        s"""{"cycle":$c,"arrivals":${st.arrivals},""" +
+          s""""gate_admitted":${st.gateAdmitted},""" +
+          s""""admitted":${st.admitted},"landed":${st.landed},""" +
+          s""""folded":${st.folded},"epochs_after":${st.epochsAfter},""" +
+          s""""gate_build_s":${fmt(st.gateBuildS, 2)},""" +
+          s""""drain_s":${fmt(st.drainWallS, 2)},""" +
+          s""""compact_s":${fmt(st.compactS, 2)}}"""
+      }
+      val landedIds = IngestLoop.landedAll(spark, landRoot)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val dropSet = operators.Text.arrivalDedup(spark, sfDir)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val allIds = docsAll.select(col("doc_id")).as[Long].collect().toSet
+      val keep = allIds -- dropSet
+      val extras = landedIds -- keep
+      val missed = keep -- landedIds
+      val bridgeOnly =
+        if (extras.isEmpty) true
+        else {
+          val bands = operators.Text.mhBands(
+            operators.Text.minhashAgg(spark, sfDir))
+          bands.as("a")
+            .join(bands.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.sig") === col("b.sig") &&
+                col("b.doc_id") < col("a.doc_id"))
+            .select(col("a.doc_id").as("e"), col("b.doc_id").as("earlier"))
+            .filter(col("e").isin(extras.toSeq: _*))
+            .select(col("earlier")).distinct()
+            .as[Long].collect().forall(d => !landedIds.contains(d))
+        }
+      s""""ingest_loop":{"cycles":[${cycleJ.mkString(",")}],""" +
+        s""""landed_total":${landedIds.size},"q123_keep":${keep.size},""" +
+        s""""extra_admitted":${extras.size},"missed_q123":${missed.size},""" +
+        s""""extras_bridge_only":$bridgeOnly}"""
+    }
+
     // stage 5b: the DSv2 paced replay source itself, over a multi-file
     // segment directory built from the events table — measures what the
     // custom source sustains (admission-controlled offsets, per-file
@@ -861,7 +995,8 @@ object StreamBench {
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
       s"""$tumbling,$replaySrc,$paced50,$paced90,$pacedOver,$gate,$pacedGate,$assign,$sessions,""" +
-      s"""$lsh,$lshTtl,$admit,$compaction,$dedupService,$blobGate,$audit,$standing,""" +
+      s"""$lsh,$lshTtl,$admit,$pacedAdmit,$compaction,$dedupService,""" +
+      s"""$hllLive,$ingestLoop,$blobGate,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")

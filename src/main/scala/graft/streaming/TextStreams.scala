@@ -662,6 +662,56 @@ object TextStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One register of one GROUP's sketch per state key — the keyed
+    * variant of [[HllRegisterProcessor]] for maintaining many sketches
+    * (one per (domain, lang), the q134 shape) in a single operator.
+    * Same monotone max-rank rule; emits (group, bucket, rank) only on
+    * increase.
+    */
+  class KeyedHllRegisterProcessor
+      extends StatefulProcessor[(String, Long), (String, Long, Int),
+        (String, Long, Int)] {
+    @transient private var reg: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reg = getHandle.getValueState("r", Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long),
+        rows: Iterator[(String, Long, Int)],
+        timerValues: TimerValues): Iterator[(String, Long, Int)] = {
+      val incoming = rows.map(_._3).max
+      val cur = if (reg.exists()) reg.get() else 0
+      if (incoming > cur) {
+        reg.update(incoming)
+        Iterator.single((key._1, key._2, incoming))
+      } else Iterator.empty
+    }
+  }
+
+  /** MANY live HLL sketches in one operator — [[streamingHll]] keyed by
+    * a group column: input (group, item), state (group, bucket) → max
+    * rank, at most 256 state rows PER GROUP and 24 emissions per
+    * register regardless of stream length. After any prefix,
+    * [[hllEstimate]] over a group's registers equals the batch q134
+    * estimate over the same items — the live per-(domain, lang)
+    * distinct counter behind a streaming dataset card.
+    */
+  def streamingHllBy(spark: SparkSession,
+      ds: Dataset[(String, String)]): Dataset[(String, Long, Int)] = {
+    import spark.implicits._
+    ds.map { case (grp, item) =>
+      val h = hash60(item)
+      val v = h >>> 8
+      val rho =
+        if (v == 0L) 24
+        else math.min(java.lang.Long.numberOfTrailingZeros(v) + 1, 24)
+      (grp, h % 256, rho)
+    }
+      .groupByKey { case (grp, bucket, _) => (grp, bucket) }
+      .transformWithState(new KeyedHllRegisterProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** The q134 estimate over a register snapshot (latest rank per
     * bucket): the identical integer arithmetic as the batch/oracle
     * spelling — BIGINT harmonic sum with ranks capped at 24, one exact

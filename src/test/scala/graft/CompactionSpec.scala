@@ -194,4 +194,94 @@ class CompactionSpec extends SparkSpec {
           "drop the SAME set — ownership moved, the decision didn't")
     }
   }
+
+  test("crash DURING merge: a merge killed mid-tombstoning (and one " +
+      "killed right after publish) leaves unchanged gate decisions, " +
+      "and the recovery merge double-folds the stragglers") {
+    import spark.implicits._
+    val root = tempDir("gate_index4").toPath.toString + "/idx"
+    val filler = (0 until 30).map(i => s"crash$i").mkString(" ")
+    IndexCompaction.init(spark, root,
+      Seq((1L, s"one $filler")).toDF("doc_id", "text"))
+    IndexCompaction.compact(spark, root,
+      Seq((2L, s"two $filler a b c")).toDF("doc_id", "text"))
+    IndexCompaction.compact(spark, root,
+      Seq((3L, s"three $filler p q r")).toDF("doc_id", "text"))
+    def bandSet(): Set[(Int, String)] =
+      IndexCompaction.bands(spark, root).distinct()
+        .as[(Int, String)].collect().toSet
+    def hashSet(): Set[String] =
+      IndexCompaction.hashes(spark, root).distinct()
+        .as[String].collect().toSet
+    def gatePassed(): Set[Long] = {
+      val probes = Seq(
+        (10L, s"one $filler"),          // dup of epoch-0 doc
+        (11L, s"two $filler a b c"),    // dup of delta-1 doc
+        (12L, s"three $filler p q r"),  // dup of delta-2 doc
+        (13L, (0 until 40).map(i => s"novel$i").mkString(" ")))
+        .toDF("doc_id", "text")
+        .withColumn("eventTime", to_timestamp(lit("2025-08-03T13:00:00Z")))
+      IndexCompaction.gate(spark, root, probes)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val cleanBands = bandSet(); val cleanHashes = hashSet()
+    assert(gatePassed() === Set(13L))
+
+    // real merge: epoch 3 published, sources 0/1/2 tombstoned …
+    val merged = IndexCompaction.merge(spark, root)
+    // … then SIMULATE the crash mid-tombstoning by un-tombstoning the
+    // LAST source (its marker "never got written"): the exact on-disk
+    // state of a merge killed between marker writes
+    val marker = new java.io.File(root, "epoch_00000002").listFiles()
+      .find(_.getName == "_graft_folded").get
+    assert(marker.delete())
+    assert(IndexCompaction.epochs(root) === Seq(2L, merged),
+      "the un-tombstoned source is live again next to the merged segment")
+    // the union now carries epoch-2's rows TWICE (source + merged) —
+    // the duplicate-insensitive reads and the gate must not care
+    assert(bandSet() === cleanBands && hashSet() === cleanHashes,
+      "distinct index content unchanged in the crash state")
+    assert(gatePassed() === Set(13L),
+      "gate decisions unchanged while a straggler source is live")
+
+    // recovery = simply the NEXT merge: folds {straggler, merged} into
+    // one segment (the double-fold path) and sweeps the old tombstones
+    val recovered = IndexCompaction.merge(spark, root)
+    assert(IndexCompaction.epochs(root) === Seq(recovered))
+    assert(IndexCompaction.foldedEpochs(root) === Seq(2L, merged),
+      "both the straggler and the first merge's segment are tombstoned")
+    assert(!new java.io.File(root, "epoch_00000000").exists() &&
+      !new java.io.File(root, "epoch_00000001").exists(),
+      "the recovery merge swept the first merge's completed tombstones")
+    assert(bandSet() === cleanBands && hashSet() === cleanHashes,
+      "recovered index content identical")
+    assert(gatePassed() === Set(13L), "gate decisions unchanged after recovery")
+
+    // the OTHER crash window: killed right after publish, BEFORE any
+    // tombstoning — every source still live next to the merged segment
+    val merged3 = IndexCompaction.merge(spark, root) // clean slate: one epoch
+    new java.io.File(root, epochDirName(merged3))
+      .listFiles().find(_.getName == "_graft_folded")
+      .foreach(f => assert(f.delete())) // (not tombstoned; defensive)
+    IndexCompaction.compact(spark, root,
+      Seq((4L, s"four $filler x y z")).toDF("doc_id", "text"))
+    val withFour = bandSet()
+    val merged4 = IndexCompaction.merge(spark, root)
+    // un-tombstone EVERY source of merge4: the publish-then-die state
+    IndexCompaction.foldedEpochs(root).foreach { e =>
+      assert(new java.io.File(new java.io.File(root, epochDirName(e)),
+        "_graft_folded").delete())
+    }
+    assert(IndexCompaction.epochs(root).size === 3,
+      "all sources live again next to the merged segment")
+    assert(bandSet() === withFour && gatePassed() === Set(13L),
+      "decisions unchanged with every row duplicated")
+    val recovered2 = IndexCompaction.merge(spark, root)
+    assert(IndexCompaction.epochs(root) === Seq(recovered2) &&
+      bandSet() === withFour,
+      "recovery folds every straggler and the content is unchanged")
+    assert(merged4 > merged3 && recovered2 > merged4)
+  }
+
+  private def epochDirName(n: Long) = f"epoch_$n%08d"
 }

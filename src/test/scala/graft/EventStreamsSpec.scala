@@ -999,6 +999,62 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingHllBy: one operator maintains every (domain, lang) " +
+      "sketch; each group's estimate equals the oracle-checked batch " +
+      "q134 n_hll; state ≤ 256 rows per group") {
+    withRocksDb {
+      import spark.implicits._
+      // the EXACT q134 item feed: per-doc tokens and distinct 3-gram
+      // shingles, grouped by (domain, lang)
+      val docs = sources.Tables.documents(spark, sfDir)
+      val toks = docs.select(lit("token").as("domain"), col("lang"),
+        explode(split(col("text"), " ")).as("item"))
+      val shing = docs
+        .select(col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(lit("shingle").as("domain"), col("lang"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+          ))).as("item"))
+      val items = toks.unionAll(shing)
+        .select(concat_ws("|", col("domain"), col("lang")), col("item"))
+        .as[(String, String)].collect()
+      val mem = MemoryStream[(String, String)](spark)
+      val q = TextStreams.streamingHllBy(spark, mem.toDS())
+        .toDF("grp", "bucket", "r")
+        .writeStream.format("memory").queryName("hll_by")
+        .outputMode(OutputMode.Update).start()
+      try {
+        val (a, b) = items.splitAt(items.length / 2)
+        mem.addData(a.toSeq); q.processAllAvailable()
+        mem.addData(b.toSeq); q.processAllAvailable()
+        val regs = spark.table("hll_by").as[(String, Long, Int)].collect()
+        val byGroup = regs.groupBy(_._1)
+        byGroup.foreach { case (g, rs) =>
+          assert(rs.map(_._2).distinct.length <= 256,
+            s"group $g must hold at most 256 registers")
+        }
+        val est = byGroup.view.mapValues(rs =>
+          TextStreams.hllEstimate(rs.map(t => (t._2, t._3)))).toMap
+        val batch = SparkEntry.queries("q134_hll_distinct")(spark, sfDir)
+          .select(concat_ws("|", col("domain"), col("lang")), col("n_hll"))
+          .as[(String, Long)].collect().toMap
+        assert(est.keySet === batch.keySet,
+          "stream must see every (domain, lang) group q134 reports")
+        batch.foreach { case (g, n) =>
+          assert(est(g) === n, s"group $g: streaming estimate ${est(g)} " +
+            s"must equal batch q134 n_hll $n")
+        }
+        // state telemetry: total rows bounded by 256 x groups
+        val stateRows = q.recentProgress.toSeq
+          .filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L)
+        assert(stateRows <= 256L * batch.size,
+          s"state rows $stateRows must stay within 256 x ${batch.size} groups")
+      } finally q.stop()
+    }
+  }
+
   test("streaming count-min cell sums accumulate across micro-batches to the batch sketch") {
     withRocksDb {
     import spark.implicits._

@@ -164,6 +164,47 @@ class StreamingPlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("composed ingest chain (gate → admit): broadcast-only anti-joins " +
+      "feeding exactly ONE transformWithState") {
+    withRocksDb {
+      import spark.implicits._
+      val root = tempDir("audit_ingest_idx").getAbsolutePath + "/idx"
+      streaming.IndexCompaction.init(spark, root, docCorpus)
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+      mem.addData(Seq((9L, s"gamma $filler", ts0), (10L, "too short", ts0)))
+      val gated = streaming.IndexCompaction.gate(spark, root,
+        mem.toDF().toDF("doc_id", "text", "eventTime"), keepText = true)
+      val plan = executedPlan(
+        TextStreams.streamingNearDupAdmit(spark,
+          gated.select(col("doc_id"), col("text")))
+          .toDF().writeStream.format("memory").queryName("audit_ingest")
+          .outputMode(OutputMode.Append).start())
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("SortMergeJoin"),
+        s"the landed index sides must broadcast per micro-batch:\n$plan")
+      assert(countOf(plan, "TransformWithState ") === 1,
+        s"the whole chain carries ONE stateful operator:\n$plan")
+      assert(!plan.contains("StateStoreSave"),
+        s"no accidental second stateful aggregation:\n$plan")
+    }
+  }
+
+  test("keyed streaming HLL: exactly one transformWithState, no joins") {
+    withRocksDb {
+      import spark.implicits._
+      val mem = MemoryStream[(String, String)](spark)
+      mem.addData(Seq(("token|en", "alpha"), ("shingle|en", "a b c")))
+      val plan = executedPlan(
+        TextStreams.streamingHllBy(spark, mem.toDS())
+          .toDF().writeStream.format("memory").queryName("audit_hll_by")
+          .outputMode(OutputMode.Update).start())
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(countOf(plan, "TransformWithState ") === 1, plan)
+      assert(!plan.contains("Join"),
+        s"a register sketch is a map + state lookup, no joins:\n$plan")
+    }
+  }
+
   test("standing retrieval: one transformWithState over a broadcast-scored stream") {
     withRocksDb {
       import spark.implicits._

@@ -286,6 +286,106 @@ def main():
                    "bounds state."))
             lines.append("")
 
+    # live keyed HLL vs the batch q134 oracle: the estimate equality at
+    # every SF, and the 256-rows-per-group state bound
+    if any("hll_live" in d for _, d in runs):
+        lines.append("## live HLL dataset card vs batch q134 (hll_live)")
+        lines.append("")
+        lines.append("`streamingHllBy` maintains every (domain, lang) sketch")
+        lines.append("in ONE operator — state is (group, bucket) → max rank,")
+        lines.append("at most 256 rows per group and 24 emissions per")
+        lines.append("register over the stream's LIFETIME, independent of")
+        lines.append("input size. After the full replay, `hllEstimate` over")
+        lines.append("each group's registers must EQUAL the oracle-checked")
+        lines.append("batch q134 `n_hll` (`groups match` == `groups`): the")
+        lines.append("incremental sketch and the batch sketch are the same")
+        lines.append("integer arithmetic, so the equality is exact, not")
+        lines.append("approximate.")
+        lines.append("")
+        lines.append("| sf | in rows | groups | groups match | state rows "
+                     "| state bound (256×groups) | out rows (emissions) |")
+        lines.append("|---|---|---|---|---|---|---|")
+        all_match = True
+        for sf, d in runs:
+            v = d.get("hll_live")
+            if v is None:
+                continue
+            s = v.get("state") or {}
+            if v["groups_match"] != v["groups"]:
+                all_match = False
+            lines.append(
+                f"| {sf} | {v['in_rows']} | {v['groups']} "
+                f"| {v['groups_match']} | {s.get('rows_max', '-')} "
+                f"| {v['state_rows_bound']} | {v['out_rows']} |")
+        lines.append("")
+        lines.append(
+            "Every group's streaming estimate equals batch q134 at every "
+            "SF." if all_match else
+            "MISMATCH: some group's streaming estimate diverged from "
+            "batch q134 — investigate before trusting the live card.")
+        lines.append("")
+
+    # the composed ingest loop: admitted == landed == folded per cycle,
+    # and the end-to-end landed set audited against batch q123
+    if any("ingest_loop" in d for _, d in runs):
+        lines.append("## composed ingest loop (ingest_loop)")
+        lines.append("")
+        lines.append("The full production pipeline as ONE measured loop from")
+        lines.append("an EMPTY index: per cycle, a fresh gate from the live")
+        lines.append("epoch listing, gate → admit in one streaming query")
+        lines.append("(single state operator), admittedOf inside foreachBatch")
+        lines.append("landing each micro-batch in its own batch_id partition")
+        lines.append("(exactly-once), then a MINOR compaction folding exactly")
+        lines.append("the landed batch. Invariant per cycle: admitted ==")
+        lines.append("landed == folded. End to end, `missed q123` must be 0")
+        lines.append("(the loop never drops a doc the batch q123 rule keeps)")
+        lines.append("and every `extra` must be a cross-cycle bridge whose")
+        lines.append("earlier band sharers were ALL never landed (`bridge")
+        lines.append("only` — the deliberate policy divergence IngestLoopSpec")
+        lines.append("pins: content that duplicates nothing the dataset kept")
+        lines.append("is admitted).")
+        lines.append("")
+        lines.append("| sf | cycle | arrivals | gate adm | admitted | landed "
+                     "| folded | gate build s | drain s | compact s "
+                     "| epochs |")
+        lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
+        for sf, d in runs:
+            v = d.get("ingest_loop")
+            if v is None:
+                continue
+            for c in v["cycles"]:
+                lines.append(
+                    f"| {sf} | {c['cycle']} | {c['arrivals']} "
+                    f"| {c['gate_admitted']} | {c['admitted']} "
+                    f"| {c['landed']} | {c['folded']} "
+                    f"| {fmt(c['gate_build_s'], 2)} | {fmt(c['drain_s'], 2)} "
+                    f"| {fmt(c['compact_s'], 2)} | {c['epochs_after']} |")
+        lines.append("")
+        lines.append("| sf | landed total | q123 keep | extra | missed q123 "
+                     "| bridge only |")
+        lines.append("|---|---|---|---|---|---|")
+        for sf, d in runs:
+            v = d.get("ingest_loop")
+            if v is None:
+                continue
+            lines.append(
+                f"| {sf} | {v['landed_total']} | {v['q123_keep']} "
+                f"| {v['extra_admitted']} | {v['missed_q123']} "
+                f"| {v['extras_bridge_only']} |")
+        lines.append("")
+        ok = all(
+            all(c["admitted"] == c["landed"] == c["folded"]
+                for c in d["ingest_loop"]["cycles"])
+            and d["ingest_loop"]["missed_q123"] == 0
+            and d["ingest_loop"]["extras_bridge_only"]
+            for _, d in runs if "ingest_loop" in d)
+        lines.append(
+            "admitted == landed == folded in every cycle at every SF; no "
+            "q123 keeper missed; every extra is a bridge-only admit."
+            if ok else
+            "INVARIANT VIOLATION in the ingest loop — see the tables above.")
+        lines.append("")
+
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_path}")
