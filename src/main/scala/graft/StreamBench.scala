@@ -927,9 +927,17 @@ object StreamBench {
     // SLO instrument reads both ways (a detector that has never fired
     // is unproven exactly where it matters).
     val pacedOver = {
-      val perBatch = math.max(1, activityRows.length / nSlices)
       val overMs = math.max(250L,
         ((batchP50Ms(replayProg) * 0.6) / 250.0).toLong * 250L)
+      // batch size derived from the OFFERED RATE (120% of measured
+      // as-fast drain), not from the as-fast batch shape: when the
+      // interval clamps to the 250 ms floor on a fast host, a
+      // shape-derived batch can quietly become sustainable and the
+      // negative control stops being negative (observed on a quiet
+      // run: kept_up=true at the floor). 1.2x the drain rate cannot
+      // be sustained whatever the batch size.
+      val perBatch = math.max(1,
+        math.ceil(1.2 * maxRps * overMs / 1000.0).toInt)
       pacedRun("over", perBatch, overMs, perBatch * 1000.0 / overMs)
     }
 
