@@ -252,6 +252,54 @@ object RelationalQueries {
         |GROUP BY nation, o_year
         |ORDER BY nation, o_year DESC""".stripMargin)),
 
+    // q136: the 100 TB percentile path — per-group percentiles over a
+    // deterministic 1/8 hash sample (shared md5 h60 over the row key),
+    // audited against the exact percentiles with error in integer
+    // micro units. One pass, one shuffle; at scale only the sample
+    // side survives and the exact side is the audit (q134 discipline).
+    QueryDef("q136_sampled_quantiles", (s, d) => sampledQuantiles(s, d), Some(
+      """WITH k AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST('0x' || substr(md5(concat_ws('#',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+        |      1, 15) AS BIGINT) % 8 = 0 AS kept
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+        |    round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+        |    round(quantile_cont(CASE WHEN kept THEN l_extendedprice END, 0.5), 6) AS sample_p50,
+        |    round(quantile_cont(CASE WHEN kept THEN l_extendedprice END, 0.95), 6) AS sample_p95,
+        |    COUNT(*) AS n_total,
+        |    COUNT(CASE WHEN kept THEN 1 END) AS n_sample
+        |  FROM k GROUP BY l_returnflag)
+        |SELECT l_returnflag, exact_p50, exact_p95, sample_p50, sample_p95,
+        |  n_total, n_sample,
+        |  CAST(round(abs(sample_p50 - exact_p50) * 1000000) AS BIGINT) AS err_p50_micro,
+        |  CAST(round(abs(sample_p95 - exact_p95) * 1000000) AS BIGINT) AS err_p95_micro
+        |FROM agg ORDER BY l_returnflag""".stripMargin)),
+
+    // q137: TPC-H Q10 shape — returned-item revenue, top 20 customers
+    // in a quarter. Oracle keeps the literal four-table GROUP BY +
+    // ORDER/LIMIT; Spark reduces the fact join to O(customers) first,
+    // takes the top 20 on the summary, and broadcasts THOSE 20 rows
+    // into the customer⋈nation dimension attach (customer is
+    // fact-sized at 100 TB — never broadcast the dimension, broadcast
+    // the answer).
+    QueryDef("q137_returned_item_revenue",
+      (s, d) => returnedItemRevenue(s, d), Some(
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+         |  $REV AS revenue
+         |FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation ON n_nationkey = c_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     QueryDef("q8_top_customers", (s, d) => topCustomers(s, d), Some(
       """SELECT o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

@@ -821,4 +821,92 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy(col("nation"), col("o_year").desc)
   }
+
+  /** Sampled-quantile audit (q136) — the 100 TB percentile path.
+    * Exact percentiles need the full value distribution per group (a
+    * full-data sort-based aggregate); at scale the production spelling
+    * is percentiles over a DETERMINISTIC 1/8 hash sample (the shared
+    * md5 h60 over the row key, so any engine draws the SAME sample),
+    * whose per-group error this query audits against the exact answer
+    * in integer micro units. ONE pass, one shuffle: both the exact and
+    * the sampled percentile run in the same hash aggregate, the sample
+    * side as a conditional percentile (nulls skipped by the aggregate,
+    * identically in both engines). At 100 TB only the sample side
+    * survives — the exact side exists here because the oracle audits
+    * the error, exactly the q134-HLL discipline.
+    */
+  def sampledQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Text.hash60
+    val kept = hash60(concat_ws("#",
+      col("l_orderkey"), col("l_linenumber"))) % 8 === 0
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        kept.as("kept"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6)
+          .as("exact_p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 6)
+          .as("exact_p95"),
+        round(percentile(when(col("kept"), col("l_extendedprice")),
+          lit(0.5)), 6).as("sample_p50"),
+        round(percentile(when(col("kept"), col("l_extendedprice")),
+          lit(0.95)), 6).as("sample_p95"),
+        count(lit(1)).as("n_total"),
+        count(when(col("kept"), 1)).as("n_sample"))
+      .withColumn("err_p50_micro",
+        round(abs(col("sample_p50") - col("exact_p50")) * 1e6)
+          .cast(LongType))
+      .withColumn("err_p95_micro",
+        round(abs(col("sample_p95") - col("exact_p95")) * 1e6)
+          .cast(LongType))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q10 shape (q137): returned-item revenue — which customers
+    * returned the most in a quarter. lineitem (returnflag = 'R') ⋈
+    * orders (quarter date window) ⋈ customer ⋈ nation, top 20 by
+    * revenue. The oracle keeps the literal four-table GROUP BY; Spark
+    * aggregates the fact join down to O(customers) FIRST and only then
+    * attaches the customer/nation dimensions (broadcast) — the
+    * grouped columns the literal SQL drags through the fact aggregate
+    * (c_name, c_acctbal, n_name) are functionally dependent on
+    * c_custkey, so joining them after the reduction is equivalent, the
+    * fact shuffle carries one key instead of the whole dimension row —
+    * and because the query only wants the TOP 20, the TakeOrdered runs
+    * on the per-customer summary BEFORE any dimension join: customer
+    * is a fact-sized table at 100 TB (never broadcastable), but the
+    * 20-row top set is, so the dimension attach is a broadcast of 20
+    * rows into the customer/nation scan. Both fact scan filters push
+    * down (dictionary skip on returnflag, min/max skip on the date
+    * window). Deterministic at the cut: ties break c_custkey asc in
+    * both engines.
+    */
+  def returnedItemRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val top = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+        .as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .limit(20)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("nation"))), Seq("c_nationkey"))
+    cust.join(broadcast(top), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("nation"), col("rev_dec").cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+  }
 }

@@ -246,6 +246,50 @@ class PlanAssertionsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q136 sampled quantiles: one lineitem scan, exact + sampled " +
+      "percentiles in the SAME partial/final aggregate pair, one " +
+      "data shuffle") {
+    val plan = formatted("q136_sampled_quantiles")
+    assert("Location[^\\n]*/lineitem".r.findAllIn(plan).size == 1,
+      "the audit must not scan the fact table twice")
+    assert("ReadSchema[^\\n]*l_linenumber".r.findFirstIn(plan).isDefined &&
+      !plan.contains("l_shipdate") && !plan.contains("l_quantity"),
+      "scan pruned to the 4 needed columns")
+    assert("partial_percentile".r.findAllIn(plan).size >= 4,
+      "exact and sampled percentiles must both run map-side partial")
+    assert("\\(\\d+\\) ObjectHashAggregate".r.findAllIn(plan).size == 2,
+      "one partial/final aggregate pair carries all six aggregates")
+    assert("hashpartitioning".r.findAllIn(plan).size == 1,
+      "exactly one data shuffle (the group-by exchange)")
+  }
+
+  test("q137 Q10 shape: fact filters pushed, top-20 taken on the " +
+      "per-customer summary BEFORE the dimension join, and the 20-row " +
+      "answer broadcast into customer⋈nation") {
+    val plan = formatted("q137_returned_item_revenue")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter must push into the lineitem scan")
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).isDefined &&
+      "LessThan\\(o_orderdate".r.findFirstIn(plan).isDefined,
+      "date window must push into the orders scan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must be a TakeOrdered on the summary, not a global sort")
+    // the TakeOrdered side (the 20-row answer) must be the BUILD side
+    // of a broadcast join — customer is fact-sized at scale and must
+    // never be the broadcast side of this plan
+    assert(plan.contains("BroadcastHashJoin"),
+      "dimension attach must be a broadcast join")
+    assert(("BroadcastExchange[^\\n]*\\n[^\\n]*TakeOrderedAndProject".r
+        .findFirstIn(plan).isDefined ||
+      "BroadcastExchange[^\\n]*\\n[^\\n]*Filter[^\\n]*\\n[^\\n]*TakeOrderedAndProject"
+        .r.findFirstIn(plan).isDefined),
+      "the broadcast side must be the top-20 summary itself")
+    assert("hashpartitioning".r.findAllIn(plan).size == 1,
+      "one fact shuffle: the per-customer aggregate")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.
