@@ -25,9 +25,15 @@ import graft.streaming.{IndexCompaction, IngestLoop}
   * micro-batch), `work/cycle_<n>/` (the cycle's input snapshot).
   *
   * The index starts from `--corpus` (a parquet of (doc_id, text) the
-  * dataset already owns) or empty; either way a restart re-reads the
-  * live epoch listing and resumes — the index IS the service's
-  * durable state, there is nothing else to recover.
+  * dataset already owns) or empty. Restart recovery is two-level: a
+  * cycle that FINISHED (its work dir carries the `_cycle_done`
+  * marker) lives on in the index, so the restart just skips its
+  * files; a cycle killed MID-RUN is finished first, resuming from its
+  * per-cycle streaming checkpoint — offsets and band-ownership state
+  * restore, the in-flight batch replays into its own batch_id
+  * partition (idempotent overwrite), and the compaction then folds
+  * the landed set (semantics pinned in IngestLoopSpec's kill-resume
+  * test).
   */
 object DedupService {
   def main(args: Array[String]): Unit = {
@@ -61,15 +67,32 @@ object DedupService {
     IndexCompaction.init(spark, idxRoot, corpus)
 
     val processed = scala.collection.mutable.Set[String]()
-    // resume: files already snapshotted into a work dir were processed
-    // by a previous incarnation (their content is in the index)
-    Option(new java.io.File(root, "work").listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory)
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+    // resume: files already snapshotted into a work dir belong to a
+    // previous incarnation's cycle
+    val workDirs = Option(new java.io.File(root, "work").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).sortBy(_.getName)
+    workDirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
       .foreach(f => processed += f.getName)
-
-    var cycle = Option(new java.io.File(root, "work").listFiles())
-      .getOrElse(Array.empty).count(_.isDirectory)
+    var cycle = workDirs.length
+    // a cycle killed mid-run left its work dir without the done
+    // marker: FINISH it first (resume from its per-cycle checkpoint —
+    // offsets + ownership state restore, replayed batches overwrite
+    // their own batch_id partitions, then the compaction folds the
+    // landed set; IngestLoopSpec pins the semantics)
+    workDirs.lastOption
+      .filterNot(d => new java.io.File(d, "_cycle_done").isFile)
+      .foreach { d =>
+        val c = cycle - 1
+        val cycDf = spark.read.parquet(d.getAbsolutePath)
+        val st = IngestLoop.runCycle(spark, idxRoot, landRoot, c,
+          d.getAbsolutePath, cycDf.schema, cycDf.count(),
+          Some(s"$root/ckpt/cycle_$c"))
+        java.nio.file.Files.writeString(
+          d.toPath.resolve("_cycle_done"), "done"): Unit
+        println(s"""{"service":"dedup","resumed_cycle":$c,""" +
+          s""""landed":${st.landed},"folded":${st.folded}}""")
+      }
     val stopFile = new java.io.File(root, "STOP")
     while (!stopFile.exists() && cycle < maxCycles) {
       val t0 = System.currentTimeMillis()
@@ -88,7 +111,10 @@ object DedupService {
         }
         val cycDf = spark.read.parquet(workDir.getAbsolutePath)
         val st = IngestLoop.runCycle(spark, idxRoot, landRoot, cycle,
-          workDir.getAbsolutePath, cycDf.schema, cycDf.count())
+          workDir.getAbsolutePath, cycDf.schema, cycDf.count(),
+          Some(s"$root/ckpt/cycle_$cycle"))
+        java.nio.file.Files.writeString(
+          workDir.toPath.resolve("_cycle_done"), "done"): Unit
         val mergeS =
           if (cycle % 4 == 3) {
             val tM = System.nanoTime()

@@ -57,16 +57,21 @@ object IngestLoop {
       drainWallS: Double,
       compactS: Double)
 
-  /** Run ONE compaction interval over the pre-sliced arrival files in
-    * `cycleDir`. The landed docs are written to
-    * `landRoot/cycle_<cycle>` partitioned by micro-batch id
-    * (exactly-once: a replayed batch overwrites its own partition),
-    * then folded into the index at `idxRoot` as a new delta epoch.
+  /** Start the cycle's streaming query: gate → admit → admittedOf →
+    * exactly-once landing. With a `checkpoint`, the query is
+    * RESTARTABLE: a run killed mid-cycle resumes from the committed
+    * offsets, and the in-flight batch replays under its original
+    * batch_id — whose partition the idempotent dynamic-overwrite
+    * landing simply rewrites (no duplicates, pinned in
+    * IngestLoopSpec). The returned counters accumulate only the
+    * CURRENT incarnation's batches; after a restart the landed
+    * parquet is the authoritative count.
     */
-  def runCycle(spark: SparkSession, idxRoot: String, landRoot: String,
-      cycle: Int, cycleDir: String, schema: StructType,
-      nArrivals: Long): CycleStats = {
-    val cycleLand = s"$landRoot/cycle_$cycle"
+  def startCycleQuery(spark: SparkSession, idxRoot: String,
+      cycleLand: String, cycleDir: String, schema: StructType,
+      checkpoint: Option[String] = None)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         AtomicLong, AtomicLong) = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(cycleDir)
       .select(col("doc_id"), col("text"),
@@ -74,23 +79,15 @@ object IngestLoop {
         // (the gate projects it through; the loop itself doesn't use it)
         (if (schema.fieldNames.contains("eventTime")) col("eventTime")
          else timestamp_seconds(col("doc_id"))).as("eventTime"))
-
-    // gate REBUILD from the live epoch listing — the per-interval
-    // restart cost a deployment pays after each compaction
-    val tG = System.nanoTime()
     val gated = IndexCompaction.gate(spark, idxRoot, stream, keepText = true)
-    val gateBuildS = (System.nanoTime() - tG) / 1e9
-
     val verdicts = TextStreams.streamingNearDupAdmit(spark,
       gated.select(col("doc_id"), col("text")))
-
     // the cycle's lake segment, for attaching payloads to admitted ids
     val cycleBatch = spark.read.parquet(cycleDir)
       .select(col("doc_id"), col("text"))
     val gateSurvivors = new AtomicLong(0L)
     val admittedN = new AtomicLong(0L)
-    val tD = System.nanoTime()
-    val q = verdicts.toDF().writeStream
+    val writer = verdicts.toDF().writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val batch = df.localCheckpoint(true) // verdicts used twice
         gateSurvivors.addAndGet(
@@ -101,7 +98,31 @@ object IngestLoop {
         graft.sources.Sinks.backfillPartitions(
           docs.withColumn("batch_id", lit(batchId)), "batch_id", cycleLand)
       }
-      .outputMode(OutputMode.Append).start()
+      .outputMode(OutputMode.Append)
+    val q = checkpoint
+      .fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    (q, gateSurvivors, admittedN)
+  }
+
+  /** Run ONE compaction interval over the pre-sliced arrival files in
+    * `cycleDir`. The landed docs are written to
+    * `landRoot/cycle_<cycle>` partitioned by micro-batch id
+    * (exactly-once: a replayed batch overwrites its own partition),
+    * then folded into the index at `idxRoot` as a new delta epoch.
+    * Pass `checkpoint` to make the cycle resumable after a kill —
+    * re-invoking with the same checkpoint finishes the cycle.
+    */
+  def runCycle(spark: SparkSession, idxRoot: String, landRoot: String,
+      cycle: Int, cycleDir: String, schema: StructType,
+      nArrivals: Long, checkpoint: Option[String] = None): CycleStats = {
+    val cycleLand = s"$landRoot/cycle_$cycle"
+    // gate REBUILD from the live epoch listing — the per-interval
+    // restart cost a deployment pays after each compaction
+    val tG = System.nanoTime()
+    val (q, gateSurvivors, admittedN) = startCycleQuery(
+      spark, idxRoot, cycleLand, cycleDir, schema, checkpoint)
+    val gateBuildS = (System.nanoTime() - tG) / 1e9
+    val tD = System.nanoTime()
     q.processAllAvailable()
     q.stop()
     val drainWallS = (System.nanoTime() - tD) / 1e9

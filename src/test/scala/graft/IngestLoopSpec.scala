@@ -109,6 +109,53 @@ class IngestLoopSpec extends SparkSpec {
     }
   }
 
+  test("a cycle killed mid-replay resumes from its checkpoint: state " +
+      "restores, the in-flight batch replays into its own partition, " +
+      "and the landed set is still exactly the batch q123 keep set") {
+    import spark.implicits._
+    withChangelogRocksDb {
+      val base = tempDir("ingest_kill").getAbsolutePath
+      val idxRoot = s"$base/index"
+      val landRoot = s"$base/landed"
+      val ckpt = s"$base/ckpt"
+      IndexCompaction.init(spark, idxRoot,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cycDir = s"$base/in_0"
+      StreamBench.sliceOrdered(docs, "doc_id", 6, cycDir)
+      // incarnation 1: start, let at least two micro-batches commit,
+      // then stop mid-replay
+      val (q, _, _) = IngestLoop.startCycleQuery(spark, idxRoot,
+        s"$landRoot/cycle_0", cycDir, docs.schema, Some(ckpt))
+      val deadline = System.currentTimeMillis() + 60000
+      while (q.recentProgress.count(_.numInputRows > 0) < 2 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "fixture must commit some batches before the kill")
+      val landedBefore =
+        try spark.read.parquet(s"$landRoot/cycle_0").count()
+        catch { case _: Throwable => 0L }
+      // incarnation 2: the SAME cycle resumed from the checkpoint —
+      // finishes the replay, then compacts the landed batch
+      val st = IngestLoop.runCycle(spark, idxRoot, landRoot, 0, cycDir,
+        docs.schema, docs.count(), Some(ckpt))
+      val landed = IngestLoop.landedAll(spark, landRoot)
+        .select(col("doc_id")).as[Long].collect()
+      assert(landedBefore > 0 && landedBefore < landed.length,
+        "the kill must land mid-cycle (some batches before, some after)")
+      assert(landed.length === landed.distinct.length,
+        "a replayed batch must not double-land (batch_id overwrite)")
+      assert(landed.toSet === q123Keep(sfDir),
+        "ownership state must survive the restart — the resumed cycle " +
+          "must drop exactly what an unbroken run drops")
+      assert(st.landed === landed.length.toLong && st.folded === st.landed,
+        "the compaction folds exactly the landed set")
+    }
+  }
+
   test("bridge policy at sf0.1: the loop admits exactly the docs whose " +
       "earlier band sharers were ALL never landed; q123 keep is a " +
       "strict subset") {
