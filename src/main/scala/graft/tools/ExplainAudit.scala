@@ -35,7 +35,9 @@ object ExplainAudit {
       "q127_dominant_suppliers", "q128_top_revenue_supplier",
       "q129_order_count_distribution", "q130_disjunctive_revenue",
       "q131_sales_opportunity", "q132_important_parts",
-      "q133_supplier_diversity", "q134_hll_distinct")
+      "q133_supplier_diversity", "q134_hll_distinct",
+      "q135_profit_by_nation_year", "q136_sampled_quantiles",
+      "q137_returned_item_revenue")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
