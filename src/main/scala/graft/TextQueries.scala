@@ -864,6 +864,87 @@ object TextQueries {
          |FROM ex JOIN fin USING (domain, lang)
          |ORDER BY ex.domain, ex.lang""".stripMargin)),
 
+    // q138: HLL MERGEABILITY — per-source register tables merged by
+    // bucket-max must estimate exactly what the direct union sketch
+    // estimates (the distributed-reduce property; merge_equals_direct
+    // must be 1 for every lang in BOTH engines).
+    QueryDef("q138_hll_merge", (s, d) => hllMerge(s, d), Some(
+      s"""WITH it AS (
+         |  SELECT lang,
+         |    CASE WHEN source = 'src0' THEN 'src0' ELSE 'rest' END AS cls,
+         |    unnest(list_distinct(list_transform(
+         |      generate_series(1, len(w)-2),
+         |      i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS item
+         |  FROM (SELECT lang, source, string_split(text, ' ') AS w
+         |        FROM documents)
+         |  WHERE len(w) >= 3),
+         |h AS (SELECT lang, cls, ${h60("item")} AS h FROM it),
+         |rho AS (
+         |  SELECT lang, cls, h % 256 AS bucket,
+         |    CASE WHEN (h // 256) = 0 THEN 24
+         |      ELSE LEAST(CAST(round(log2((h // 256) & (-(h // 256)))) AS INT)
+         |        + 1, 24) END AS r0
+         |  FROM h),
+         |pc AS (SELECT lang, cls, bucket, MAX(r0) AS r FROM rho
+         |       GROUP BY 1, 2, 3),
+         |cls_est AS (
+         |  SELECT lang, cls,
+         |    CASE WHEN (256 - nb) > 0 AND raw <= 640
+         |      THEN (256 * CAST(round(ln(256.0 / (256 - nb)) * 1000000) AS BIGINT))
+         |        // 1000000
+         |      ELSE raw END AS n_hll
+         |  FROM (
+         |    SELECT lang, cls, COUNT(*) AS nb,
+         |      789749515417550848 // (1000000 *
+         |        (SUM(CAST(1 AS BIGINT) << (24 - r)) +
+         |         (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 24))) AS raw
+         |    FROM pc GROUP BY 1, 2)),
+         |mg AS (SELECT lang, bucket, MAX(r) AS r FROM pc GROUP BY 1, 2),
+         |mg_est AS (
+         |  SELECT lang,
+         |    CASE WHEN (256 - nb) > 0 AND raw <= 640
+         |      THEN (256 * CAST(round(ln(256.0 / (256 - nb)) * 1000000) AS BIGINT))
+         |        // 1000000
+         |      ELSE raw END AS n_hll_merged
+         |  FROM (
+         |    SELECT lang, COUNT(*) AS nb,
+         |      789749515417550848 // (1000000 *
+         |        (SUM(CAST(1 AS BIGINT) << (24 - r)) +
+         |         (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 24))) AS raw
+         |    FROM mg GROUP BY 1)),
+         |dregs AS (SELECT lang, bucket, MAX(r0) AS r FROM rho
+         |          GROUP BY 1, 2),
+         |dr_est AS (
+         |  SELECT lang,
+         |    CASE WHEN (256 - nb) > 0 AND raw <= 640
+         |      THEN (256 * CAST(round(ln(256.0 / (256 - nb)) * 1000000) AS BIGINT))
+         |        // 1000000
+         |      ELSE raw END AS n_hll_direct
+         |  FROM (
+         |    SELECT lang, COUNT(*) AS nb,
+         |      789749515417550848 // (1000000 *
+         |        (SUM(CAST(1 AS BIGINT) << (24 - r)) +
+         |         (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 24))) AS raw
+         |    FROM dregs GROUP BY 1)),
+         |ex AS (SELECT lang, COUNT(DISTINCT item) AS n_exact_union FROM it
+         |       GROUP BY 1)
+         |SELECT ex.lang,
+         |  CAST(MAX(CASE WHEN cls = 'src0' THEN n_hll END) AS BIGINT)
+         |    AS n_hll_src0,
+         |  CAST(MAX(CASE WHEN cls = 'rest' THEN n_hll END) AS BIGINT)
+         |    AS n_hll_rest,
+         |  CAST(MAX(n_hll_merged) AS BIGINT) AS n_hll_merged,
+         |  CAST(MAX(n_hll_direct) AS BIGINT) AS n_hll_direct,
+         |  CAST(MAX(n_exact_union) AS BIGINT) AS n_exact_union,
+         |  CAST(MAX(CASE WHEN n_hll_merged = n_hll_direct THEN 1 ELSE 0 END)
+         |    AS INT) AS merge_equals_direct
+         |FROM ex
+         |  JOIN cls_est USING (lang)
+         |  JOIN mg_est USING (lang)
+         |  JOIN dr_est USING (lang)
+         |GROUP BY ex.lang
+         |ORDER BY ex.lang""".stripMargin)),
+
     QueryDef("q80_source_kl", (s, d) => sourceKl(s, d), Some(
       """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

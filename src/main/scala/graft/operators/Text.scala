@@ -1638,7 +1638,29 @@ object Text {
     val regs = hashed
       .groupBy(col("domain"), col("lang"), pmod(col("h"), lit(m)).as("bucket"))
       .agg(max(rho).as("r"))
-    val summary = regs.groupBy(col("domain"), col("lang"))
+    val summary = hllSummaryOf(regs, "domain", "lang")
+    val exact = items.groupBy(col("domain"), col("lang"))
+      .agg(countDistinct(col("item")).as("n_exact"))
+    exact.join(summary, Seq("domain", "lang"))
+      .select(col("domain"), col("lang"), col("n_exact"), col("n_hll"),
+        expr("(abs(n_hll - n_exact) * 1000000L) div n_exact")
+          .as("abs_err_ppm"),
+        col("n_buckets"), col("max_rho"))
+      .orderBy(col("domain"), col("lang"))
+  }
+
+  /** The q134 HLL estimator over a register table `(keys..., bucket,
+    * r)`: per key group, the rank-capped BIGINT harmonic sum, one
+    * exact integer division, and the micro-rounded linear-counting
+    * small-range switch — shared by the one-shot audit (q134) and the
+    * merge audit (q138), spelled once so every consumer computes the
+    * identical integer arithmetic the oracle replays.
+    */
+  private[graft] def hllSummaryOf(regs: DataFrame, keys: String*): DataFrame = {
+    val m = 256
+    val cap = 24
+    val num = 789749515417550848L // 718273 * 2^40 = alpha_ppm * m^2 * 2^cap
+    regs.groupBy(keys.map(col): _*)
       .agg(sum(expr(s"shiftleft(1L, $cap - r)")).as("s_present"),
         count(lit(1)).as("n_buckets"), max(col("r")).as("max_rho"))
       .withColumn("s_total", col("s_present") +
@@ -1653,14 +1675,68 @@ object Text {
            |  THEN (${m}L * CAST(round(ln(${m}.0 / zeros) * 1000000) AS BIGINT))
            |    div 1000000L
            |  ELSE raw END""".stripMargin))
-    val exact = items.groupBy(col("domain"), col("lang"))
-      .agg(countDistinct(col("item")).as("n_exact"))
-    exact.join(summary, Seq("domain", "lang"))
-      .select(col("domain"), col("lang"), col("n_exact"), col("n_hll"),
-        expr("(abs(n_hll - n_exact) * 1000000L) div n_exact")
-          .as("abs_err_ppm"),
-        col("n_buckets"), col("max_rho"))
-      .orderBy(col("domain"), col("lang"))
+  }
+
+  /** HLL MERGEABILITY audit (q138) — the property that makes the
+    * sketch THE distributed distinct-counter at 100 TB: registers
+    * merge by per-bucket MAX, so per-partition (here: per-source)
+    * sketches combine into the union's sketch without touching the
+    * data again. Per lang, the SHINGLE-domain registers (the
+    * thousands-cardinality regime, where the two source classes carry
+    * genuinely different sets — the token vocab is shared corpus-wide,
+    * which would let a broken merge pass vacuously) are built
+    * PER SOURCE CLASS (src0 vs the rest), merged by bucket-max, and
+    * the merged estimate is audited EQUAL to the estimate computed
+    * directly over the union, alongside both sides' own estimates and
+    * the union's exact count. One register build (one shuffle of
+    * 256-row-per-group state); the per-class and merged summaries are
+    * reaggregations of that table, and `merge_equals_direct` must be
+    * 1 for every lang in both engines.
+    */
+  def hllMerge(s: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val cap = 24
+    val docs = Tables.documents(s, dir)
+    val items = docs.select(col("lang"),
+      when(col("source") === "src0", lit("src0")).otherwise(lit("rest"))
+        .as("cls"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("lang"), col("cls"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+        ))).as("item"))
+    val hashed = items.select(col("lang"), col("cls"),
+      hash60(col("item")).as("h"))
+    val v = shiftright(col("h"), 8)
+    val rho = when(v === 0, lit(cap)).otherwise(
+      least(round(log2(v.bitwiseAND(-v))).cast(IntegerType) + lit(1), lit(cap)))
+    val perClass = hashed
+      .groupBy(col("lang"), col("cls"), pmod(col("h"), lit(m)).as("bucket"))
+      .agg(max(rho).as("r"))
+      .localCheckpoint(true) // three summaries read the one register build
+    val classEst = hllSummaryOf(perClass, "lang", "cls")
+      .groupBy(col("lang"))
+      .agg(max(when(col("cls") === "src0", col("n_hll"))).as("n_hll_src0"),
+        max(when(col("cls") === "rest", col("n_hll"))).as("n_hll_rest"))
+    // the MERGE: per-bucket max across the class sketches — no item
+    // is re-read; this is the shuffle a 1000-executor reduce performs
+    val merged = hllSummaryOf(
+      perClass.groupBy(col("lang"), col("bucket")).agg(max(col("r")).as("r")),
+      "lang").select(col("lang"), col("n_hll").as("n_hll_merged"))
+    val direct = hllSummaryOf(
+      hashed.groupBy(col("lang"), pmod(col("h"), lit(m)).as("bucket"))
+        .agg(max(rho).as("r")),
+      "lang").select(col("lang"), col("n_hll").as("n_hll_direct"))
+    val exact = items.groupBy(col("lang"))
+      .agg(countDistinct(col("item")).as("n_exact_union"))
+    classEst.join(merged, Seq("lang")).join(direct, Seq("lang"))
+      .join(exact, Seq("lang"))
+      .withColumn("merge_equals_direct",
+        (col("n_hll_merged") === col("n_hll_direct")).cast(IntegerType))
+      .select(col("lang"), col("n_hll_src0"), col("n_hll_rest"),
+        col("n_hll_merged"), col("n_hll_direct"), col("n_exact_union"),
+        col("merge_equals_direct"))
+      .orderBy(col("lang"))
   }
 
   /** Bloom-filter dedup pre-filter — the cheap membership gate a
