@@ -785,6 +785,37 @@ object TextQueries {
          |GROUP BY e.term, e.cnt
          |ORDER BY e.term""".stripMargin)),
 
+    // q139: count-min MERGEABILITY — per-source sketches merged by
+    // cell-wise SUM must estimate exactly what the direct union
+    // sketch estimates for EVERY vocabulary term (the linear twin of
+    // q138's HLL max-merge; merge_equals_direct must be 1 per term).
+    QueryDef("q139_countmin_merge", (s, d) => countMinMerge(s, d), Some(
+      s"""WITH t AS (
+         |  SELECT CASE WHEN source = 'src0' THEN 'src0' ELSE 'rest' END AS cls,
+         |    unnest(string_split(text, ' ')) AS term FROM documents),
+         |fc AS (SELECT cls, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+         |ec AS (SELECT cls, term, cnt, j,
+         |    ${h60("concat(term, '#', j)")} % ${operators.Text.CountMinWidth} AS bkt
+         |  FROM fc CROSS JOIN (VALUES (0),(1),(2),(3)) AS jj(j)),
+         |skc AS (SELECT cls, j, bkt, CAST(SUM(cnt) AS BIGINT) AS bsum
+         |        FROM ec GROUP BY 1, 2, 3),
+         |mg AS (SELECT j, bkt, CAST(SUM(bsum) AS BIGINT) AS bsum_m
+         |       FROM skc GROUP BY 1, 2),
+         |f AS (SELECT term, SUM(cnt) AS cnt FROM fc GROUP BY 1),
+         |e AS (SELECT term, cnt, j,
+         |    ${h60("concat(term, '#', j)")} % ${operators.Text.CountMinWidth} AS bkt
+         |  FROM f CROSS JOIN (VALUES (0),(1),(2),(3)) AS jj(j)),
+         |skd AS (SELECT j, bkt, CAST(SUM(cnt) AS BIGINT) AS bsum_d
+         |        FROM e GROUP BY 1, 2)
+         |SELECT e.term, CAST(e.cnt AS BIGINT) AS cnt,
+         |  CAST(MIN(bsum_m) AS BIGINT) AS est_merged,
+         |  CAST(MIN(bsum_d) AS BIGINT) AS est_direct,
+         |  CAST(CASE WHEN MIN(bsum_m) = MIN(bsum_d) THEN 1 ELSE 0 END AS INT)
+         |    AS merge_equals_direct
+         |FROM e JOIN mg USING (j, bkt) JOIN skd USING (j, bkt)
+         |GROUP BY e.term, e.cnt
+         |ORDER BY e.term""".stripMargin)),
+
     // q91: Bloom pre-filter FP accounting — k=5 salted bits, bit space
     // = 8 per src0 key (load-factor-pinned → ~2% FP at any scale),
     // built over src0, probed by every other source's arrivals.

@@ -1576,6 +1576,56 @@ object Text {
       .orderBy(col("term"))
   }
 
+  /** Count-min MERGEABILITY audit (q139) — the LINEAR twin of q138's
+    * max-merge: count-min cells merge by SUM, so per-partition (here:
+    * per-source) sketches combine into the union's sketch without
+    * re-reading any token — the map-side-combine property that lets a
+    * 1000-executor reduce maintain one d×w table. Per-class sketches
+    * are built from the landed TF stage (vocab-bounded rows, never a
+    * token re-explode), merged cell-wise, and every vocabulary term's
+    * estimate from the MERGED sketch is audited EQUAL to the estimate
+    * from the sketch built directly over the union counts
+    * (`merge_equals_direct` = 1 per term in both engines; exact
+    * integers throughout, the q90 discipline).
+    */
+  def countMinMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = CountMinWidth
+    val freqCls = tfStage(s, dir)
+      .withColumn("cls", when(col("source") === "src0", lit("src0"))
+        .otherwise(lit("rest")))
+      .groupBy(col("cls"), col("term")).agg(sum(col("cnt")).as("cnt"))
+    val expandedCls = freqCls
+      .select(col("cls"), col("term"), col("cnt"),
+        explode(array((0 until 4).map(lit): _*)).as("j"))
+      .withColumn("bkt",
+        hash60(concat(col("term"), lit("#"), col("j"))) % w)
+    val sketchCls = expandedCls.groupBy(col("cls"), col("j"), col("bkt"))
+      .agg(sum(col("cnt")).cast(LongType).as("bsum"))
+    // the MERGE: cell-wise SUM across the class sketches — no token
+    // or term is re-read
+    val merged = sketchCls.groupBy(col("j"), col("bkt"))
+      .agg(sum(col("bsum")).cast(LongType).as("bsum_m"))
+    val freq = freqCls.groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+    val expanded = freq
+      .select(col("term"), col("cnt"),
+        explode(array((0 until 4).map(lit): _*)).as("j"))
+      .withColumn("bkt",
+        hash60(concat(col("term"), lit("#"), col("j"))) % w)
+    val sketchDirect = expanded.groupBy(col("j"), col("bkt"))
+      .agg(sum(col("cnt")).cast(LongType).as("bsum_d"))
+    expanded
+      .join(merged, Seq("j", "bkt"))
+      .join(sketchDirect, Seq("j", "bkt"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("bsum_m")).cast(LongType).as("est_merged"),
+        min(col("bsum_d")).cast(LongType).as("est_direct"))
+      .withColumn("merge_equals_direct",
+        (col("est_merged") === col("est_direct")).cast(IntegerType))
+      .select(col("term"), col("cnt").cast(LongType).as("cnt"),
+        col("est_merged"), col("est_direct"), col("merge_equals_direct"))
+      .orderBy(col("term"))
+  }
+
   /** HyperLogLog distinct-count audit — the third classic sketch next
     * to count-min (q90) and Bloom (q91), spelled fully relationally AND
     * fully deterministically: per (domain, lang), a 256-register HLL
