@@ -424,6 +424,61 @@ object RelationalQueries {
     // market. Revenue in DECIMAL; the share is exact integer micro-math
     // (floor to cents on BOTH engines — casts round differently — then
     // one non-negative integer division).
+    // q141: TPC-H Q21 shape — suppliers who kept orders waiting: the
+    // correlated EXISTS + NOT EXISTS pair on the SAME fact table
+    // (no commit/receipt dates in this schema, so "late" adapts to
+    // l_returnflag = 'R' inside 'F' orders). Oracle keeps the literal
+    // double self-join spelling; Spark collapses both subqueries into
+    // ONE per-order aggregate — lineitem scanned once, shuffled once.
+    QueryDef("q141_suppliers_kept_waiting",
+      (s, d) => suppliersKeptWaiting(s, d), Some(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)),
+
+    // q140: TPC-H Q7 shape — cross-nation shipping volume: nation
+    // attaches TWICE (supplier role, customer role) with the
+    // disjunctive pair predicate (A→B)∨(B→A). Oracle keeps the flat
+    // five-table join + both nation aliases; Spark folds the nation
+    // filter into both broadcast dimension attaches, shuffles fact
+    // rows ONCE (l_orderkey ⋈ o_orderkey), pre-aggregates to a
+    // (custkey, supp_nation, year) summary, and only that summary
+    // meets fact-sized customer.
+    QueryDef("q140_volume_shipping", (s, d) => volumeShipping(s, d), Some(
+      """WITH pairs AS (
+        |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS volume
+        |  FROM lineitem
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |    JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |  WHERE ((sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_1')
+        |      OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_0'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01')
+        |SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(volume) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM pairs
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
     QueryDef("q105_market_share", (s, d) => marketShare(s, d), Some(
       """WITH mkt AS (
         |  SELECT year(o_orderdate) AS o_year,

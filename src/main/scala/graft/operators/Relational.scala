@@ -909,4 +909,128 @@ object Relational {
         col("nation"), col("rev_dec").cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
   }
+  /** TPC-H Q7 shape (q140): cross-nation shipping volume — the one
+    * classic join topology the registry lacked: the SAME dimension
+    * (nation) attaches twice under two roles (supplier's nation via
+    * lineitem, customer's nation via orders), with the disjunctive
+    * nation-PAIR predicate `(A→B) ∨ (B→A)` coupling the two roles so
+    * neither side's filter alone expresses it.
+    *
+    * Spark plan (the 100 TB shape): the literal SQL joins five tables
+    * and moves fact rows through TWO key shuffles (orderkey, then
+    * custkey). Here the nation filter folds into BOTH dimension
+    * attaches before anything shuffles — supplier⋈nation broadcasts
+    * (~2/25 of suppliers survive), cutting lineitem ~92% after the
+    * shipdate window is pushed to the scan — so l_orderkey ⋈
+    * o_orderkey is the ONLY shuffle that moves fact rows. The result
+    * then pre-aggregates to a (custkey, supp_nation, year) summary
+    * (map-side partial), and the second "fact" shuffle carries that
+    * O(customers) summary into the customer⋈nation attach — customer
+    * is fact-sized at scale (q137 discipline: never broadcast it), but
+    * the rows meeting it are already a summary, not the fact stream.
+    * Volume stays exact DECIMAL until one final DOUBLE cast (both
+    * engines cast the same exact decimal).
+    *
+    * Reference anchor: multi-way keyed joins + keyed aggregation are
+    * the reference's keyBy/window composition
+    * (`FlinkWindowLearning.scala:135-174`) re-expressed relationally.
+    */
+  /** TPC-H Q21 shape (q141): suppliers who kept orders waiting — the
+    * classic hardest TPC-H query: a correlated EXISTS *and* NOT EXISTS
+    * on the SAME fact table (lineitem self-joined twice, correlated on
+    * the order key with a supplier inequality). The driver schema has
+    * no commit/receipt dates, so "kept waiting" adapts to
+    * `l_returnflag = 'R'` within 'F'-status orders — identical logical
+    * structure: count l1 rows where ANOTHER supplier shares the order
+    * (EXISTS) but NO other supplier also has a flagged line
+    * (NOT EXISTS).
+    *
+    * Spark plan (the 100 TB shape): the literal SQL self-joins the
+    * fact table twice (three lineitem scans, two orderkey shuffles of
+    * fact rows with inequality residuals). Here both correlated
+    * subqueries collapse into ONE per-order aggregate: group the
+    * F-order lines by l_orderkey and compute (distinct suppliers,
+    * distinct flagged suppliers, flagged-line count) — EXISTS becomes
+    * `n_supp >= 2`, NOT EXISTS becomes `|flagged suppliers| == 1`,
+    * and the l1 row count is the sole flagged supplier's flagged-line
+    * count. Lineitem is scanned ONCE and shuffles once (the orderkey
+    * semi join against F-orders; the groupBy rides the same
+    * partitioning). The per-supplier rollup then moves only an
+    * O(orders) summary, the supplier name attaches by broadcast, and
+    * the top-100 is a TakeOrdered on a total order (numwait desc,
+    * s_name) — deterministic in both engines.
+    *
+    * Reference anchor: keyed grouping + per-group predicate evaluation
+    * is the reference's keyBy/WindowFunction composition
+    * (`FlinkWindowLearning.scala:162-174`) re-expressed relationally.
+    */
+  def suppliersKeptWaiting(s: SparkSession, dir: String): DataFrame = {
+    val oF = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val perOrder = li
+      .join(oF, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        size(collect_set(col("l_suppkey"))).as("n_supp"),
+        collect_set(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("r_supps"),
+        count(when(col("l_returnflag") === "R", 1)).as("r_lines"))
+      .filter(size(col("r_supps")) === 1 && col("n_supp") >= 2)
+      .select(element_at(col("r_supps"), 1).as("s_suppkey"),
+        col("r_lines"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"))
+    perOrder.groupBy(col("s_suppkey"))
+      .agg(sum(col("r_lines")).as("numwait"))
+      .join(broadcast(sup), Seq("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  def volumeShipping(s: SparkSession, dir: String,
+      nationA: String = "NATION_0", nationB: String = "NATION_1")
+      : DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val supNat = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), Seq("s_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"),
+        (dec2(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+          .as("volume"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val summary = li
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"), col("supp_nation"),
+        col("l_year"))
+      .agg(sum(col("volume")).as("vol_dec"), count(lit(1)).as("n_lines"))
+    val custNat = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), Seq("c_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    summary.join(custNat, Seq("c_custkey"))
+      .filter((col("supp_nation") === nationA &&
+          col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB &&
+          col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("vol_dec")).cast(DoubleType).as("revenue"),
+        sum(col("n_lines")).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
 }

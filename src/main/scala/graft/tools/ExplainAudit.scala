@@ -37,7 +37,8 @@ object ExplainAudit {
       "q131_sales_opportunity", "q132_important_parts",
       "q133_supplier_diversity", "q134_hll_distinct",
       "q135_profit_by_nation_year", "q136_sampled_quantiles",
-      "q137_returned_item_revenue")
+      "q137_returned_item_revenue", "q140_volume_shipping",
+      "q141_suppliers_kept_waiting")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

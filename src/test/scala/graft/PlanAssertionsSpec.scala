@@ -290,6 +290,61 @@ class PlanAssertionsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q140 Q7 shape: shipdate window pushed to the lineitem scan, " +
+      "nation filter folded into both broadcast dimension attaches, " +
+      "fact rows pre-aggregated to a per-customer summary before " +
+      "customer attaches") {
+    val plan = formatted("q140_volume_shipping")
+    assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(plan).isDefined &&
+      "LessThan\\(l_shipdate".r.findFirstIn(plan).isDefined,
+      "the shipdate window must push into the lineitem scan")
+    assert("In\\(n_name".r.findAllIn(plan).size == 2,
+      "the two-nation filter must push into BOTH nation scans " +
+        "(supplier role and customer role)")
+    assert("Location[^\\n]*/lineitem".r.findAllIn(plan).size == 1 &&
+      !plan.contains("l_quantity") && !plan.contains("l_returnflag"),
+      "lineitem scanned once, pruned to its five needed columns")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "supplier⋈nation and customer⋈nation must broadcast — fact rows " +
+        "never build a hash side")
+    // the disjunctive PAIR predicate can only apply after both roles
+    // attach; it must sit on the summary join, not re-scan anything
+    assert(!plan.contains("CartesianProduct"))
+    assertBnljUnconditioned(plan)
+    // fact rows aggregate to the (custkey, supp_nation, year) summary
+    // before the customer join: the partial/final pair for that
+    // aggregate plus the final (supp, cust, year) rollup = 2 aggregate
+    // pairs, and the only hash exchanges carry summaries
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(plan).size == 4,
+      "two partial+final aggregate pairs (per-customer summary, then " +
+        "the nation-pair rollup)")
+    assert("hashpartitioning\\(c_custkey".r.findFirstIn(plan).isDefined ||
+      "hashpartitioning\\(o_custkey".r.findFirstIn(plan).isDefined ||
+      "hashpartitioning".r.findAllIn(plan).isEmpty,
+      "any data shuffle carries the per-customer summary, not raw fact rows")
+  }
+
+  test("q141 Q21 shape: the EXISTS/NOT-EXISTS pair collapses into one " +
+      "per-order aggregate — lineitem scanned once, one fact shuffle, " +
+      "supplier attached by broadcast, top-100 as TakeOrdered") {
+    val plan = formatted("q141_suppliers_kept_waiting")
+    assert("Location[^\\n]*/lineitem".r.findAllIn(plan).size == 1,
+      "the self-EXISTS rewrite must NOT scan the fact table twice")
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_shipdate"),
+      "lineitem pruned to (l_orderkey, l_suppkey, l_returnflag)")
+    assert(plan.contains("EqualTo(o_orderstatus,F)"),
+      "the order-status filter must push into the orders scan")
+    assert("hashpartitioning\\(l_orderkey".r.findAllIn(plan).size <= 1,
+      "at most ONE orderkey exchange — the groupBy must ride the semi " +
+        "join's partitioning, never a second fact shuffle")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must be a TakeOrdered, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the supplier-name attach must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assertBnljUnconditioned(plan)
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.
