@@ -774,6 +774,51 @@ object StreamBench {
         s""""state_rows_bound":${256L * batch.size}}"""
     }
 
+    // stage 5a''''''b: the live count-min frequency sketch —
+    // streamingCountMin maintains the q90 d×w cell table incrementally
+    // (ONE state row per sketch cell), so state is bounded at 4·w = 64
+    // rows CORPUS-SIZE-INDEPENDENT — the strongest state bound in this
+    // file: the sketch never grows with the stream, only its cell sums
+    // do. After the full replay, every vocabulary term's
+    // min-over-hash-rows estimate read from the live cells must EQUAL
+    // the oracle-checked batch q90 estimate (terms_match == vocab).
+    val cmLive = {
+      val w = operators.Text.CountMinWidth
+      val docsAll = docs.select(col("doc_id"), col("text"))
+      val nToks = docsAll.select(explode(split(col("text"), " "))).count()
+      sliceOrdered(docsAll, "doc_id", nSlices, s"$base/docs_cm")
+      val dstream = spark.readStream.schema(docsAll.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/docs_cm")
+      val terms = dstream
+        .select(explode(split(col("text"), " ")).as("t")).as[String]
+      val t0 = System.nanoTime()
+      val q = streaming.TextStreams.streamingCountMin(spark, terms)
+        .toDF("cell", "csum")
+        .writeStream.format("memory").queryName("cm_live")
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      // cell sums are monotone, so the max emission per cell is the
+      // final cell value — no snapshot read of the state store needed
+      val cells = spark.table("cm_live").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batch = SparkEntry.queries("q90_countmin")(spark, sfDir)
+        .select(col("term"), col("est")).as[(String, Long)].collect().toMap
+      val matches = batch.count { case (term, est) =>
+        val live = (0 until 4).map { j =>
+          cells.getOrElse(
+            j.toLong * w + streaming.TextStreams.hash60(s"$term#$j") % w, 0L)
+        }.min
+        live == est
+      }
+      val emissions = spark.table("cm_live").count()
+      s""""countmin_live":{${progressJson(progress, nToks, emissions, wall)},""" +
+        s""""vocab":${batch.size},"terms_match":$matches,""" +
+        s""""state_rows_bound":${4L * w}}"""
+    }
+
     // stage 5a''''''': the COMPOSED INGEST LOOP — gate → admit →
     // exactly-once landing → minor compaction, repeated over three
     // cycles from an EMPTY index (streaming.IngestLoop, the pipeline
@@ -1004,7 +1049,7 @@ object StreamBench {
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
       s"""$tumbling,$replaySrc,$paced50,$paced90,$pacedOver,$gate,$pacedGate,$assign,$sessions,""" +
       s"""$lsh,$lshTtl,$admit,$pacedAdmit,$compaction,$dedupService,""" +
-      s"""$hllLive,$ingestLoop,$blobGate,$audit,$standing,""" +
+      s"""$hllLive,$cmLive,$ingestLoop,$blobGate,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +
       s""""sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("stream_bench.json", "UTF-8")

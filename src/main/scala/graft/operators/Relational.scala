@@ -960,6 +960,15 @@ object Relational {
     * the top-100 is a TakeOrdered on a total order (numwait desc,
     * s_name) — deterministic in both engines.
     *
+    * Contrast with q94 ([[soleReturnSuppliers]]), which decorrelates
+    * the SAME logical correlation into semi/anti hash joins on
+    * deduplicated (order, supplier) pair sets: that strategy shuffles
+    * the pair sets twice more but never materializes per-order
+    * supplier sets; this one is strictly one scan + one shuffle. Both
+    * are oracle-checked, so the registry pins both physical strategies
+    * for Q21's shape (q141 also keeps Q21's order-status filter and
+    * the literal per-LINE count, where q94 counts distinct orders).
+    *
     * Reference anchor: keyed grouping + per-group predicate evaluation
     * is the reference's keyBy/WindowFunction composition
     * (`FlinkWindowLearning.scala:162-174`) re-expressed relationally.
