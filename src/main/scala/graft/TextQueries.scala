@@ -816,6 +816,58 @@ object TextQueries {
          |GROUP BY e.term, e.cnt
          |ORDER BY e.term""".stripMargin)),
 
+    // q142: Bloom MERGEABILITY + totality — per-class bit sets merged
+    // by position-wise OR equal the direct union build (zero symmetric
+    // difference), every member probe passes (no false negatives), and
+    // non-member FP verdicts are identical through merged and direct.
+    QueryDef("q142_bloom_merge", (s, d) => bloomMerge(s, d), Some(
+      s"""WITH d AS (SELECT source, md5(text) AS h FROM documents),
+         |k AS (SELECT DISTINCT h FROM d),
+         |mm AS (SELECT COUNT(*) * 8 AS m FROM k),
+         |kc AS (SELECT DISTINCT
+         |         CASE WHEN source = 'src0' THEN 'src0' ELSE 'rest' END AS cls,
+         |         h FROM d),
+         |merged AS (SELECT DISTINCT ${h60("concat(h, '#', i)")} % m AS pos
+         |           FROM kc CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS ii(i)
+         |             CROSS JOIN mm),
+         |direct AS (SELECT DISTINCT ${h60("concat(h, '#', i)")} % m AS pos
+         |           FROM k CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS ii(i)
+         |             CROSS JOIN mm),
+         |bs AS (SELECT
+         |    (SELECT COUNT(*) FROM merged) AS n_bits_merged,
+         |    (SELECT COUNT(*) FROM direct) AS n_bits_direct,
+         |    (SELECT COUNT(*) FROM (
+         |       (SELECT pos FROM merged EXCEPT SELECT pos FROM direct)
+         |       UNION ALL
+         |       (SELECT pos FROM direct EXCEPT SELECT pos FROM merged)) t)
+         |      AS n_bits_diff),
+         |pr AS (SELECT h AS key, 1 AS member FROM k
+         |       UNION ALL
+         |       SELECT concat('probe#', CAST(g AS VARCHAR)), 0
+         |       FROM generate_series(0, 999) AS gs(g)),
+         |vv AS (SELECT key, member,
+         |         SUM(CASE WHEN pos IN (SELECT pos FROM merged)
+         |             THEN 1 ELSE 0 END) AS nm,
+         |         SUM(CASE WHEN pos IN (SELECT pos FROM direct)
+         |             THEN 1 ELSE 0 END) AS nd
+         |       FROM (SELECT key, member,
+         |               ${h60("concat(key, '#', i)")} % m AS pos
+         |             FROM pr CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS ii(i)
+         |               CROSS JOIN mm) p
+         |       GROUP BY key, member)
+         |SELECT member, COUNT(*) AS n_probes,
+         |  CAST(SUM(CASE WHEN nm = 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass_merged,
+         |  CAST(SUM(CASE WHEN nd = 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass_direct,
+         |  CAST(SUM(CASE WHEN (nm = 5) = (nd = 5) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_verdicts_equal,
+         |  (SELECT n_bits_merged FROM bs) AS n_bits_merged,
+         |  (SELECT n_bits_direct FROM bs) AS n_bits_direct,
+         |  CAST(CASE WHEN (SELECT n_bits_diff FROM bs) = 0
+         |    THEN 1 ELSE 0 END AS INT) AS merge_equals_direct
+         |FROM vv GROUP BY member ORDER BY member""".stripMargin)),
+
     // q91: Bloom pre-filter FP accounting — k=5 salted bits, bit space
     // = 8 per src0 key (load-factor-pinned → ~2% FP at any scale),
     // built over src0, probed by every other source's arrivals.

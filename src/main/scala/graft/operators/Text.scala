@@ -1626,6 +1626,89 @@ object Text {
       .orderBy(col("term"))
   }
 
+  /** Bloom MERGEABILITY + totality audit (q142) — completes the
+    * mergeability trio: HLL registers merge by MAX (q138), count-min
+    * cells by SUM (q139), Bloom bit sets by OR — per-class bit sets
+    * (src0 vs rest, the q139 split) unioned position-wise must equal
+    * the bit set built directly over the union of keys, audited as a
+    * zero symmetric difference (`merge_equals_direct`). The probe side
+    * audits the two properties a Bloom gate actually promises:
+    * member probes (every corpus key) must ALL pass — the
+    * no-false-negative guarantee (`n_pass_merged == n_probes` on the
+    * member=1 row) — and non-member probes (1000 deterministic
+    * synthetic keys outside the md5-hex alphabet) measure the
+    * false-positive rate, which must be IDENTICAL through the merged
+    * and the direct sketch (`n_verdicts_equal == n_probes` on both
+    * rows). Same k=5 salted h60 positions and count()-derived bit
+    * space as q91, so both engines build bit-identical sketches.
+    *
+    * Shape at scale: bit sets are corpus-sized, so the build is
+    * distinct (cls, pos) equi-aggregation and the probe is an
+    * equi-join on pos — here the set-bit side broadcasts (q91
+    * precedent at these SFs); at 100 TB the same plan runs as a
+    * partitioned join on pos with no broadcast, and the per-class →
+    * merged OR is exactly the map-side-combine that lets every
+    * executor keep a local filter and union lazily.
+    */
+  def bloomMerge(s: SparkSession, dir: String, bitsPerKey: Int = 8)
+      : DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), md5(col("text").cast(BinaryType)).as("h"))
+    val keys = d.select(col("h")).distinct().localCheckpoint(true)
+    val m = keys.count() * bitsPerKey
+    require(m > 0, "bloomMerge: empty corpus — no bit space to build")
+    val five = explode(array((0 until 5).map(lit): _*))
+    // per-class builds over the SHARED bit space
+    val keyedCls = d
+      .withColumn("cls", when(col("source") === "src0", lit("src0"))
+        .otherwise(lit("rest")))
+      .select(col("cls"), col("h")).distinct()
+    val bitsCls = keyedCls
+      .select(col("cls"), col("h"), five.as("i"))
+      .withColumn("pos", hash60(concat(col("h"), lit("#"), col("i"))) % m)
+      .select(col("cls"), col("pos")).distinct()
+    // the MERGE: position-wise OR = set union across the class sketches
+    val merged = bitsCls.select(col("pos")).distinct()
+    val direct = keys
+      .select(col("h"), five.as("i"))
+      .withColumn("pos", hash60(concat(col("h"), lit("#"), col("i"))) % m)
+      .select(col("pos")).distinct()
+    val bitStats = merged.withColumn("a", lit(1))
+      .join(direct.withColumn("b", lit(1)), Seq("pos"), "full_outer")
+      .agg(sum(coalesce(col("a"), lit(0))).cast(LongType)
+          .as("n_bits_merged"),
+        sum(coalesce(col("b"), lit(0))).cast(LongType).as("n_bits_direct"),
+        count(when(col("a").isNull || col("b").isNull, 1)).as("n_bits_diff"))
+    val probes = keys.select(col("h").as("key"), lit(1).as("member"))
+      .unionByName(s.range(1000)
+        .select(concat(lit("probe#"), col("id")).as("key"),
+          lit(0).as("member")))
+    probes
+      .select(col("key"), col("member"), five.as("i"))
+      .withColumn("pos", hash60(concat(col("key"), lit("#"), col("i"))) % m)
+      .join(broadcast(merged.withColumn("in_m", lit(1))), Seq("pos"), "left")
+      .join(broadcast(direct.withColumn("in_d", lit(1))), Seq("pos"), "left")
+      .groupBy(col("key"), col("member"))
+      .agg(sum(coalesce(col("in_m"), lit(0))).as("nm"),
+        sum(coalesce(col("in_d"), lit(0))).as("nd"))
+      .withColumn("pass_m", (col("nm") === 5).cast(IntegerType))
+      .withColumn("pass_d", (col("nd") === 5).cast(IntegerType))
+      .groupBy(col("member"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("pass_m")).cast(LongType).as("n_pass_merged"),
+        sum(col("pass_d")).cast(LongType).as("n_pass_direct"),
+        sum((col("pass_m") === col("pass_d")).cast(IntegerType))
+          .cast(LongType).as("n_verdicts_equal"))
+      .crossJoin(broadcast(bitStats))
+      .withColumn("merge_equals_direct",
+        (col("n_bits_diff") === 0).cast(IntegerType))
+      .select(col("member"), col("n_probes"), col("n_pass_merged"),
+        col("n_pass_direct"), col("n_verdicts_equal"),
+        col("n_bits_merged"), col("n_bits_direct"),
+        col("merge_equals_direct"))
+      .orderBy(col("member"))
+  }
+
   /** HyperLogLog distinct-count audit — the third classic sketch next
     * to count-min (q90) and Bloom (q91), spelled fully relationally AND
     * fully deterministically: per (domain, lang), a 256-register HLL
