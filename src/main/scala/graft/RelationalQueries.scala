@@ -424,6 +424,97 @@ object RelationalQueries {
     // market. Revenue in DECIMAL; the share is exact integer micro-math
     // (floor to cents on BOTH engines — casts round differently — then
     // one non-negative integer division).
+    // q143: TPC-H Q4 shape — date-windowed order-priority counts gated
+    // by EXISTS(flagged line); Spark plans the EXISTS as a LEFT SEMI
+    // hash join (never duplicates orders), both filters pushed.
+    QueryDef("q143_order_priority_check",
+      (s, d) => orderPriorityCheck(s, d), Some(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // q144: TPC-H Q12 shape — fact⋈fact orderkey join with the high/low
+    // priority split as conditional counts in ONE aggregate pair.
+    QueryDef("q144_line_priority_counts",
+      (s, d) => linePriorityCounts(s, d), Some(
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)),
+
+    // q145: TPC-H Q14 shape — promo revenue share over one month, the
+    // share ratio in exact integer micro units (q105 discipline).
+    QueryDef("q145_promo_revenue", (s, d) => promoRevenueShare(s, d), Some(
+      """WITH t AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    AS rev, p_type
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+        |    AS promo_revenue,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |  CAST((CAST(floor(SUM(CASE WHEN p_type = 'PROMO' THEN rev END)
+        |      * 100) AS HUGEINT) * 1000000)
+        |    // CAST(floor(SUM(rev) * 100) AS HUGEINT) AS BIGINT)
+        |    AS promo_share_micro,
+        |  COUNT(*) AS n_lines
+        |FROM t""".stripMargin)),
+
+    // q146: TPC-H Q6 shape — the pure scan-aggregate: date window,
+    // discount band and quantity cap ALL pushed into the parquet scan.
+    QueryDef("q146_forecast_revenue", (s, d) => forecastRevenue(s, d), Some(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin)),
+
+    // q147: TPC-H Q2 shape — minimum-cost supplier with ties: the
+    // part↔supplier catalog derives from observed lineitems (no
+    // partsupp in this schema), cost = raw MIN(l_extendedprice) per
+    // pair (deterministic: no sums, no division). Oracle spells the
+    // correlated min as a join against the per-part MIN; Spark runs it
+    // as a window MIN over the dimension-filtered catalog summary.
+    QueryDef("q147_min_cost_supplier", (s, d) => minCostSupplier(s, d), Some(
+      """WITH cat AS (
+        |  SELECT l_partkey AS p_key, l_suppkey AS s_key,
+        |    MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |    JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'),
+        |pc AS (
+        |  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, cost
+        |  FROM cat JOIN rs ON s_suppkey = s_key
+        |    JOIN part ON p_partkey = p_key
+        |  WHERE p_size <= 15 AND p_type = 'LARGE'),
+        |mn AS (SELECT p_partkey, MIN(cost) AS min_cost
+        |       FROM pc GROUP BY p_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(CAST(cost AS DECIMAL(18,2)) * 100 AS BIGINT) AS cost_cents
+        |FROM pc JOIN mn USING (p_partkey)
+        |WHERE cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)),
+
     // q141: TPC-H Q21 shape — suppliers who kept orders waiting: the
     // correlated EXISTS + NOT EXISTS pair on the SAME fact table
     // (no commit/receipt dates in this schema, so "late" adapts to

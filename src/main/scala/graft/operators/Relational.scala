@@ -909,6 +909,146 @@ object Relational {
         col("nation"), col("rev_dec").cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
   }
+  /** TPC-H Q4 shape (q143): order-priority checking — a date-windowed
+    * order count gated by a correlated EXISTS against lineitem (here:
+    * "some line was returned", the schema's stand-in for the missing
+    * commit/receipt dates). Spark plans the EXISTS as a LEFT SEMI hash
+    * join on the order key: the date window pushes into the orders
+    * scan, the returnflag filter into the lineitem scan, and the semi
+    * join never duplicates orders however many lines match. The final
+    * aggregate is 5 priority rows — map-side partial all the way.
+    */
+  def orderPriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val flagged = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q12 shape (q144): line-priority classification — the
+    * fact⋈fact join whose aggregate is two CONDITIONAL counts (the
+    * schema has no shipmode, so lines classify by l_linestatus and
+    * orders by their real o_orderpriority). The year window pushes
+    * into the lineitem scan; the only shuffle is the orderkey join;
+    * the high/low split is a when() pair inside one partial/final
+    * aggregate — never two passes.
+    */
+  def linePriorityCounts(s: SparkSession, dir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+          .cast(LongType).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin(hi: _*), 1).otherwise(0))
+          .cast(LongType).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q14 shape (q145): promotion revenue share — a one-month
+    * fact window against the broadcast part dimension, with the share
+    * ratio in exact integer micro units (the q105 discipline: cents as
+    * BIGINT, one exact integer division) so both engines emit the
+    * identical integer. Exact decimal revenue until the final cast.
+    */
+  def promoRevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", dec2(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev"))).as("promo_dec"),
+        sum(col("rev")).as("tot_dec"), count(lit(1)).as("n_lines"))
+      .withColumn("promo_c", floor(col("promo_dec") * 100).cast(LongType))
+      .withColumn("tot_c", floor(col("tot_dec") * 100).cast(LongType))
+      .select(col("promo_dec").cast(DoubleType).as("promo_revenue"),
+        col("tot_dec").cast(DoubleType).as("total_revenue"),
+        expr("(CAST(promo_c AS DECIMAL(38,0)) * 1000000) div tot_c")
+          .as("promo_share_micro"),
+        col("n_lines"))
+  }
+
+  /** TPC-H Q6 shape (q146): forecasting revenue change — the pure
+    * scan-aggregate: every predicate (date window, discount band,
+    * quantity cap) pushes into the parquet scan (row-group min/max
+    * skip on all three columns), no join, one partial/final aggregate
+    * over whatever survives. The simplest query that proves pushdown.
+    */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q2 shape (q147): minimum-cost supplier — the correlated
+    * scalar-MIN with ties. The driver schema has no partsupp, so the
+    * part↔supplier catalog derives from observed lineitems: cost =
+    * MIN(l_extendedprice) per (part, supplier) — a raw MIN of doubles,
+    * deterministic in any engine (no sums, no division). Q2's
+    * structure is preserved exactly: restrict suppliers to one region,
+    * restrict parts by size/type, and keep every supplier achieving
+    * the per-part minimum cost (ties survive), top-100 on a TOTAL
+    * order (acctbal desc, nation, supplier, part).
+    *
+    * Spark plan (the 100 TB shape): the (part, supplier) catalog
+    * aggregate is the ONLY fact shuffle; the part filter and the
+    * region-supplier set broadcast into it BEFORE the per-part MIN, so
+    * the argmin window runs over a dimension-filtered summary, not the
+    * corpus. The correlated subquery becomes a window MIN — one pass,
+    * no self-join.
+    */
+  def minCostSupplier(s: SparkSession, dir: String,
+      region: String = "ASIA"): DataFrame = {
+    val cat = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("p_key"), col("l_suppkey").as("s_key"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    val rs = Tables.supplier(s, dir)
+      .withColumnRenamed("s_nationkey", "nk")
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nk"), col("n_name"),
+          col("n_regionkey"))), Seq("nk"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === region)
+        .select(col("r_regionkey").as("n_regionkey"))), Seq("n_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_brand"))
+    val w = Window.partitionBy(col("p_key"))
+    cat
+      .join(broadcast(parts), col("p_key") === col("p_partkey"))
+      .join(broadcast(rs), col("s_key") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("cost")).over(w))
+      .filter(col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        (dec2(col("cost")) * 100).cast(LongType).as("cost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q7 shape (q140): cross-nation shipping volume — the one
     * classic join topology the registry lacked: the SAME dimension
     * (nation) attaches twice under two roles (supplier's nation via

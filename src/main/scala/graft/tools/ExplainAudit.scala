@@ -38,7 +38,8 @@ object ExplainAudit {
       "q133_supplier_diversity", "q134_hll_distinct",
       "q135_profit_by_nation_year", "q136_sampled_quantiles",
       "q137_returned_item_revenue", "q140_volume_shipping",
-      "q141_suppliers_kept_waiting")
+      "q141_suppliers_kept_waiting", "q143_order_priority_check",
+      "q146_forecast_revenue", "q147_min_cost_supplier")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -345,6 +345,57 @@ class PlanAssertionsSpec extends SparkSpec {
     assertBnljUnconditioned(plan)
   }
 
+  test("q143 Q4 shape: EXISTS planned as a LEFT SEMI join with both " +
+      "filters pushed to the scans") {
+    val plan = formatted("q143_order_priority_check")
+    assert(plan.contains("LeftSemi"),
+      "the EXISTS must plan as a semi join — never duplicate orders")
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(plan).isDefined,
+      "date window pushed into the orders scan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter pushed into the lineitem scan")
+    assert("ReadSchema[^\\n]*l_orderkey".r.findFirstIn(plan).isDefined &&
+      !plan.contains("l_extendedprice"),
+      "lineitem pruned to (l_orderkey, l_returnflag)")
+  }
+
+  test("q146 Q6 shape: all three predicates pushed into ONE lineitem " +
+      "scan, no join, one aggregate pair") {
+    val plan = formatted("q146_forecast_revenue")
+    assert("GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(plan).isDefined &&
+      "GreaterThanOrEqual\\(l_discount".r.findFirstIn(plan).isDefined &&
+      "LessThan\\(l_quantity".r.findFirstIn(plan).isDefined,
+      "date window, discount band and quantity cap must ALL push " +
+        "into the parquet scan")
+    assert(!plan.contains("Join"), "Q6 has no join")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(plan).size == 2,
+      "one partial/final aggregate pair")
+  }
+
+  test("q147 Q2 shape: the catalog aggregate is the only fact shuffle; " +
+      "part filter and region suppliers broadcast BEFORE the per-part " +
+      "window MIN; ties kept; top-100 as TakeOrdered") {
+    val plan = formatted("q147_min_cost_supplier")
+    assert("LessThanOrEqual\\(p_size".r.findFirstIn(plan).isDefined &&
+      plan.contains("EqualTo(p_type,LARGE)"),
+      "part size/type filters must push into the part scan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      "region filter pushed into the region scan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "part, nation, region and the supplier set must broadcast")
+    assert("hashpartitioning\\(l_partkey[^\\n]*l_suppkey".r
+        .findFirstIn(plan).isDefined ||
+      "hashpartitioning\\(p_key[^\\n]*s_key".r.findFirstIn(plan).isDefined,
+      "the (part, supplier) catalog aggregate is the fact shuffle")
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).nonEmpty &&
+      "hashpartitioning\\(p_key".r.findFirstIn(plan).isDefined,
+      "the correlated MIN runs as a window partitioned by part")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must be a TakeOrdered, not a global sort")
+    assert(!plan.contains("CartesianProduct"))
+    assertBnljUnconditioned(plan)
+  }
+
   // q42 is served from the materialized exact-pair table, so both
   // assertions run on the BUILD pipeline — the plan that actually does
   // the scoring and pair generation.
