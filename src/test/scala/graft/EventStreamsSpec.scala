@@ -1085,4 +1085,86 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
     }
   }
+
+  test("streaming count-min cell sums survive a checkpoint restart " +
+      "under changelog checkpointing") {
+    withChangelogRocksDb {
+      import spark.implicits._
+      val out = tempDir("cms_restart_out").toPath.toString
+      val ckpt = tempDir("cms_restart_ckpt").toPath.toString
+      val mem = MemoryStream[String](spark)
+      def start() = TextStreams.streamingCountMin(spark, mem.toDS())
+        .toDF("cell", "csum").writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val batch1 = Seq("the", "a", "of", "the", "zebra")
+      val batch2 = Seq("the", "quark", "a", "a")
+      val q1 = start()
+      try { mem.addData(batch1); q1.processAllAvailable() }
+      finally q1.stop() // cell sums now live only in the checkpoint
+      val q2 = start()
+      try {
+        mem.addData(batch2)
+        q2.processAllAvailable()
+        // monotone sums: the max emission per cell across BOTH runs is
+        // the final cell value. A lost store would restart the touched
+        // cells from zero, so e.g. "the"'s cells would max at
+        // max(2, 1) = 2 instead of the true 3 — the equality below
+        // distinguishes restored state from silent reset.
+        val cells = spark.read.parquet(out).as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        val expected = (batch1 ++ batch2).flatMap { t =>
+          (0 until 4).map(j =>
+            j.toLong * 16 + TextStreams.hash60(s"$t#$j") % 16)
+        }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(cells === expected,
+          "post-restart cell sums must continue from the restored state")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming HLL registers survive a checkpoint restart: re-fed " +
+      "duplicates emit NOTHING from the restored store") {
+    withChangelogRocksDb {
+      import spark.implicits._
+      val out = tempDir("hll_restart_out").toPath.toString
+      val ckpt = tempDir("hll_restart_ckpt").toPath.toString
+      val mem = MemoryStream[String](spark)
+      def start() = TextStreams.streamingHll(spark, mem.toDS())
+        .toDF("bucket", "r").writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val items = (0 until 200).map(i => s"item$i")
+      val q1 = start()
+      try { mem.addData(items); q1.processAllAvailable() }
+      finally q1.stop() // register maxima now live only in the checkpoint
+      val n1 = spark.read.parquet(out).count()
+      assert(n1 > 0)
+      val q2 = start()
+      try {
+        // the restore proof: the monotone max-rank rule emits only on
+        // INCREASE, so re-feeding the identical items through a
+        // restored store is silent. A lost store would re-emit every
+        // register (ranks "increase" from the reset zero).
+        mem.addData(items)
+        q2.processAllAvailable()
+        val n2 = spark.read.parquet(out).count()
+        assert(n2 === n1,
+          s"duplicates must not emit from a restored store ($n1 -> $n2)")
+        // and the union of emissions still reads as the batch estimate
+        val regs = spark.read.parquet(out).as[(Long, Int)].collect()
+        val est = TextStreams.hllEstimate(regs)
+        val expected = TextStreams.hllEstimate(items
+          .map { it =>
+            val h = TextStreams.hash60(it)
+            val v = h >>> 8
+            val rho =
+              if (v == 0L) 24
+              else math.min(java.lang.Long.numberOfTrailingZeros(v) + 1, 24)
+            (h % 256, rho)
+          })
+        assert(est === expected)
+      } finally q2.stop()
+    }
+  }
 }
