@@ -610,6 +610,49 @@ object TextStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One cell of one GROUP's count-min sketch per state key — the
+    * keyed variant of [[CountMinCellProcessor]] for maintaining many
+    * sketches (one per lang/source/domain) in a single operator. Same
+    * once-per-micro-batch running-sum rule; state is bounded at
+    * 4·w cells PER GROUP regardless of stream length.
+    */
+  class KeyedCountMinCellProcessor
+      extends StatefulProcessor[(String, Long), (String, Long, Long),
+        (String, Long, Long)] {
+    @transient private var sum: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sum = getHandle.getValueState("sum", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long),
+        rows: Iterator[(String, Long, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      val next = (if (sum.exists()) sum.get() else 0L) + rows.map(_._3).sum
+      sum.update(next)
+      Iterator.single((key._1, key._2, next))
+    }
+  }
+
+  /** MANY live count-min sketches in one operator — [[streamingCountMin]]
+    * keyed by a group column: input (group, term), state (group, cell) →
+    * running sum, at most 4·w state rows PER GROUP. After any stream
+    * prefix, a group's cell table equals the batch sketch built over
+    * that group's terms — the live per-lang/per-source frequency table
+    * behind a streaming dataset card.
+    */
+  def streamingCountMinBy(spark: SparkSession,
+      ds: Dataset[(String, String)]): Dataset[(String, Long, Long)] = {
+    import spark.implicits._
+    val w = graft.operators.Text.CountMinWidth
+    ds.flatMap { case (grp, term) =>
+      (0 until 4).map(j =>
+        (grp, j.toLong * w + hash60(s"$term#$j") % w, 1L))
+    }
+      .groupByKey { case (grp, cell, _) => (grp, cell) }
+      .transformWithState(new KeyedCountMinCellProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** One HLL register as one `transformWithState` key: its value is
     * the running MAX rank — monotone, so per-batch merges and
     * checkpoint restores are order-insensitive and exact. Emits

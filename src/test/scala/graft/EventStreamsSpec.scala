@@ -1086,6 +1086,37 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("keyed streaming count-min maintains one independent sketch per " +
+      "group, each equal to the batch sketch over that group's terms") {
+    withRocksDb {
+      import spark.implicits._
+      val mem = MemoryStream[(String, String)](spark)
+      val q = TextStreams.streamingCountMinBy(spark, mem.toDS())
+        .toDF("grp", "cell", "csum")
+        .writeStream.format("memory").queryName("cms_by")
+        .outputMode(OutputMode.Update).start()
+      try {
+        val b1 = Seq(("en", "the"), ("en", "a"), ("de", "der"),
+          ("de", "the"), ("en", "the"))
+        val b2 = Seq(("de", "der"), ("en", "of"), ("de", "der"))
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+        val cells = spark.table("cms_by").as[(String, Long, Long)]
+          .collect().groupBy(t => (t._1, t._2))
+          .view.mapValues(_.map(_._3).max).toMap
+        val expected = (b1 ++ b2).flatMap { case (g, t) =>
+          (0 until 4).map(j =>
+            (g, j.toLong * 16 + TextStreams.hash60(s"$t#$j") % 16))
+        }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(cells === expected,
+          "each group's cells must count only that group's terms")
+        // 'the' fed to both groups must count independently per group
+        val theCell = 0L * 16 + TextStreams.hash60("the#0") % 16
+        assert(cells(("en", theCell)) >= 2 && cells(("de", theCell)) >= 1)
+      } finally q.stop()
+    }
+  }
+
   test("streaming count-min cell sums survive a checkpoint restart " +
       "under changelog checkpointing") {
     withChangelogRocksDb {
