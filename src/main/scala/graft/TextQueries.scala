@@ -785,6 +785,38 @@ object TextQueries {
          |GROUP BY e.term, e.cnt
          |ORDER BY e.term""".stripMargin)),
 
+    // q148: heavy hitters via count-min — the sketch-driven top-k
+    // decision audited against the exact top-k: union of both sets,
+    // each term's true rank and sketch rank (0 = outside), agreement
+    // flag; the undersized w=16 sketch makes disagreements appear
+    // deterministically in both engines.
+    QueryDef("q148_heavy_hitters", (s, d) => heavyHitters(s, d), Some(
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |f AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+         |e AS (SELECT term, cnt, j, ${h60("concat(term, '#', j)")} % ${operators.Text.CountMinWidth} AS bkt
+         |      FROM f CROSS JOIN (VALUES (0),(1),(2),(3)) AS jj(j)),
+         |sk AS (SELECT j, bkt, CAST(SUM(cnt) AS BIGINT) AS bsum
+         |       FROM e GROUP BY 1, 2),
+         |est AS (SELECT e.term, e.cnt, MIN(bsum) AS est
+         |        FROM e JOIN sk USING (j, bkt) GROUP BY e.term, e.cnt),
+         |tt AS (SELECT term, true_rank FROM (
+         |         SELECT term, CAST(row_number() OVER
+         |           (ORDER BY cnt DESC, term) AS INT) AS true_rank
+         |         FROM est) r WHERE true_rank <= 10),
+         |te AS (SELECT term, est_rank FROM (
+         |         SELECT term, CAST(row_number() OVER
+         |           (ORDER BY est DESC, term) AS INT) AS est_rank
+         |         FROM est) r WHERE est_rank <= 10),
+         |keep AS (SELECT term FROM tt UNION SELECT term FROM te)
+         |SELECT est.term, est.cnt, est.est,
+         |  COALESCE(true_rank, 0) AS true_rank,
+         |  COALESCE(est_rank, 0) AS est_rank,
+         |  CAST(CASE WHEN true_rank IS NOT NULL AND est_rank IS NOT NULL
+         |    THEN 1 ELSE 0 END AS INT) AS in_both
+         |FROM est JOIN keep USING (term)
+         |  LEFT JOIN tt USING (term) LEFT JOIN te USING (term)
+         |ORDER BY est.term""".stripMargin)),
+
     // q139: count-min MERGEABILITY — per-source sketches merged by
     // cell-wise SUM must estimate exactly what the direct union
     // sketch estimates for EVERY vocabulary term (the linear twin of

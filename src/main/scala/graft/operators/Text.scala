@@ -1626,6 +1626,62 @@ object Text {
       .orderBy(col("term"))
   }
 
+  /** Heavy hitters via the count-min sketch (q148) — the DECISION the
+    * sketch family exists to drive at 100 TB: which terms are the
+    * top-k frequent, answered from the fixed-memory sketch instead of
+    * an exact full count. Both rankings run: the true top-k from the
+    * exact counts (the audit side) and the sketch top-k from the
+    * min-over-rows estimates; the output is the union of both sets
+    * with each term's true rank, sketch rank (0 = outside that
+    * top-k), and an agreement flag. The deliberately undersized w=16
+    * sketch makes rank DISAGREEMENTS — the thing a heavy-hitter
+    * pipeline must budget for — actually appear, deterministically
+    * identical in both engines (exact integer estimates, total
+    * tie-break order (value desc, term)).
+    *
+    * Shape at scale: the corpus shuffles once (the TF roll-up); both
+    * top-k's are TakeOrdered over the vocab-bounded estimate table,
+    * and the rank windows run over the k-row results — bounded
+    * summaries, never the corpus (the q24/q82/q89/q114 allowlist
+    * class).
+    */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = CountMinWidth
+    val freq = tfStage(s, dir)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+    val expanded = freq
+      .select(col("term"), col("cnt"),
+        explode(array((0 until 4).map(lit): _*)).as("j"))
+      .withColumn("bkt",
+        hash60(concat(col("term"), lit("#"), col("j"))) % w)
+    val sketch = expanded.groupBy(col("j"), col("bkt"))
+      .agg(sum(col("cnt")).cast(LongType).as("bsum"))
+    val est = expanded.join(sketch, Seq("j", "bkt"))
+      .groupBy(col("term"), col("cnt"))
+      .agg(min(col("bsum")).as("est"))
+      .localCheckpoint(true) // four consumers (two top-k's + attach)
+    val wTrue = Window.orderBy(col("cnt").desc, col("term"))
+    val wEst = Window.orderBy(col("est").desc, col("term"))
+    val topTrue = est.orderBy(col("cnt").desc, col("term")).limit(k)
+      .withColumn("true_rank", row_number().over(wTrue))
+      .select(col("term"), col("true_rank"))
+    val topEst = est.orderBy(col("est").desc, col("term")).limit(k)
+      .withColumn("est_rank", row_number().over(wEst))
+      .select(col("term").as("term_e"), col("est_rank"))
+    val keep = topTrue.select(col("term"))
+      .unionByName(topEst.select(col("term_e").as("term"))).distinct()
+    est.join(keep, Seq("term"), "left_semi")
+      .join(topTrue, Seq("term"), "left")
+      .join(topEst, col("term") === col("term_e"), "left").drop("term_e")
+      .withColumn("true_rank", coalesce(col("true_rank"), lit(0)))
+      .withColumn("est_rank", coalesce(col("est_rank"), lit(0)))
+      .withColumn("in_both",
+        (col("true_rank") > 0 && col("est_rank") > 0).cast(IntegerType))
+      .select(col("term"), col("cnt"), col("est"),
+        col("true_rank"), col("est_rank"), col("in_both"))
+      .orderBy(col("term"))
+  }
+
   /** Bloom MERGEABILITY + totality audit (q142) — completes the
     * mergeability trio: HLL registers merge by MAX (q138), count-min
     * cells by SUM (q139), Bloom bit sets by OR — per-class bit sets
