@@ -22,7 +22,9 @@ import graft.streaming.{IndexCompaction, IngestLoop}
   * bounded run, the smoke/bench mode). State layout under
   * `<serviceRoot>`: `index/` (the epoch-segmented gate index),
   * `landed/cycle_<n>/` (the admitted docs, one batch_id partition per
-  * micro-batch), `work/cycle_<n>/` (the cycle's input snapshot).
+  * micro-batch), `work/cycle_<n>/` (the cycle's input set as a
+  * `_manifest.json` of (name, path, size, mtime) plus zero-copy links
+  * — the lake's files are immutable, so no bytes are duplicated).
   *
   * The index starts from `--corpus` (a parquet of (doc_id, text) the
   * dataset already owns) or empty. Restart recovery is two-level: a
@@ -36,6 +38,63 @@ import graft.streaming.{IndexCompaction, IngestLoop}
   * test).
   */
 object DedupService {
+
+  /** Numeric cycle index of a work dir ("cycle_12" → 12). Sorting by
+    * THIS — never by name — is load-bearing: past ten cycles
+    * "cycle_10" sorts lexicographically before "cycle_2", so a restart
+    * trusting string order would resume the wrong dir (or silently
+    * drop the interrupted cycle, whose files are already claimed).
+    */
+  private[graft] def cycleNum(d: java.io.File): Long =
+    d.getName.stripPrefix("cycle_").toLong
+
+  /** The service's work dirs in ascending NUMERIC cycle order. */
+  private[graft] def workDirsOf(root: String): IndexedSeq[java.io.File] =
+    Option(new java.io.File(root, "work").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("cycle_"))
+      .sortBy(cycleNum).toIndexedSeq
+
+  /** Arrival file names already claimed by past cycles. A manifest
+    * (`_manifest.json`, the zero-copy format) is authoritative; a
+    * legacy copy-format dir falls back to listing its parquet files.
+    */
+  private[graft] def claimedNames(dirs: Seq[java.io.File]): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    dirs.foreach { d =>
+      val mf = new java.io.File(d, "_manifest.json")
+      if (mf.isFile)
+        "\"name\":\"([^\"]+)\"".r
+          .findAllMatchIn(java.nio.file.Files.readString(mf.toPath))
+          .foreach(m => out += m.group(1))
+      else
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => out += f.getName)
+    }
+    out.toSet
+  }
+
+  /** Claim `fresh` arrivals into `workDir` WITHOUT copying bytes:
+    * write a `_manifest.json` of (name, path, size, mtime) — the
+    * authoritative, restart-deterministic input-set record (the lake's
+    * files are immutable) — and symlink each file so the per-cycle
+    * streaming source keeps its one-directory contract. At 100 TB a
+    * per-cycle byte copy would double ingest I/O; on a real lake the
+    * manifest's paths would feed the source directly.
+    */
+  private[graft] def claimByManifest(fresh: Seq[java.io.File],
+      workDir: java.io.File): Unit = {
+    val manifest = fresh.map { f =>
+      java.nio.file.Files.createSymbolicLink(
+        workDir.toPath.resolve(f.getName), f.toPath.toAbsolutePath): Unit
+      s"""{"name":"${f.getName}","path":"${f.getAbsolutePath}",""" +
+        s""""size":${f.length},"mtime":${f.lastModified}}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      workDir.toPath.resolve("_manifest.json"), manifest): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: DedupService <serviceRoot> <streamDir> [--corpus p] " +
@@ -66,15 +125,16 @@ object DedupService {
     }
     IndexCompaction.init(spark, idxRoot, corpus)
 
+    // resume: files already claimed by a previous incarnation's cycle
+    // are recorded in that cycle's _manifest.json — the authoritative
+    // input-set record (the lake's files are immutable, so the
+    // manifest alone pins the cycle's input without copying a byte).
+    // Cycle order is NUMERIC (see cycleNum) so a restart past cycle 10
+    // resumes the true latest dir, not the lexicographic maximum.
+    val workDirs = workDirsOf(root)
     val processed = scala.collection.mutable.Set[String]()
-    // resume: files already snapshotted into a work dir belong to a
-    // previous incarnation's cycle
-    val workDirs = Option(new java.io.File(root, "work").listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory).sortBy(_.getName)
-    workDirs.flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(_.getName.endsWith(".parquet"))
-      .foreach(f => processed += f.getName)
-    var cycle = workDirs.length
+    processed ++= claimedNames(workDirs)
+    var cycle = workDirs.lastOption.map(cycleNum(_) + 1).getOrElse(0L).toInt
     // a cycle killed mid-run left its work dir without the done
     // marker: FINISH it first (resume from its per-cycle checkpoint —
     // offsets + ownership state restore, replayed batches overwrite
@@ -83,9 +143,9 @@ object DedupService {
     workDirs.lastOption
       .filterNot(d => new java.io.File(d, "_cycle_done").isFile)
       .foreach { d =>
-        val c = cycle - 1
+        val c = cycleNum(d)
         val cycDf = spark.read.parquet(d.getAbsolutePath)
-        val st = IngestLoop.runCycle(spark, idxRoot, landRoot, c,
+        val st = IngestLoop.runCycle(spark, idxRoot, landRoot, c.toInt,
           d.getAbsolutePath, cycDf.schema, cycDf.count(),
           Some(s"$root/ckpt/cycle_$c"))
         java.nio.file.Files.writeString(
@@ -104,11 +164,8 @@ object DedupService {
       if (fresh.nonEmpty) {
         val workDir = new java.io.File(root, s"work/cycle_$cycle")
         workDir.mkdirs()
-        fresh.foreach { f =>
-          java.nio.file.Files.copy(f.toPath,
-            workDir.toPath.resolve(f.getName)): Unit
-          processed += f.getName
-        }
+        claimByManifest(fresh.toIndexedSeq, workDir)
+        fresh.foreach(f => processed += f.getName)
         val cycDf = spark.read.parquet(workDir.getAbsolutePath)
         val st = IngestLoop.runCycle(spark, idxRoot, landRoot, cycle,
           workDir.getAbsolutePath, cycDf.schema, cycDf.count(),

@@ -896,7 +896,11 @@ object Relational {
       .agg(sum(dec2(col("l_extendedprice")) *
         (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
         .as("rev_dec"))
-      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      // cut by the DOUBLE-cast revenue — the oracle's sort key — so a
+      // decimal pair that collides after the cast takes the same
+      // c_custkey tie-break path in both engines; rev_dec rides along
+      // only as the carried payload
+      .orderBy(col("rev_dec").cast(DoubleType).desc, col("c_custkey"))
       .limit(20)
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"),

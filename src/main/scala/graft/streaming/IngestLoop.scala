@@ -128,17 +128,32 @@ object IngestLoop {
     val drainWallS = (System.nanoTime() - tD) / 1e9
 
     // fold EXACTLY the landed batch into the index — the minor
-    // compaction whose delta the next cycle's gate owns statically
-    val landedDocs = spark.read.parquet(cycleLand)
-      .select(col("doc_id"), col("text"))
-    val landed = landedDocs.count()
-    val folded = landed
-    val tC = System.nanoTime()
-    IndexCompaction.compact(spark, idxRoot, landedDocs): Unit
-    val compactS = (System.nanoTime() - tC) / 1e9
+    // compaction whose delta the next cycle's gate owns statically.
+    // A cycle can admit ZERO docs (an all-duplicate arrival wave is a
+    // dedup service's normal input): the partitioned dynamic-overwrite
+    // landing then writes no partition dirs at all, so the landed dir
+    // has no parquet part files and an unconditional read would throw
+    // "Unable to infer schema" — which in DedupService happens before
+    // the _cycle_done marker, turning the wave into a poison cycle
+    // every restart replays. Detect the empty landing and fold nothing.
+    val landedEmpty = {
+      val d = new java.io.File(cycleLand)
+      !d.isDirectory || Option(d.listFiles()).getOrElse(Array.empty)
+        .forall(f => !f.getName.startsWith("batch_id="))
+    }
+    val (landed, compactS) =
+      if (landedEmpty) (0L, 0.0)
+      else {
+        val landedDocs = spark.read.parquet(cycleLand)
+          .select(col("doc_id"), col("text"))
+        val n = landedDocs.count()
+        val tC = System.nanoTime()
+        IndexCompaction.compact(spark, idxRoot, landedDocs): Unit
+        (n, (System.nanoTime() - tC) / 1e9)
+      }
 
     CycleStats(cycle, nArrivals, gateSurvivors.get(), admittedN.get(),
-      landed, folded, IndexCompaction.epochs(idxRoot).size,
+      landed, landed, IndexCompaction.epochs(idxRoot).size,
       gateBuildS, drainWallS, compactS)
   }
 
@@ -146,7 +161,11 @@ object IngestLoop {
   def landedAll(spark: SparkSession, landRoot: String): DataFrame = {
     val dirs = Option(new java.io.File(landRoot).listFiles())
       .getOrElse(Array.empty).filter(f =>
-        f.isDirectory && f.getName.startsWith("cycle_"))
+        f.isDirectory && f.getName.startsWith("cycle_") &&
+          // a zero-admit cycle lands no batch_id partitions at all —
+          // reading such a dir would throw "Unable to infer schema"
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .exists(_.getName.startsWith("batch_id=")))
       .map(_.getAbsolutePath)
     require(dirs.nonEmpty, s"no landed cycles under $landRoot")
     // one read per cycle dir: each is independently partitioned by

@@ -91,6 +91,47 @@ class IngestLoopSpec extends SparkSpec {
     }
   }
 
+  test("an all-duplicate arrival wave (zero admits) is a normal cycle: " +
+      "lands 0, folds 0, leaves the index untouched, and landedAll " +
+      "skips the empty cycle dir") {
+    import spark.implicits._
+    withRocksDb {
+      val base = tempDir("ingest_zero").getAbsolutePath
+      val idxRoot = s"$base/index"
+      val landRoot = s"$base/landed"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // cycle 0: empty index, the corpus arrives → lands the keep set
+      IndexCompaction.init(spark, idxRoot,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      val in0 = s"$base/in_0"
+      StreamBench.sliceOrdered(docs, "doc_id", 3, in0)
+      val st0 = IngestLoop.runCycle(spark, idxRoot, landRoot, 0, in0,
+        docs.schema, docs.count())
+      assert(st0.landed > 0)
+      // cycle 1: the SAME corpus arrives again — every doc now collides
+      // with the index, the gate drops all of them, nothing lands. This
+      // is a dedup service's NORMAL input, not an error: the cycle must
+      // complete (no "Unable to infer schema" poison), fold nothing,
+      // and grow no epoch.
+      val in1 = s"$base/in_1"
+      StreamBench.sliceOrdered(docs, "doc_id", 3, in1)
+      val st1 = IngestLoop.runCycle(spark, idxRoot, landRoot, 1, in1,
+        docs.schema, docs.count())
+      assert(st1.gateAdmitted === 0L && st1.admitted === 0L &&
+        st1.landed === 0L && st1.folded === 0L,
+        s"an all-duplicate wave must land nothing: $st1")
+      assert(st1.epochsAfter === st0.epochsAfter,
+        "the skipped compaction must not add an epoch")
+      // the empty cycle dir is invisible to the landed union
+      val landed = IngestLoop.landedAll(spark, landRoot)
+        .select(col("doc_id")).as[Long].collect()
+      assert(landed.toSet === q123Keep(sfDir) &&
+        landed.length === landed.distinct.length,
+        "landedAll must skip the empty cycle and return cycle 0 intact")
+    }
+  }
+
   test("landing is idempotent per micro-batch: replaying a landed " +
       "batch overwrites its own partition, total unchanged") {
     import spark.implicits._
