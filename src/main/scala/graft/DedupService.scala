@@ -8,6 +8,7 @@ import graft.streaming.{IndexCompaction, IngestLoop}
   *
   *   runMain graft.DedupService <serviceRoot> <streamDir>
   *       [--corpus <parquet>] [--interval-ms N] [--max-cycles N]
+  *       [--files-per-trigger N]
   *
   * Runs the composed ingest loop ([[graft.streaming.IngestLoop]]) as a
   * scheduled service until signalled: every interval it collects the
@@ -98,13 +99,17 @@ object DedupService {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: DedupService <serviceRoot> <streamDir> [--corpus p] " +
-        "[--interval-ms N] [--max-cycles N]")
+        "[--interval-ms N] [--max-cycles N] [--files-per-trigger N]")
     val root = args(0)
     val streamDir = args(1)
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
     val intervalMs = opt("--interval-ms").map(_.toLong).getOrElse(5000L)
     val maxCycles = opt("--max-cycles").map(_.toInt).getOrElse(Int.MaxValue)
+    // amortizes the ~1 s/micro-batch fixed drain cost at high arrival
+    // rates; admit decisions are trigger-size-invariant (IngestLoopSpec)
+    val filesPerTrigger =
+      opt("--files-per-trigger").map(_.toInt).getOrElse(1)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.configure(
@@ -147,7 +152,7 @@ object DedupService {
         val cycDf = spark.read.parquet(d.getAbsolutePath)
         val st = IngestLoop.runCycle(spark, idxRoot, landRoot, c.toInt,
           d.getAbsolutePath, cycDf.schema, cycDf.count(),
-          Some(s"$root/ckpt/cycle_$c"))
+          Some(s"$root/ckpt/cycle_$c"), filesPerTrigger)
         java.nio.file.Files.writeString(
           d.toPath.resolve("_cycle_done"), "done"): Unit
         println(s"""{"service":"dedup","resumed_cycle":$c,""" +
@@ -169,7 +174,7 @@ object DedupService {
         val cycDf = spark.read.parquet(workDir.getAbsolutePath)
         val st = IngestLoop.runCycle(spark, idxRoot, landRoot, cycle,
           workDir.getAbsolutePath, cycDf.schema, cycDf.count(),
-          Some(s"$root/ckpt/cycle_$cycle"))
+          Some(s"$root/ckpt/cycle_$cycle"), filesPerTrigger)
         java.nio.file.Files.writeString(
           workDir.toPath.resolve("_cycle_done"), "done"): Unit
         val mergeS =

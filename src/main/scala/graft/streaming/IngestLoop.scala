@@ -55,7 +55,8 @@ object IngestLoop {
       epochsAfter: Int,
       gateBuildS: Double,
       drainWallS: Double,
-      compactS: Double)
+      compactS: Double,
+      batches: Long = 0L) // micro-batches that carried input rows
 
   /** Start the cycle's streaming query: gate → admit → admittedOf →
     * exactly-once landing. With a `checkpoint`, the query is
@@ -69,11 +70,12 @@ object IngestLoop {
     */
   def startCycleQuery(spark: SparkSession, idxRoot: String,
       cycleLand: String, cycleDir: String, schema: StructType,
-      checkpoint: Option[String] = None)
+      checkpoint: Option[String] = None, filesPerTrigger: Int = 1)
       : (org.apache.spark.sql.streaming.StreamingQuery,
          AtomicLong, AtomicLong) = {
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(cycleDir)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(cycleDir)
       .select(col("doc_id"), col("text"),
         // synthesize an eventTime when the arrival schema carries none
         // (the gate projects it through; the loop itself doesn't use it)
@@ -111,19 +113,33 @@ object IngestLoop {
     * then folded into the index at `idxRoot` as a new delta epoch.
     * Pass `checkpoint` to make the cycle resumable after a kill —
     * re-invoking with the same checkpoint finishes the cycle.
+    *
+    * `filesPerTrigger` prices the drain's FIXED cost: each micro-batch
+    * carries ~0.7–1.2 s of trigger overhead on local[32] (offset
+    * commit, state-store snapshot, landing write) regardless of rows,
+    * so a cycle of N files drains in ~N × fixed + data at the default
+    * of 1. The flat drain_s across SFs in STREAM_SCALING.md is that
+    * floor, not free capacity — at higher SF, raise filesPerTrigger to
+    * amortize it. Batching does NOT change the admit decision: within
+    * a micro-batch the ownership processor orders a signature's docs
+    * by doc_id (= arrival order), so k files in one trigger decide
+    * exactly as k triggers do (pinned in IngestLoopSpec).
     */
   def runCycle(spark: SparkSession, idxRoot: String, landRoot: String,
       cycle: Int, cycleDir: String, schema: StructType,
-      nArrivals: Long, checkpoint: Option[String] = None): CycleStats = {
+      nArrivals: Long, checkpoint: Option[String] = None,
+      filesPerTrigger: Int = 1): CycleStats = {
     val cycleLand = s"$landRoot/cycle_$cycle"
     // gate REBUILD from the live epoch listing — the per-interval
     // restart cost a deployment pays after each compaction
     val tG = System.nanoTime()
     val (q, gateSurvivors, admittedN) = startCycleQuery(
-      spark, idxRoot, cycleLand, cycleDir, schema, checkpoint)
+      spark, idxRoot, cycleLand, cycleDir, schema, checkpoint,
+      filesPerTrigger)
     val gateBuildS = (System.nanoTime() - tG) / 1e9
     val tD = System.nanoTime()
     q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0).toLong
     q.stop()
     val drainWallS = (System.nanoTime() - tD) / 1e9
 
@@ -154,7 +170,7 @@ object IngestLoop {
 
     CycleStats(cycle, nArrivals, gateSurvivors.get(), admittedN.get(),
       landed, landed, IndexCompaction.epochs(idxRoot).size,
-      gateBuildS, drainWallS, compactS)
+      gateBuildS, drainWallS, compactS, batches)
   }
 
   /** All landed docs across the loop's cycles so far (doc_id, text). */

@@ -91,6 +91,33 @@ class IngestLoopSpec extends SparkSpec {
     }
   }
 
+  test("the admit decision is trigger-size-invariant: a cycle drained " +
+      "with all files in ONE micro-batch lands exactly the q123 keep " +
+      "set (the filesPerTrigger knob changes cost, never semantics)") {
+    import spark.implicits._
+    withRocksDb {
+      val base = tempDir("ingest_fpt").getAbsolutePath
+      val idxRoot = s"$base/index"
+      val landRoot = s"$base/landed"
+      IndexCompaction.init(spark, idxRoot,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val in0 = s"$base/in_0"
+      StreamBench.sliceOrdered(docs, "doc_id", 6, in0)
+      val st = IngestLoop.runCycle(spark, idxRoot, landRoot, 0, in0,
+        docs.schema, docs.count(), filesPerTrigger = 6)
+      assert(st.batches < 6,
+        s"fixture must actually batch files per trigger: $st")
+      val landed = IngestLoop.landedAll(spark, landRoot)
+        .select(col("doc_id")).as[Long].collect()
+      assert(landed.length === landed.distinct.length)
+      assert(landed.toSet === q123Keep(sfDir),
+        "batching k files into one trigger must decide exactly as k " +
+          "single-file triggers (in-batch ownership orders by doc_id)")
+    }
+  }
+
   test("an all-duplicate arrival wave (zero admits) is a normal cycle: " +
       "lands 0, folds 0, leaves the index untouched, and landedAll " +
       "skips the empty cycle dir") {

@@ -1,74 +1,97 @@
 #!/usr/bin/env python3
 """Scaling probe: given bench_full.json artifacts from graft.Bench runs
 at several scale factors, emit SCALING.md — per-query warm seconds at
-each SF and the log-log slope between the two largest SFs.
+each SF and the log-log slope over each of the two largest data steps
+(one slope column when only two SFs are given).
 
 Slope reads as the empirical scaling exponent over a 10x data step:
 ~1.0 = linear, <1.0 = sublinear (fixed overhead still dominates),
 >>1.0 = superlinear — the shapes that break at 100 TB. Queries under
-the floor seconds at the largest SF are skipped for slope (overhead
-noise, not data-driven signal).
+the floor seconds at the larger SF of a step are skipped for that
+step's slope (overhead noise, not data-driven signal).
 
-Usage: scaling.py out.md sf1:bench_full_1.json sf2:bench_full_2.json ...
+Usage: scaling.py out.md [--note TEXT] sf1:bench_full_1.json ...
 (sf values are the numeric scale factors, ascending order not required)
 """
 import json, math, sys
 
-FLOOR_SEC = 0.30   # below this at the largest SF, slope is noise
+FLOOR_SEC = 0.30   # below this at the step's larger SF, slope is noise
 FLAG_SLOPE = 1.30  # above this, call the query out for a scale review
 
 def main():
     out_path = sys.argv[1]
+    args = sys.argv[2:]
+    note = None
+    if args and args[0] == "--note":
+        note = args[1]
+        args = args[2:]
     runs = []
-    for spec in sys.argv[2:]:
+    for spec in args:
         sf, path = spec.split(":", 1)
         with open(path) as f:
             b = json.load(f)
         runs.append((float(sf), b["warm"], b))
     runs.sort(key=lambda r: r[0])
     sfs = [r[0] for r in runs]
-    big, small = runs[-1], runs[-2]
-    ratio = big[0] / small[0]
+    # slope over each of the (up to) two largest steps — the top step
+    # last so the flag column reads at the biggest measured scale
+    steps = []
+    if len(runs) >= 3:
+        steps.append((len(runs) - 3, len(runs) - 2))
+    steps.append((len(runs) - 2, len(runs) - 1))
+
+    def slope_of(times, lo, hi):
+        tl, th = times[lo], times[hi]
+        if th is None or tl is None or th < FLOOR_SEC or tl <= 0:
+            return None
+        return math.log(th / tl) / math.log(sfs[hi] / sfs[lo])
 
     rows = []
-    for q in sorted(big[1], key=lambda x: (len(x), x)):
+    for q in sorted(runs[-1][1], key=lambda x: (len(x), x)):
         times = [r[1].get(q) for r in runs]
-        slope = None
-        if (times[-1] is not None and times[-2] is not None
-                and times[-1] >= FLOOR_SEC and times[-2] > 0):
-            slope = math.log(times[-1] / times[-2]) / math.log(ratio)
-        rows.append((q, times, slope))
+        rows.append((q, times, [slope_of(times, lo, hi) for lo, hi in steps]))
 
-    sloped = [(q, s) for q, _, s in rows if s is not None]
+    top = len(steps) - 1
+    sloped = [(q, s[top]) for q, _, s in rows if s[top] is not None]
     flagged = [(q, s) for q, s in sloped if s > FLAG_SLOPE]
     med = sorted(s for _, s in sloped)[len(sloped) // 2] if sloped else None
 
+    step_names = [f"slope {sfs[lo]}→{sfs[hi]}" for lo, hi in steps]
     with open(out_path, "w") as f:
         w = f.write
         w("# SCALING — measured warm-time scaling across scale factors\n\n")
         w("Warm per-query seconds from `graft.Bench` (pass 2, stages "
           "landed), plus the\nempirical scaling exponent "
-          f"slope = log(t_sf{big[0]}/t_sf{small[0]}) / log({ratio:.0f}) "
-          "over the largest\n10x data step. ~1.0 = linear in data size; "
-          f"queries under {FLOOR_SEC}s at sf{big[0]} are\nexcluded from "
-          "slope (fixed per-query overhead, not data-driven signal).\n\n")
-        w(f"- queries with a measurable slope: {len(sloped)}\n")
+          "slope = log(t_hi/t_lo) / log(sf_hi/sf_lo) over each of the\n"
+          "two largest 10x data steps. ~1.0 = linear in data size; "
+          f"queries under {FLOOR_SEC}s at a\nstep's larger SF are "
+          "excluded from that slope (fixed per-query overhead, not\n"
+          "data-driven signal). Flags read the TOP step — the largest "
+          "measured scale.\n\n")
+        if note:
+            w(note + "\n\n")
+        w(f"- queries with a measurable top-step slope: {len(sloped)}\n")
         if med is not None:
-            w(f"- median slope: {med:.2f}\n")
+            w(f"- median top-step slope: {med:.2f}\n")
         w(f"- flagged (> {FLAG_SLOPE}): "
           f"{', '.join(f'{q} ({s:.2f})' for q, s in flagged) or 'none'}\n\n")
-        w("| query | " + " | ".join(f"sf{sf}" for sf in sfs) + " | slope |\n")
-        w("|---" * (len(sfs) + 2) + "|\n")
-        for q, times, slope in rows:
+        w("| query | " + " | ".join(f"sf{sf}" for sf in sfs) + " | "
+          + " | ".join(step_names) + " |\n")
+        w("|---" * (len(sfs) + len(steps) + 1) + "|\n")
+        for q, times, slopes in rows:
             tcells = " | ".join("-" if t is None else f"{t:.2f}" for t in times)
-            scell = "-" if slope is None else f"{slope:.2f}"
-            w(f"| {q} | {tcells} | {scell} |\n")
+            scells = " | ".join("-" if s is None else f"{s:.2f}" for s in slopes)
+            w(f"| {q} | {tcells} | {scells} |\n")
         tot = [sum(v for v in r[1].values()) for r in runs]
-        w("| **total** | " + " | ".join(f"{t:.1f}" for t in tot) + " | "
-          + f"{math.log(tot[-1]/tot[-2])/math.log(ratio):.2f} |\n")
+        tots = " | ".join(
+            f"{math.log(tot[hi]/tot[lo])/math.log(sfs[hi]/sfs[lo]):.2f}"
+            for lo, hi in steps)
+        w("| **total** | " + " | ".join(f"{t:.1f}" for t in tot)
+          + f" | {tots} |\n")
 
     print(f"wrote {out_path}: {len(rows)} queries, "
-          f"{len(flagged)} flagged, median slope {med and round(med,2)}")
+          f"{len(flagged)} flagged, median top-step slope "
+          f"{med and round(med, 2)}")
 
 if __name__ == "__main__":
     main()

