@@ -406,19 +406,20 @@ def main():
         fpts = {d["ingest_loop"].get("files_per_trigger", 1)
                 for _, d in runs if "ingest_loop" in d}
         lines.append(
-            f"Drain cost is FIXED-cost dominated at these SFs (files per "
-            f"trigger = {sorted(fpts)}): each micro-batch carries "
-            "~0.7-1.2 s of trigger overhead (offset commit, state-store "
-            "snapshot, landing write) regardless of rows, so drain_s ≈ "
-            "batches × s/batch and stays flat as arrivals grow 10× "
-            "— a fixed-cost floor, NOT free capacity. At higher arrival "
-            "rates, amortize it with IngestLoop's filesPerTrigger knob "
-            "(SPARK_GRAFT_FILES_PER_TRIGGER here; --files-per-trigger on "
-            "graft.DedupService). Batching does not change the admit "
-            "decision — within a micro-batch the ownership processor "
-            "orders each signature's docs by doc_id (= arrival order), so "
-            "k files in one trigger decide exactly as k triggers do "
-            "(pinned in IngestLoopSpec).")
+            f"Drain cost has TWO regimes (files per trigger = "
+            f"{sorted(fpts)}): each micro-batch carries ~0.7-1.2 s of "
+            "trigger overhead (offset commit, state-store snapshot, "
+            "landing write) regardless of rows, so below a few thousand "
+            "arrivals/batch drain_s sits on that fixed-cost floor and "
+            "stays flat as arrivals grow — NOT free capacity — while "
+            "past it (the sf1 column) s/batch turns data-proportional. "
+            "At high arrival rates, amortize the floor with IngestLoop's "
+            "filesPerTrigger knob (SPARK_GRAFT_FILES_PER_TRIGGER here; "
+            "--files-per-trigger on graft.DedupService). Batching does "
+            "not change the admit decision — within a micro-batch the "
+            "ownership processor orders each signature's docs by doc_id "
+            "(= arrival order), so k files in one trigger decide exactly "
+            "as k triggers do (pinned in IngestLoopSpec).")
         lines.append("")
         lines.append("| sf | landed total | q123 keep | extra | missed q123 "
                      "| bridge only |")
