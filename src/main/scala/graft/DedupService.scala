@@ -120,6 +120,14 @@ object DedupService {
     spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
       "false")
 
+    // pid file for operators (stop scripts, the kill-resume smoke):
+    // the forked JVM's cmdline hides the main class behind an @argfile,
+    // so pattern-matching process kills are unreliable — kill this pid
+    new java.io.File(root).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(root, "service.pid"),
+      ProcessHandle.current().pid().toString): Unit
+
     val idxRoot = s"$root/index"
     val landRoot = s"$root/landed"
     val corpus = opt("--corpus") match {

@@ -78,21 +78,57 @@ assert total == len(ids), "a doc landed twice"
 EOF
 
 # ---- Leg B: kill mid-cycle, restart, resume ---------------------------
-cp "$WORK"/waves/wave_*.parquet "$WORK/stream_b/"
+# 24 small waves so the single cycle drains ~20+ s — a wide, reliable
+# kill window (6 files drain faster than the 1 s poll can react)
+python3 - "$SF_DIR" "$WORK/stream_b" <<'PYEOF'
+import duckdb, sys
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+ids = [r[0] for r in con.sql(
+    f"select doc_id from '{sf}/documents.parquet' order by doc_id").fetchall()]
+n = len(ids)
+for k in range(24):
+    lo, hi = ids[k*n//24], (ids[(k+1)*n//24] if (k+1)*n//24 < n else ids[-1]+1)
+    con.sql(f"""copy (select * from '{sf}/documents.parquet'
+                where doc_id >= {lo} and doc_id < {hi} order by doc_id)
+                to '{out}/w{k:02d}.parquet' (format parquet)""")
+PYEOF
 ( sbt -batch "runMain graft.DedupService $WORK/svc_b $WORK/stream_b \
     --max-cycles 1 --interval-ms 1500" > "$WORK/service_smoke_b1.log" 2>&1 ) &
+n=0
 for i in $(seq 1 300); do
-  n=$(ls -d "$WORK"/svc_b/landed/cycle_0/batch_id=* 2>/dev/null | wc -l)
+  if [ -f "$WORK/svc_b/work/cycle_0/_cycle_done" ]; then
+    echo "FAIL: cycle finished before the kill window — smoke is vacuous"
+    exit 1
+  fi
+  # ls exits 2 while the glob is still empty — mask it or pipefail+set -e
+  # kills the script silently on the first poll
+  n=$({ ls -d "$WORK"/svc_b/landed/cycle_0/batch_id=* 2>/dev/null || true; } \
+    | grep -c . || true)
   [ "$n" -ge 2 ] && break
   sleep 1
 done
 [ "$n" -ge 2 ] || { echo "FAIL: no batches landed before kill"; exit 1; }
-# split the pattern so pkill can't match this script's own cmdline
+# Kill via the service's OWN pid file: the forked run JVM's cmdline
+# hides the main class behind an sbt @argfile, so neither pkill -f nor
+# a /proc cmdline scan can find it — a missed kill leaves an orphan
+# that finishes the cycle and collides with the resume
+# (CONCURRENT_STREAM_LOG_UPDATE). Also kill the sbt launcher so it
+# doesn't linger waiting on the dead fork.
+SVC_PID=$(cat "$WORK/svc_b/service.pid")
+kill -9 "$SVC_PID"
 P1='graft.Dedup'; P2='Service'
-pkill -9 -f "java.*${P1}${P2}" || true
-sleep 3
-[ -f "$WORK/svc_b/work/cycle_0/_cycle_done" ] \
-  && { echo "FAIL: cycle finished before kill — smoke is vacuous"; exit 1; }
+pkill -9 -f "sbt.*${P1}${P2}" 2>/dev/null || true
+for i in $(seq 1 30); do
+  kill -0 "$SVC_PID" 2>/dev/null || break
+  sleep 1
+done
+kill -0 "$SVC_PID" 2>/dev/null \
+  && { echo "FAIL: service JVM $SVC_PID survived the kill"; exit 1; }
+sleep 2
+if [ -f "$WORK/svc_b/work/cycle_0/_cycle_done" ]; then
+  echo "FAIL: cycle finished before kill — smoke is vacuous"; exit 1
+fi
 echo "killed mid-cycle with $n batches landed"
 sbt -batch "runMain graft.DedupService $WORK/svc_b $WORK/stream_b \
   --max-cycles 1 --interval-ms 1500" > "$WORK/service_smoke_b2.log" 2>&1
