@@ -91,6 +91,24 @@ object EventQueries {
         |    AND e.ts <= s.ts + INTERVAL 30 MINUTE
         |GROUP BY 1, epoch_ms(s.ts) ORDER BY 1, 2""".stripMargin)),
 
+    // q149: the NO-equi-key range join — q29's missing half. The oracle
+    // runs the literal quadratic inequality join (DuckDB IEJoin); Spark
+    // runs the time-bucket spelling (fan probe to buckets b-1/b/b+1,
+    // equi-join on bucket, exact cut in the aggregate), proving the
+    // rewrite equivalent. Totality: the probe's own bucket always holds
+    // the probe itself, so zero-neighbor errors report 0, never vanish.
+    QueryDef("q149_global_range_join", (s, d) =>
+      nearbyEventPressure(s, d), Some(
+      """SELECT err.event_id, epoch_ms(err.ts) AS ts_ms,
+        |  COUNT(CASE WHEN e.event_id IS NOT NULL THEN 1 END) AS n_nearby,
+        |  COUNT(CASE WHEN e.event_type = 'error' THEN 1 END)
+        |    AS n_errors_nearby
+        |FROM (SELECT * FROM events WHERE event_type = 'error') err
+        |LEFT JOIN events e
+        |  ON e.event_id <> err.event_id
+        | AND abs(epoch_ms(e.ts) - epoch_ms(err.ts)) <= 60000
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     QueryDef("q60_trailing_window", (s, d) => trailingUserActivity(s, d), Some(
       """SELECT user_id, event_id,
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,

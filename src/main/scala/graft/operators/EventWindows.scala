@@ -189,6 +189,52 @@ object EventWindows {
       .orderBy(col("user_id"), col("signup_ms"))
   }
 
+  /** NO-equi-key temporal range join (q149) — the other half of the
+    * range-join story q29 leaves open: for each error event, how many
+    * events by ANY user landed within ±`seconds` of it (plus how many
+    * of those were themselves errors — the burst signal an incident
+    * pipeline wants). With no user key to carry the shuffle, the naive
+    * spelling is a cross join with a time predicate — quadratic in the
+    * corpus. The scalable spelling BUCKETS time at the range width:
+    * every event lands in bucket floor(ms/Δ); each probe row fans out
+    * to buckets {b−1, b, b+1}; the join is a plain equi-join on the
+    * bucket (|diff| ≤ Δ ⇒ bucket distance ≤ 1, and each build event
+    * matches exactly ONE of the probe's three distinct buckets, so no
+    * pair is produced twice); the exact |diff| ≤ Δ cut is a post-join
+    * filter folded into the aggregate. The probe's own bucket always
+    * contains the probe itself, so the inner join is TOTAL over errors
+    * (zero-neighbor errors report n_nearby = 0, not a dropped row).
+    * At 100 TB: one shuffle on a uniformly-distributed time bucket —
+    * hot buckets (event storms) are exactly the skew AQE's skew-join
+    * splitting handles, since the key is synthetic and order-free.
+    */
+  def nearbyEventPressure(s: SparkSession, dir: String,
+      seconds: Int = 60): DataFrame = {
+    val bucketMs = seconds * 1000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ms").as("err_ms"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+      .withColumn("bucket", floor(col("err_ms") / bucketMs) + col("off"))
+      .drop("off")
+    val build = ev
+      .select(col("event_id").as("e_id"), col("ms").as("e_ms"),
+        col("event_type").as("e_type"))
+      .withColumn("bucket", floor(col("e_ms") / bucketMs))
+    val near = col("e_id") =!= col("err_id") &&
+      abs(col("e_ms") - col("err_ms")) <= bucketMs
+    probe.join(build, "bucket")
+      .groupBy(col("err_id"), col("err_ms"))
+      .agg(count(when(near, 1)).as("n_nearby"),
+        count(when(near && col("e_type") === "error", 1))
+          .as("n_errors_nearby"))
+      .select(col("err_id").as("event_id"), col("err_ms").as("ts_ms"),
+        col("n_nearby"), col("n_errors_nearby"))
+      .orderBy(col("event_id"))
+  }
+
   /** Trailing event-time window: for every event, the count and value sum
     * of the same user's events in the preceding hour (inclusive RANGE
     * frame over epoch seconds — sliding analytics without materializing
