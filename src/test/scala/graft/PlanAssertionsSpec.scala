@@ -372,6 +372,23 @@ class PlanAssertionsSpec extends SparkSpec {
       "one partial/final aggregate pair")
   }
 
+  test("q149 no-equi-key range join: the time predicate rides a bucket " +
+      "EQUI-join (probe fanned to b-1/b/b+1), never a cross join; the " +
+      "type filter pushes into the probe scan") {
+    val plan = formatted("q149_global_range_join")
+    assert(plan.contains("EqualTo(event_type,error)"),
+      "probe-side filter must reach the parquet scan")
+    assert(("BroadcastHashJoin".r.findAllIn(plan).nonEmpty ||
+      "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).nonEmpty),
+      "the bucket key must plan an equi-join (hash/sort-merge)")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "a no-equi-key range join must NOT fall back to a cross join — " +
+        "the synthetic bucket key exists to carry it")
+    assert(plan.contains("explode"),
+      "the probe fan-out to 3 buckets is the rewrite's signature")
+  }
+
   test("q147 Q2 shape: the catalog aggregate is the only fact shuffle; " +
       "part filter and region suppliers broadcast BEFORE the per-part " +
       "window MIN; ties kept; top-100 as TakeOrdered") {
