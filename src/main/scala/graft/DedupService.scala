@@ -49,11 +49,15 @@ object DedupService {
   private[graft] def cycleNum(d: java.io.File): Long =
     d.getName.stripPrefix("cycle_").toLong
 
-  /** The service's work dirs in ascending NUMERIC cycle order. */
+  /** The service's work dirs in ascending NUMERIC cycle order. Only
+    * exact `cycle_<digits>` names qualify — a stray `cycle_0.bak` or
+    * `cycle_tmp` an operator leaves beside the real dirs must not
+    * crash the restart scan's numeric parse.
+    */
   private[graft] def workDirsOf(root: String): IndexedSeq[java.io.File] =
     Option(new java.io.File(root, "work").listFiles())
       .getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("cycle_"))
+      .filter(d => d.isDirectory && d.getName.matches("cycle_\\d+"))
       .sortBy(cycleNum).toIndexedSeq
 
   /** Arrival file names already claimed by past cycles. A manifest
@@ -65,9 +69,10 @@ object DedupService {
     dirs.foreach { d =>
       val mf = new java.io.File(d, "_manifest.json")
       if (mf.isFile)
-        "\"name\":\"([^\"]+)\"".r
+        "\"name\":\"((?:[^\"\\\\]|\\\\.)+)\"".r
           .findAllMatchIn(java.nio.file.Files.readString(mf.toPath))
-          .foreach(m => out += m.group(1))
+          .foreach(m => out += m.group(1)
+            .replace("\\\"", "\"").replace("\\\\", "\\"))
       else
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
@@ -84,12 +89,17 @@ object DedupService {
     * per-cycle byte copy would double ingest I/O; on a real lake the
     * manifest's paths would feed the source directly.
     */
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   private[graft] def claimByManifest(fresh: Seq[java.io.File],
       workDir: java.io.File): Unit = {
     val manifest = fresh.map { f =>
       java.nio.file.Files.createSymbolicLink(
         workDir.toPath.resolve(f.getName), f.toPath.toAbsolutePath): Unit
-      s"""{"name":"${f.getName}","path":"${f.getAbsolutePath}",""" +
+      // names/paths are JSON-escaped: the manifest is the authoritative
+      // claim record, and a quote in a file name must not corrupt it
+      s"""{"name":${jstr(f.getName)},"path":${jstr(f.getAbsolutePath)},""" +
         s""""size":${f.length},"mtime":${f.lastModified}}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
@@ -157,14 +167,29 @@ object DedupService {
       .filterNot(d => new java.io.File(d, "_cycle_done").isFile)
       .foreach { d =>
         val c = cycleNum(d)
-        val cycDf = spark.read.parquet(d.getAbsolutePath)
-        val st = IngestLoop.runCycle(spark, idxRoot, landRoot, c.toInt,
-          d.getAbsolutePath, cycDf.schema, cycDf.count(),
-          Some(s"$root/ckpt/cycle_$c"), filesPerTrigger)
-        java.nio.file.Files.writeString(
-          d.toPath.resolve("_cycle_done"), "done"): Unit
-        println(s"""{"service":"dedup","resumed_cycle":$c,""" +
-          s""""landed":${st.landed},"folded":${st.folded}}""")
+        val hasData = Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.endsWith(".parquet"))
+        if (!hasData) {
+          // a kill between mkdirs and the first claim left an empty
+          // shell: nothing was claimed, the arrivals are still
+          // unclaimed in streamDir — mark the shell done (an empty
+          // cycle) instead of poisoning every restart with an
+          // unreadable parquet read (the landed-dir twin of the
+          // zero-admit fix in IngestLoop)
+          java.nio.file.Files.writeString(
+            d.toPath.resolve("_cycle_done"), "empty"): Unit
+          println(s"""{"service":"dedup","resumed_cycle":$c,""" +
+            s""""landed":0,"folded":0,"note":"empty claim shell"}""")
+        } else {
+          val cycDf = spark.read.parquet(d.getAbsolutePath)
+          val st = IngestLoop.runCycle(spark, idxRoot, landRoot, c.toInt,
+            d.getAbsolutePath, cycDf.schema, cycDf.count(),
+            Some(s"$root/ckpt/cycle_$c"), filesPerTrigger)
+          java.nio.file.Files.writeString(
+            d.toPath.resolve("_cycle_done"), "done"): Unit
+          println(s"""{"service":"dedup","resumed_cycle":$c,""" +
+            s""""landed":${st.landed},"folded":${st.folded}}""")
+        }
       }
     val stopFile = new java.io.File(root, "STOP")
     while (!stopFile.exists() && cycle < maxCycles) {

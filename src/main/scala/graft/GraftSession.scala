@@ -27,6 +27,10 @@ object GraftSession {
       // DuckDB's truncation)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      // recentProgress is the source of batch counts (IngestLoop's
+      // CycleStats.batches, StreamBench's paced admission sums); the
+      // default 100-entry ring silently undercounts long drains
+      .config("spark.sql.streaming.numRecentProgressUpdates", "4000")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {

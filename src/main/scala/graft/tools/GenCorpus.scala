@@ -180,9 +180,17 @@ object GenCorpus {
     // from the SOURCE id — pure function, no self-join — with 1-2
     // tokens swapped to the "dup" marker), the rest fresh 10..100-word
     // texts over the shared 30-token vocabulary
-    val isDup = pmod(h(seed, 31, id), lit(20)) === 0 && id >= 25
-    val srcId = when(isDup, id - (pmod(h(seed, 32, id), lit(25)) + 1))
-      .otherwise(id)
+    // a doc is a dup only when its CHOSEN SOURCE is itself fresh:
+    // without that guard, a dup-of-a-dup copies the source's
+    // never-materialized fresh text (docText is keyed on the source's
+    // own hash chain, but the source's actual text came from ITS
+    // source), producing orphans that near-match no real document.
+    // The guard trims the dup rate ~5% → ~4.75% instead.
+    val cand = id - (pmod(h(seed, 32, id), lit(25)) + 1)
+    val candIsDup = pmod(h(seed, 31, cand), lit(20)) === 0 && cand >= 25
+    val isDup = pmod(h(seed, 31, id), lit(20)) === 0 && id >= 25 &&
+      !candIsDup
+    val srcId = when(isDup, cand).otherwise(id)
     def docText(j: Column, mutateAt: Column): Column = {
       val nWords = (pmod(h(seed, 33, j), lit(91)) + 10).cast(IntegerType)
       concat_ws(" ", transform(sequence(lit(1), nWords), w =>

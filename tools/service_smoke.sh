@@ -37,6 +37,12 @@ for k in range(6):
 print(f"prepared 6 waves over {n} docs")
 EOF
 
+# the q123 oracle drop set — BOTH legs assert landed == all - dropped
+# (the keep set), not just "no doc landed twice": a resume bug that
+# silently drops admitted docs must fail the smoke, not ship in it
+sbt -batch "runMain graft.tools.DumpOne q123_arrival_dedup $SF_DIR \
+  $WORK/q123" > "$WORK/q123_dump.log" 2>&1
+
 # ---- Leg A: 6 waves, 6 cycles, merge at cycle 3 ----------------------
 cp "$WORK/waves/wave_0.parquet" "$WORK/stream_a/"
 ( sbt -batch "runMain graft.DedupService $WORK/svc_a $WORK/stream_a \
@@ -50,7 +56,10 @@ for k in 1 2 3 4 5; do
   done
   grep -q "\"cycle\":$prev," "$WORK/service_smoke_a.log" \
     || { echo "FAIL: cycle $prev never reported"; exit 1; }
-  cp "$WORK/waves/wave_$k.parquet" "$WORK/stream_a/"
+  # atomic release: cp is not atomic and the service polls every 1.5 s —
+  # write under a non-.parquet temp name, then mv (rename) into place
+  cp "$WORK/waves/wave_$k.parquet" "$WORK/stream_a/.wave_$k.tmp"
+  mv "$WORK/stream_a/.wave_$k.tmp" "$WORK/stream_a/wave_$k.parquet"
 done
 wait $SBT_PID
 grep '"service"' "$WORK/service_smoke_a.log"
@@ -65,16 +74,24 @@ for d in "$WORK"/svc_a/work/cycle_*; do
 done
 echo "zero-copy work dirs OK"
 
-python3 - "$WORK/svc_a/landed" "$SF_DIR" <<'EOF'
+python3 - "$WORK/svc_a/landed" "$SF_DIR" "$WORK/q123" <<'EOF'
 import duckdb, glob, sys
-land, sf = sys.argv[1], sys.argv[2]
+land, sf, q123 = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
 total, ids = 0, set()
 for d in sorted(glob.glob(f"{land}/cycle_*")):
     rows = con.sql(f"select doc_id from '{d}/*/*.parquet'").fetchall()
     total += len(rows); ids |= {r[0] for r in rows}
-print(f"landed_total={total} distinct={len(ids)}")
+alldocs = {r[0] for r in con.sql(
+    f"select doc_id from '{sf}/documents.parquet'").fetchall()}
+dropped = {r[0] for r in con.sql(
+    f"select doc_id from '{q123}/q123_arrival_dedup/*.parquet'").fetchall()}
+keep = alldocs - dropped
+print(f"landed_total={total} distinct={len(ids)} q123_keep={len(keep)}")
 assert total == len(ids), "a doc landed twice"
+assert ids == keep, (f"landed set != q123 keep set "
+    f"(missing {len(keep-ids)}, extra {len(ids-keep)}) — the merge at "
+    f"cycle 3 or a cycle boundary changed a gate decision")
 EOF
 
 # ---- Leg B: kill mid-cycle, restart, resume ---------------------------
@@ -133,12 +150,21 @@ echo "killed mid-cycle with $n batches landed"
 sbt -batch "runMain graft.DedupService $WORK/svc_b $WORK/stream_b \
   --max-cycles 1 --interval-ms 1500" > "$WORK/service_smoke_b2.log" 2>&1
 grep '"service"' "$WORK/service_smoke_b2.log"
-python3 - "$WORK/svc_b/landed" <<'EOF'
+python3 - "$WORK/svc_b/landed" "$SF_DIR" "$WORK/q123" <<'EOF'
 import duckdb, sys
+land, sf, q123 = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
-rows = con.sql(f"select doc_id from '{sys.argv[1]}/cycle_0/*/*.parquet'").fetchall()
+rows = con.sql(f"select doc_id from '{land}/cycle_0/*/*.parquet'").fetchall()
 ids = {r[0] for r in rows}
-print(f"resumed landed={len(rows)} distinct={len(ids)}")
+alldocs = {r[0] for r in con.sql(
+    f"select doc_id from '{sf}/documents.parquet'").fetchall()}
+dropped = {r[0] for r in con.sql(
+    f"select doc_id from '{q123}/q123_arrival_dedup/*.parquet'").fetchall()}
+keep = alldocs - dropped
+print(f"resumed landed={len(rows)} distinct={len(ids)} q123_keep={len(keep)}")
 assert len(rows) == len(ids), "replayed batch double-landed"
+assert ids == keep, (f"resumed landed set != q123 keep set "
+    f"(missing {len(keep-ids)}, extra {len(ids-keep)}) — the restart "
+    f"dropped or duplicated an admit decision")
 EOF
 echo "SMOKE OK — logs under $WORK"

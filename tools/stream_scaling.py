@@ -405,19 +405,38 @@ def main():
         lines.append("")
         fpts = {d["ingest_loop"].get("files_per_trigger", 1)
                 for _, d in runs if "ingest_loop" in d}
+        # the knob's measured effect comes from the committed
+        # ingest_knob_sf*.json artifacts (graft.tools.IngestKnobBench) —
+        # read, never hardcoded, so regenerated artifacts can't drift
+        # from this prose
+        import glob as _glob
+        knob_bits = []
+        for kp in sorted(_glob.glob("ingest_knob_sf*.json")):
+            try:
+                with open(kp) as kf:
+                    k = json.load(kf)
+                rs = sorted(k["runs"], key=lambda r: r["files_per_trigger"])
+                lo, hi = rs[0], rs[-1]
+                assert len({r["landed"] for r in rs}) == 1, kp
+                knob_bits.append(
+                    f"{kp}: {lo['drain_s']:.1f} s at fpt={lo['files_per_trigger']}"
+                    f" → {hi['drain_s']:.1f} s at fpt={hi['files_per_trigger']}"
+                    f" ({lo['drain_s']/hi['drain_s']:.1f}×), landed"
+                    f" {lo['landed']} at every setting")
+            except Exception as e:
+                knob_bits.append(f"{kp}: unreadable ({e})")
+        measured = ("MEASURED (graft.tools.IngestKnobBench, same 12-file "
+                    "arrival set, landed doc set asserted IDENTICAL "
+                    "across settings): " + "; ".join(knob_bits) + ". "
+                    if knob_bits else "")
         lines.append(
             f"Drain cost is PER-BATCH dominated (files per trigger = "
             f"{sorted(fpts)}): each micro-batch pays a near-constant "
             "cost (stream-static join re-plan, gate probe, state-store "
             "snapshot, offset commit, landing write) that rows barely "
-            "move at these sizes, so drain_s ≈ batches × "
-            "s/batch — a floor, NOT free capacity. MEASURED "
-            "(ingest_knob_sf*.json, graft.tools.IngestKnobBench): the "
-            "same 12-file arrival set drains 8.6× faster at "
-            "filesPerTrigger=12 than at 1 at sf0.1 (46.9 → 5.4 s) "
-            "and 10× at sf1 (186 → 18.5 s), with the landed "
-            "doc set IDENTICAL at every setting. Amortize with "
-            "IngestLoop's filesPerTrigger knob "
+            "move at these sizes, so drain_s ≈ batches × s/batch — a "
+            "floor, NOT free capacity. " + measured +
+            "Amortize with IngestLoop's filesPerTrigger knob "
             "(SPARK_GRAFT_FILES_PER_TRIGGER here; --files-per-trigger "
             "on graft.DedupService). Batching does not change the admit "
             "decision — within a micro-batch the ownership processor "
