@@ -112,6 +112,44 @@ object EventStreams {
                clickTime <= impTime + interval $horizon"""),
       joinType)
 
+  /** NO-equi-key temporal range join, the STREAMING twin of batch q149
+    * (`EventWindows.nearbyEventPressure`): each error event paired with
+    * every event (any user) within ±`seconds` of it, as a standing
+    * stream-stream self-join. Spark's symmetric hash join partitions
+    * its state by the join's equality keys — with no natural key, the
+    * same synthetic TIME BUCKET that carries the batch shuffle becomes
+    * the state partition key: the probe side fans to buckets
+    * {b−1, b, b+1}, the join is bucket-equality plus the exact
+    * |Δt| ≤ range cut (each pair produced exactly once — a build
+    * event's single bucket matches exactly one of the probe's three),
+    * and both sides' watermarked event-time range bounds the buffered
+    * state to the active horizon per bucket. Emits the raw pairs
+    * (`err_id`, `e_id`, both timestamps); downstream aggregation is the
+    * consumer's choice (the batch twin counts per error).
+    */
+  def nearbyPairs(events: DataFrame, seconds: Int = 60,
+      delay: String = "10 seconds"): DataFrame = {
+    val bucketMs = seconds * 1000L
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      .withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("b1", floor(unix_millis(col("err_ts")) / bucketMs)
+        + col("off"))
+      .drop("off")
+      .withWatermark("err_ts", delay)
+    val others = events
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      .withColumn("b2", floor(unix_millis(col("e_ts")) / bucketMs))
+      .withWatermark("e_ts", delay)
+    errs.join(others, expr(
+      s"""b1 = b2 AND e_id <> err_id AND
+          e_ts >= err_ts - interval $seconds seconds AND
+          e_ts <= err_ts + interval $seconds seconds"""))
+      .select(col("err_id"), col("e_id"),
+        unix_millis(col("err_ts")).as("err_ms"),
+        unix_millis(col("e_ts")).as("e_ms"))
+  }
+
   /** Streaming exact dedup on a business key within the watermark horizon
     * (`dropDuplicatesWithinWatermark`): state for a key is dropped once
     * the watermark passes it — bounded state at unbounded input, the

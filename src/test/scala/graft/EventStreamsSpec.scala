@@ -683,6 +683,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("no-equi-key bucketed range join (q149's streaming twin): the " +
+      "streamed pair set equals the literal batch inequality join — " +
+      "each pair exactly once, the synthetic bucket carrying the state") {
+    import spark.implicits._
+    val ev = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    // literal ground truth: the quadratic inequality join the bucket
+    // rewrite replaces (fine at test scale)
+    val truth = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      .join(ev.select(col("event_id").as("e_id"), col("ts").as("e_ts")),
+        expr("""e_id <> err_id AND
+                e_ts >= err_ts - interval 60 seconds AND
+                e_ts <= err_ts + interval 60 seconds"""))
+      .select(col("err_id"), col("e_id"))
+      .as[(Long, Long)].collect()
+    assert(truth.nonEmpty, "fixture must have nearby pairs")
+    val q = streaming.EventStreams.nearbyPairs(
+      streaming.EventStreams.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("nearby_pairs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("nearby_pairs")
+        .select(col("err_id"), col("e_id")).as[(Long, Long)].collect()
+      assert(got.length === got.distinct.length &&
+        got.length === truth.length,
+        "the bucket fan-out must produce each pair EXACTLY once")
+      assert(got.toSet === truth.toSet,
+        "streamed pairs must equal the literal inequality join")
+    } finally q.stop()
+  }
+
   test("outer interval join emits unmatched impressions after the watermark closes them") {
     import spark.implicits._
     def t(sec: Int) =
