@@ -60,9 +60,15 @@ object DedupService {
       .filter(d => d.isDirectory && d.getName.matches("cycle_\\d+"))
       .sortBy(cycleNum).toIndexedSeq
 
-  /** Arrival file names already claimed by past cycles. A manifest
-    * (`_manifest.json`, the zero-copy format) is authoritative; a
-    * legacy copy-format dir falls back to listing its parquet files.
+  /** Arrival file names already claimed by past cycles: the UNION of
+    * each dir's `_manifest.json` names (the zero-copy claim record)
+    * and its `*.parquet` listing (symlinks in the zero-copy format,
+    * real files in the legacy copy format). The union — not
+    * manifest-wins — is deliberate crash hardening: symlinks are
+    * created BEFORE the manifest lands (atomically, see
+    * [[claimByManifest]]), so a dir killed between the two still
+    * claims exactly the files it linked instead of silently releasing
+    * them for a double claim.
     */
   private[graft] def claimedNames(dirs: Seq[java.io.File]): Set[String] = {
     val out = scala.collection.mutable.Set[String]()
@@ -73,10 +79,9 @@ object DedupService {
           .findAllMatchIn(java.nio.file.Files.readString(mf.toPath))
           .foreach(m => out += m.group(1)
             .replace("\\\"", "\"").replace("\\\\", "\\"))
-      else
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet"))
-          .foreach(f => out += f.getName)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => out += f.getName)
     }
     out.toSet
   }
@@ -102,8 +107,13 @@ object DedupService {
       s"""{"name":${jstr(f.getName)},"path":${jstr(f.getAbsolutePath)},""" +
         s""""size":${f.length},"mtime":${f.lastModified}}"""
     }.mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      workDir.toPath.resolve("_manifest.json"), manifest): Unit
+    // land the manifest ATOMICALLY (tmp name + ATOMIC_MOVE): a crash
+    // mid-write must never leave a truncated `_manifest.json` that a
+    // restart would read as an authoritative — and smaller — claim set
+    val tmp = workDir.toPath.resolve(".manifest.tmp")
+    java.nio.file.Files.writeString(tmp, manifest): Unit
+    java.nio.file.Files.move(tmp, workDir.toPath.resolve("_manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   def main(args: Array[String]): Unit = {
@@ -117,7 +127,11 @@ object DedupService {
     val intervalMs = opt("--interval-ms").map(_.toLong).getOrElse(5000L)
     val maxCycles = opt("--max-cycles").map(_.toInt).getOrElse(Int.MaxValue)
     // amortizes the ~1 s/micro-batch fixed drain cost at high arrival
-    // rates; admit decisions are trigger-size-invariant (IngestLoopSpec)
+    // rates. Admit decisions are trigger-size-invariant (IngestLoopSpec)
+    // ONLY while file arrival order matches doc_id order (true of every
+    // slicer here): in-batch ties go to MIN doc_id, cross-batch ties to
+    // first arrival — see IngestLoop.runCycle. Out-of-order lakes that
+    // need the exact fpt=1 survivor set should leave this at 1.
     val filesPerTrigger =
       opt("--files-per-trigger").map(_.toInt).getOrElse(1)
 

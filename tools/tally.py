@@ -14,6 +14,12 @@ queries") and exits 1 listing each drifted claim — so the round's
 docs can never silently lag the registry again.
 
 Usage: tally.py [--test-log FILE]
+
+Without --test-log the auditor reads the canonical log location
+``target/test_run.log`` (produced by ``sbt -batch test | tee
+target/test_run.log``, the round's full-suite run). A missing log is a
+FAILURE, not a skip — the test/suite claims were the one count class
+that silently went unaudited whenever nobody passed a log.
 """
 import glob
 import json
@@ -78,8 +84,11 @@ def doc_claims():
     return claims
 
 
+DEFAULT_TEST_LOG = os.path.join(ROOT, "target", "test_run.log")
+
+
 def main():
-    log = None
+    log = DEFAULT_TEST_LOG
     if "--test-log" in sys.argv:
         log = sys.argv[sys.argv.index("--test-log") + 1]
     cfile, n_corr, n_ok = newest_correctness()
@@ -87,8 +96,13 @@ def main():
     n_tests, n_suites = test_counts(log)
     live = {"correctness_file": cfile, "oracle_queries": n_corr,
             "oracle_pass": n_ok, "bench_queries": n_bench,
-            "tests": n_tests, "suites": n_suites}
+            "tests": n_tests, "suites": n_suites, "test_log": log}
     print(json.dumps(live))
+    if n_tests is None:
+        print(f"NO TEST LOG at {log} — run "
+              "`sbt -batch test | tee target/test_run.log` first; "
+              "test/suite doc claims are UNAUDITED", file=sys.stderr)
+        sys.exit(1)
 
     truth = {"queries": n_bench or n_corr, "tests": n_tests,
              "suites": n_suites}
