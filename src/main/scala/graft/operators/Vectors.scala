@@ -235,6 +235,51 @@ object Vectors {
     when(d >= 0, lit(weight)).otherwise(lit(0L))
   }
 
+  /** Occupancy-targeted SRP depth: the smallest `bits ≥ 3` with expected
+    * bucket occupancy `n / 2^bits ≤ targetOcc`. FIXED bits make the
+    * per-table bucket self-join O(n²/2^bits) — quadratic; holding
+    * occupancy constant instead keeps the enumeration O(n·targetOcc)
+    * per table, the standard production-LSH sizing. Integer shift
+    * arithmetic, not float log2: `ceil(log2(2000/250))` must be EXACTLY
+    * 3 (the reference-scale pin), not 4-by-epsilon. The floor of 3 (and
+    * [[scaleTables]]' matching 6) reproduces the reference-scale (6, 3)
+    * construction at every driver SF, so the q45/q106 oracles are
+    * untouched; the derivation only engages beyond ~2k vectors.
+    */
+  private[graft] def scaleBits(n: Long, targetOcc: Long = 250L): Int = {
+    var b = 3
+    while ((targetOcc << b) < n && b < 24) b += 1
+    b
+  }
+
+  /** Recall-compensating table count: one extra table per extra bit over
+    * the reference-scale 3. Deeper buckets cut per-table collision
+    * probability (p^bits), so a deployment buys recall back with tables;
+    * the full compensation (hold 1−(1−p^bits)^tables constant) would
+    * grow tables ~4.6× per decade and re-inflate the enumeration, so
+    * this derives the MODEST bump and lets q106's measured recall curve
+    * — whose cost no longer depends on the construction — justify or
+    * indict it per corpus.
+    */
+  private[graft] def scaleTables(bits: Int): Int = 6 + (bits - 3)
+
+  /** Corpus-size cache for LSH parameter derivation (one count job per
+    * dir per JVM; the count itself is a parquet metadata scan).
+    */
+  private val nVecCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Resolve the (tables, bits) sentinel 0 → corpus-derived values. */
+  private[graft] def resolveLsh(s: SparkSession, dir: String,
+      tables: Int, bits: Int): (Int, Int) = {
+    if (tables > 0 && bits > 0) (tables, bits)
+    else {
+      val n = nVecCache.computeIfAbsent(dir,
+        d => Tables.embeddings(s, d).count()).longValue()
+      val b = if (bits > 0) bits else scaleBits(n)
+      (if (tables > 0) tables else scaleTables(b), b)
+    }
+  }
+
   /** Embedding near-dup through multi-table LSH — the 100 TB path. A
     * single sign-projection table has vanishing recall at moderate
     * similarity (P[8 bits agree] ≈ 0.63⁸ ≈ 2% at cos 0.4), so this uses
@@ -243,13 +288,20 @@ object Vectors {
     * bucket (equi-join on (table, bucket) — work scales with bucket
     * occupancy, not n²), then candidates are scored exactly. Precision
     * is exact (same cosine + threshold as [[embedNearDup]]); recall
-    * 1−(1−p^bits)^tables is asserted in tests.
+    * 1−(1−p^bits)^tables is asserted in tests. `tables`/`bits` default
+    * to the corpus-derived sizing ([[scaleBits]]/[[scaleTables]]):
+    * (6, 3) at every driver SF, deeper-and-wider beyond — at the sf1
+    * rehearsal corpus (20k vecs → (10, 7)) the derived construction
+    * enumerates 120M candidate rows against fixed-(6, 3)'s 252M at
+    * 95.2% measured recall of the cos ≥ 0.4 truth (vs 99.7%).
     */
   def lshNearDup(s: SparkSession, dir: String, threshold: Double = 0.4,
-      tables: Int = 6, bits: Int = 3): DataFrame =
-    Materialize.table(s, s"vec_pairs_${dir}_${threshold}_${tables}_$bits", dir,
-      lshNearDupBuild(s, dir, threshold, tables, bits))
+      tables: Int = 0, bits: Int = 0): DataFrame = {
+    val (tbl, bts) = resolveLsh(s, dir, tables, bits)
+    Materialize.table(s, s"vec_pairs_${dir}_${threshold}_${tbl}_$bts", dir,
+      lshNearDupBuild(s, dir, threshold, tbl, bts))
       .orderBy(col("id1"), col("id2"))
+  }
 
   /** Table-`t` bucket key (bits-wide sign pattern) — per-row codegen
     * expressions, so a STREAMING row carries its bucket keys directly.
@@ -299,30 +351,39 @@ object Vectors {
     * count per prefix then gives recall at t = 1..tables in one pass —
     * not `tables` re-runs of the pipeline.
     *
-    * Shape at scale: the bucket self-join is the q45 candidate join
-    * (equi-join on (t, bucket)); the min-table tag is one aggregation
-    * over candidates; the sweep itself runs on a `tables`-row × true-pair
-    * histogram — constant-size metadata. Recall math is exact integer
-    * micro-units.
+    * Shape at scale: the tag is computed DIRECTLY per true pair — join
+    * each side to its O(n) per-vector bucket-signature row and take the
+    * least agreeing table index — never by enumerating the bucket
+    * self-join's candidate pairs and discarding the ~80% that aren't
+    * true pairs (at fixed bits that enumeration is O(n²/2^bits): 106M
+    * candidate rows for 20M true pairs at the sf1 rehearsal corpus,
+    * 27.6 s warm; the direct tag is linear in the audit's own
+    * ground-truth input and identical row-for-row — a pair's min
+    * colliding table is a function of the two signatures alone). The
+    * sweep itself runs on a `tables`-row histogram — constant-size
+    * metadata. Recall math is exact integer micro-units.
     */
   def lshRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.4,
-      tables: Int = 6, bits: Int = 3): DataFrame = {
+      tables: Int = 0, bits: Int = 0): DataFrame = {
+    val (tbl, bts) = resolveLsh(s, dir, tables, bits)
     val base = withNorm(Tables.embeddings(s, dir))
-    val minT = Materialize.table(s, s"vec_mintable_${dir}_${tables}_$bits", dir, {
-      val tb = (0 until tables).map(t =>
-        struct(lit(t).as("t"), bucketCol(t, bits).as("b")))
-      val buckets = base.select(col("vec_id"), explode(array(tb: _*)).as("tb"))
-        .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
-      buckets.toDF("id1", "t", "b")
-        .join(buckets.toDF("id2", "t", "b"), Seq("t", "b"))
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2")).agg(min(col("t")).as("min_t"))
-    })
-    val tagged = embedNearDup(s, dir, threshold).select(col("id1"), col("id2"))
-      .join(minT, Seq("id1", "id2"), "left")
+    val tagged = Materialize.table(s,
+      s"vec_mintag_${dir}_${threshold}_${tbl}_$bts", dir, {
+        def sig(idCol: String, p: String) = base.select(
+          col("vec_id").as(idCol) +:
+            (0 until tbl).map(t => bucketCol(t, bts).as(s"$p$t")): _*)
+        // least(...) skips nulls: min_t = first agreeing table, null if
+        // the construction misses the pair — same semantics as the old
+        // enumerated LEFT JOIN, in whole-stage codegen
+        val minT = least((0 until tbl).map(t =>
+          when(col(s"l$t") === col(s"r$t"), lit(t))): _*)
+        embedNearDup(s, dir, threshold).select(col("id1"), col("id2"))
+          .join(sig("id1", "l"), "id1").join(sig("id2", "r"), "id2")
+          .select(col("id1"), col("id2"), minT.as("min_t"))
+      })
     val hist = tagged.groupBy(col("min_t")).agg(count(lit(1)).as("c"))
     val tot = tagged.agg(count(lit(1)).as("n_true"))
-    s.range(1, tables + 1).select(col("id").as("n_tables"))
+    s.range(1, tbl + 1).select(col("id").as("n_tables"))
       .crossJoin(broadcast(hist))
       .groupBy(col("n_tables"))
       .agg(sum(when(col("min_t") < col("n_tables"), col("c"))
@@ -338,11 +399,16 @@ object Vectors {
     * shared [[Graph.connectedComponents]] min-label propagation — the
     * same retention step as text q67, over the vector modality.
     */
-  def embedClusters(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
-    Materialize.table(s, s"vec_labels_${dir}_$threshold", dir,
+  def embedClusters(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    // the landed key carries the RESOLVED construction: the label table
+    // derived from a (6,3) pair graph must never be served to a run
+    // whose corpus now derives (10,7)
+    val (tbl, bts) = resolveLsh(s, dir, 0, 0)
+    Materialize.table(s, s"vec_labels_${dir}_${threshold}_${tbl}_$bts", dir,
       Graph.connectedComponents(
         lshNearDup(s, dir, threshold).select(col("id1"), col("id2")), "vec_id"))
       .orderBy(col("vec_id"))
+  }
 
   /** Per-label embedding retention manifest — the vector twin of the
     * text pipeline's q70: keep each [[embedClusters]] cluster's

@@ -227,6 +227,50 @@ class PipelineOpsSpec extends SparkSpec {
       s"sweep endpoint ${rows.last._3} != q45 pair count $q45")
   }
 
+  test("sampled band recall (q150) tracks the full sweep (q107) within the binomial bound at bench scale") {
+    // bench scale: sf0.1 is the largest oracle-checked corpus (5000
+    // docs; the derived mod is still 1 there, so q150's EXPLICIT mod=8
+    // exercises the sampled path against the full landed truth)
+    val benchDir = "/root/testdata/sf0.1"
+    def sweep(mod: Int) = Text.bandRecallSweep(spark, benchDir, 0.5, mod)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val full = sweep(1)
+    val sampled = sweep(8)
+    assert(full.map(_._1).toSeq === sampled.map(_._1).toSeq)
+    // the sample is a deterministic 1/8 doc draw, so pair-level recall
+    // is an unbiased estimate with binomial error ~ sqrt(p(1-p)/m); pin
+    // 3 sigma plus a 5-point floor — a magic absolute constant would
+    // either mask bias at large m or flake at small m
+    full.zip(sampled).foreach { case ((b, nT, fullMicro), (_, m, sampMicro)) =>
+      assert(m > 0, "sample must contain true pairs at bench scale")
+      val p = fullMicro / 1e6
+      val tol = math.max(0.05, 3.0 * math.sqrt(p * (1 - p) / m))
+      assert(math.abs(p - sampMicro / 1e6) <= tol,
+        s"band $b: sampled recall ${sampMicro / 1e6} vs full $p " +
+          s"(m=$m of $nT pairs) outside ±$tol")
+    }
+  }
+
+  test("LSH sizing: driver SFs derive exactly (6,3); decades deepen at constant occupancy") {
+    // integer-exact at the boundary: 2000 vecs (sf0.1) sits EXACTLY at
+    // occ 250 × 2^3 and must stay 3 — a float ceil(log2) would say 4
+    assert(Vectors.scaleBits(500) === 3)    // sf0.001 / sf0.01
+    assert(Vectors.scaleBits(2000) === 3)   // sf0.1 — boundary pin
+    assert(Vectors.scaleBits(2001) === 4)
+    assert(Vectors.scaleBits(20000) === 7)  // sf1 rehearsal
+    assert(Vectors.scaleBits(200000) === 10) // sf10
+    assert(Vectors.scaleTables(3) === 6 && Vectors.scaleTables(7) === 10)
+    // expected occupancy stays ≤ target across three decades
+    Seq(2000L, 20000L, 200000L).foreach { n =>
+      assert(n.toDouble / (1L << Vectors.scaleBits(n)) <= 250.0)
+    }
+    // resolution: explicit params win; sentinel derives from THIS corpus
+    assert(Vectors.resolveLsh(spark, sfDir, 6, 3) === ((6, 3)))
+    val nVecs = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(Vectors.resolveLsh(spark, sfDir, 0, 0) ===
+      ((Vectors.scaleTables(Vectors.scaleBits(nVecs)), Vectors.scaleBits(nVecs))))
+  }
+
   test("vocab growth: cumulative ends at the global vocabulary; tokens partition") {
     val rows = Text.vocabGrowth(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
