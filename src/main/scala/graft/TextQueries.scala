@@ -13,13 +13,18 @@ object TextQueries {
   private def h60(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
-  private[graft] val SHINGLES =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    generate_series(1, len(w)-2),
-      |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= 3)""".stripMargin
+  /** Shingle CTE over an arbitrary docs relation (default the full
+    * table) — q150 points it at the deterministic doc sample.
+    */
+  private[graft] def SHINGLES_OF(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w)-2),
+       |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)
+       |  WHERE len(w) >= 3)""".stripMargin
+
+  private[graft] val SHINGLES = SHINGLES_OF("documents")
 
   private val SIZES = "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)"
 
@@ -70,12 +75,14 @@ object TextQueries {
     * 4×2 banding shared by the pair chain and q123's arrival-order
     * dedup decision.
     */
-  private[graft] def BAND_CTES: String = {
+  private[graft] def BAND_CTES: String = BAND_CTES_OF("documents")
+
+  private[graft] def BAND_CTES_OF(src: String): String = {
     val P = 1073741789L
     val mins = (0 until 8).map(j =>
       s"MIN((${operators.Text.mhA(j)} * h + ${operators.Text.mhB(j)}) % $P) AS mh$j")
       .mkString(", ")
-    s"""$SHINGLES,
+    s"""${SHINGLES_OF(src)},
        |shh AS (SELECT doc_id, ${h60("sh")} % $P AS h FROM sh),
        |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
        |bands AS (
@@ -634,6 +641,44 @@ object TextQueries {
          |    * 1000000) // n_true AS recall_micro
          |FROM ts CROSS JOIN tot CROSS JOIN j
          |GROUP BY n_bands, n_true ORDER BY n_bands""".stripMargin)),
+
+    // q150: the SAMPLED band recall sweep — q107's 100 TB spelling,
+    // oracle-checked at an EXPLICIT 1/8 md5 doc sample so the sampled
+    // path (the one a production corpus actually runs, where the full
+    // ground truth is quadratic in shingle co-occurrence) has its own
+    // exact DuckDB twin at every driver SF.
+    QueryDef("q150_band_recall_sampled",
+      (s, d) => bandRecallSweep(s, d, 0.5, sampleMod = 8), Some {
+      val sample =
+        s"""docs_s AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 8 = 0)""".stripMargin
+      s"""WITH $sample,
+         |${BAND_CTES_OF("docs_s")},
+         |$SIZES,
+         |$INTER,
+         |exact AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5),
+         |mt AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, MIN(a.band) AS min_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT exact.d1, exact.d2, mt.min_b
+         |      FROM exact LEFT JOIN mt USING (d1, d2)),
+         |tot AS (SELECT COUNT(*) AS n_true FROM j),
+         |ts AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT) AS n_bands)
+         |SELECT n_bands, n_true,
+         |  CAST(SUM(CASE WHEN j.min_b < ts.n_bands THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_found,
+         |  (CAST(SUM(CASE WHEN j.min_b < ts.n_bands THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // n_true AS recall_micro
+         |FROM ts CROSS JOIN tot CROSS JOIN j
+         |GROUP BY n_bands, n_true ORDER BY n_bands""".stripMargin
+    }),
 
     // q113: vocabulary growth (Heaps' law) — terms charged to their
     // first content-hash slice; cumulative per prefix.

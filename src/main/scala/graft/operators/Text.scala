@@ -340,6 +340,22 @@ object Text {
     expr(s"concat_ws('_', ${mh(2 * bnd)}, ${mh(2 * bnd + 1)})")
   }
 
+  /** [[shingleHashes]] behind a 1:1 Generate barrier (explode of a
+    * single-element array — same row count). Every per-row banding
+    * consumer references `hs` eight times (2 minhash transforms × 4
+    * bands); without the barrier CollapseProject inlines the whole
+    * md5-shingle pipeline into EACH reference and — the higher-order
+    * transforms being interpreted, outside codegen subexpression
+    * elimination — the corpus pays the pipeline 8×: measured 135 s vs
+    * 7.8 s for one banding pass over the 47.5k-doc sf1 rehearsal
+    * corpus (tools/BandingShapeBench, identical output hash). A
+    * Generate between the hs project and its consumers is the cheapest
+    * optimizer-proof barrier that works in streaming (no shuffle, no
+    * state, no typed boundary); the executed-plan audits pin the
+    * banding operators' shapes around it.
+    */
+  private[graft] val shingleHashesOnce: Column = explode(array(shingleHashes))
+
   /** Arrival-order LSH dedup decision (q123) — the BATCH twin of
     * streaming.TextStreams.streamingLshCollisions' drop rule: with
     * arrival order = doc_id order, a doc drops iff an EARLIER doc shares
@@ -377,7 +393,7 @@ object Text {
     }
     docs.select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
-      .withColumn("hs", shingleHashes)
+      .withColumn("hs", shingleHashesOnce)
       .select(explode(array(bandStructs: _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
       .distinct()
@@ -478,17 +494,83 @@ object Text {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** MinHash band tuning table (q107) — the text twin of the vector
-    * recall sweep (q106): every true near-dup pair ([[ngramJaccardPairs]]
-    * exact ground truth, read from the landed intersection stage) is
-    * tagged with the FIRST band that catches it; cumulative counts per
-    * band prefix give measured recall at 1..4 bands in one pass. The
-    * report that justifies (or indicts) the 4×2 banding at a given
-    * Jaccard threshold.
+  /** Target size for the recall audit's ground-truth doc sample: the
+    * full sweep runs up to ~6250 docs (≥ every driver SF, so the q107
+    * oracle is untouched); beyond that [[sampleModOf]] doubles the
+    * modulus per decade, which BOUNDS the sampled doc count — and with
+    * it the sampled shingle co-occurrence join, the one intrinsically
+    * quadratic stage — to a constant independent of corpus size.
     */
-  def bandRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val tagged = ngramJaccardPairs(s, dir, threshold).select(col("d1"), col("d2"))
-      .join(bandCollisionPairs(s, dir), Seq("d1", "d2"), "left")
+  private[graft] val RecallSampleTarget = 6250L
+
+  /** Smallest power-of-two modulus keeping n/mod ≤ the target. */
+  private[graft] def sampleModOf(nDocs: Long,
+      target: Long = RecallSampleTarget): Int = {
+    var m = 1
+    while (nDocs / m > target && m < (1 << 20)) m *= 2
+    m
+  }
+
+  private val nDocCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The deterministic 1/mod ground-truth doc sample — q136's md5
+    * discipline over the doc key, so any engine draws the SAME docs.
+    */
+  private[graft] def docSampleIds(s: SparkSession, dir: String, mod: Int): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(hash60(col("doc_id").cast(StringType)) % mod === 0)
+
+  /** MinHash band tuning table (q107) — the text twin of the vector
+    * recall sweep (q106): every true near-dup pair (the
+    * [[ngramJaccardPairs]] exact ground-truth semantics) is tagged with
+    * the FIRST band that catches it; cumulative counts per band prefix
+    * give measured recall at 1..4 bands in one pass. The report that
+    * justifies (or indicts) the 4×2 banding at a given Jaccard
+    * threshold.
+    *
+    * `sampleMod` (sentinel 0 = derive from corpus size) is the audit's
+    * scale knob: recall is a RATIO, so at production scale it is
+    * estimated on a deterministic 1/mod hash sample of the doc set
+    * (q136's md5 discipline — any engine draws the same docs) instead
+    * of the full corpus, whose exact ground truth is intrinsically
+    * quadratic in shingle co-occurrence. At every driver SF the derived
+    * mod is 1 — the sweep reads the LANDED full intersection and
+    * collision stages and the oracle is exact; beyond
+    * [[RecallSampleTarget]] docs the sampled truth is computed fresh
+    * over the (bounded) sample — both its self-joins are capped by the
+    * target, so the audit's cost stops tracking corpus size entirely.
+    * Sampled-vs-full tolerance is pinned in PipelineOpsSpec at bench
+    * scale.
+    */
+  def bandRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.5,
+      sampleMod: Int = 0): DataFrame = {
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else sampleModOf(nDocCache.computeIfAbsent(dir,
+        d => Tables.documents(s, d).count()).longValue())
+    val tagged =
+      if (mod == 1)
+        ngramJaccardPairs(s, dir, threshold).select(col("d1"), col("d2"))
+          .join(bandCollisionPairs(s, dir), Seq("d1", "d2"), "left")
+      else Materialize.table(s,
+        s"text_recalltag_${dir}_${threshold}_s$mod", dir, {
+          val ids = docSampleIds(s, dir, mod)
+          // per-doc stages (shingles, minhashes) filter by id BEFORE any
+          // self-join: per-doc values are unchanged by dropping other
+          // docs, so the sampled truth is exactly the full pipeline run
+          // on the sampled corpus
+          val sh = docShingles(s, dir).join(ids, "doc_id")
+            .select(col("doc_id"), col("sh"))
+          val truePairs = ngramJaccardPairsOf(sh, threshold)
+            .select(col("d1"), col("d2"))
+          val bands = mhBands(minhashAgg(s, dir).join(ids, "doc_id"))
+          val minB = bands.toDF("d1", "band", "sig")
+            .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
+            .filter(col("d1") < col("d2"))
+            .groupBy(col("d1"), col("d2")).agg(min(col("band")).as("min_b"))
+          truePairs.join(minB, Seq("d1", "d2"), "left")
+        })
     val hist = tagged.groupBy(col("min_b")).agg(count(lit(1)).as("c"))
     val tot = tagged.agg(count(lit(1)).as("n_true"))
     s.range(1, 5).select(col("id").as("n_bands"))
