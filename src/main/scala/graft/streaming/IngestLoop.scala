@@ -56,7 +56,7 @@ object IngestLoop {
       gateBuildS: Double,
       drainWallS: Double,
       compactS: Double,
-      batches: Long = 0L) // micro-batches that carried input rows
+      batches: Long = 0L) // foreachBatch invocations this incarnation
 
   /** Start the cycle's streaming query: gate → admit → admittedOf →
     * exactly-once landing. With a `checkpoint`, the query is
@@ -72,7 +72,7 @@ object IngestLoop {
       cycleLand: String, cycleDir: String, schema: StructType,
       checkpoint: Option[String] = None, filesPerTrigger: Int = 1)
       : (org.apache.spark.sql.streaming.StreamingQuery,
-         AtomicLong, AtomicLong) = {
+         AtomicLong, AtomicLong, AtomicLong) = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(cycleDir)
@@ -82,15 +82,25 @@ object IngestLoop {
         (if (schema.fieldNames.contains("eventTime")) col("eventTime")
          else timestamp_seconds(col("doc_id"))).as("eventTime"))
     val gated = IndexCompaction.gate(spark, idxRoot, stream, keepText = true)
+    // lean emission: presence row on band 0 / short key + non-owner
+    // verdicts only — ~4× fewer verdict rows per drain, same admit set
+    // and same per-batch doc accounting (both spec-pinned; measured in
+    // tools/AdmitCostBench)
     val verdicts = TextStreams.streamingNearDupAdmit(spark,
-      gated.select(col("doc_id"), col("text")))
+      gated.select(col("doc_id"), col("text")), lean = true)
     // the cycle's lake segment, for attaching payloads to admitted ids
     val cycleBatch = spark.read.parquet(cycleDir)
       .select(col("doc_id"), col("text"))
     val gateSurvivors = new AtomicLong(0L)
     val admittedN = new AtomicLong(0L)
+    // counted IN the sink, not from q.recentProgress: that buffer is a
+    // bounded ring (and resets across checkpoint resumes), so a drain
+    // past its capacity would silently undercount batches and inflate
+    // every s/batch figure derived from CycleStats
+    val nBatches = new AtomicLong(0L)
     val writer = verdicts.toDF().writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet(): Unit
         val batch = df.localCheckpoint(true) // verdicts used twice
         gateSurvivors.addAndGet(
           batch.select(col("docId")).distinct().count()): Unit
@@ -103,7 +113,7 @@ object IngestLoop {
       .outputMode(OutputMode.Append)
     val q = checkpoint
       .fold(writer)(c => writer.option("checkpointLocation", c)).start()
-    (q, gateSurvivors, admittedN)
+    (q, gateSurvivors, admittedN, nBatches)
   }
 
   /** Run ONE compaction interval over the pre-sliced arrival files in
@@ -120,10 +130,17 @@ object IngestLoop {
     * so a cycle of N files drains in ~N × fixed + data at the default
     * of 1. The flat drain_s across SFs in STREAM_SCALING.md is that
     * floor, not free capacity — at higher SF, raise filesPerTrigger to
-    * amortize it. Batching does NOT change the admit decision: within
-    * a micro-batch the ownership processor orders a signature's docs
-    * by doc_id (= arrival order), so k files in one trigger decide
-    * exactly as k triggers do (pinned in IngestLoopSpec).
+    * amortize it. Batching does NOT change the admit decision —
+    * PROVIDED file arrival order matches doc_id order: within a
+    * micro-batch the ownership processor breaks a signature group's
+    * tie by MIN doc_id, while across micro-batches first-arrival wins,
+    * so the two agree exactly when the earlier-arriving duplicate also
+    * carries the smaller doc_id (pinned in IngestLoopSpec on
+    * doc_id-ordered slices — the invariant every corpus slicer here
+    * maintains). A lake whose file names arrive out of doc_id order
+    * keeps the same ADMIT COUNT per signature (one owner either way)
+    * but may keep a different SURVIVOR at fpt > 1; callers violating
+    * the ordering should run fpt = 1.
     */
   def runCycle(spark: SparkSession, idxRoot: String, landRoot: String,
       cycle: Int, cycleDir: String, schema: StructType,
@@ -133,13 +150,13 @@ object IngestLoop {
     // gate REBUILD from the live epoch listing — the per-interval
     // restart cost a deployment pays after each compaction
     val tG = System.nanoTime()
-    val (q, gateSurvivors, admittedN) = startCycleQuery(
+    val (q, gateSurvivors, admittedN, nBatches) = startCycleQuery(
       spark, idxRoot, cycleLand, cycleDir, schema, checkpoint,
       filesPerTrigger)
     val gateBuildS = (System.nanoTime() - tG) / 1e9
     val tD = System.nanoTime()
     q.processAllAvailable()
-    val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val batches = nBatches.get()
     q.stop()
     val drainWallS = (System.nanoTime() - tD) / 1e9
 

@@ -115,7 +115,7 @@ object TextStreams {
     val withSig = stream
       .withColumn("h", md5(col("text").cast("binary")))
       .withColumn("w", split(col("text"), " "))
-      .withColumn("hs", Text.shingleHashes)
+      .withColumn("hs", Text.shingleHashesOnce)
     val afterExact = withSig.join(hashes, Seq("h"), "left_anti")
     val gated = (0 until 4).foldLeft(afterExact) { (df, b) =>
       df.withColumn("sig", Text.bandSigCol(b))
@@ -211,7 +211,7 @@ object TextStreams {
     stream
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .withColumn("hs", Text.shingleHashes)
+      .withColumn("hs", Text.shingleHashesOnce)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("bs.sig").as("sig"), col("bs.band").as("band"), col("doc_id"))
       .as[(String, Int, Long)]
@@ -240,8 +240,20 @@ object TextStreams {
     * emits a verdict for EVERY input row, owned or not — the shape the
     * ADMIT reduction needs, where silence cannot stand in for
     * admission.
+    *
+    * `lean` keeps the reduction's contract at a quarter of the
+    * emission: every doc still proves presence with exactly one
+    * guaranteed row — its band-0 verdict (every banded doc has a band
+    * 0) or its doc-unique short key (band −1) — while bands 1..3 emit
+    * only NON-OWNER verdicts (the rows that can flip an admit
+    * decision). [[admittedOf]] is emission-shape-agnostic (admit iff no
+    * row shows an earlier owner), so lean and total reduce to the SAME
+    * admit set (spec-pinned); per-batch doc accounting (distinct docId)
+    * also survives, because presence is still total per doc. Measured
+    * at sf1 the total shape's 4×/doc emission is the dominant admit
+    * cost — see STREAM_SCALING.md's admit cost table.
     */
-  class BandVerdictProcessor(ttl: TTLConfig)
+  class BandVerdictProcessor(ttl: TTLConfig, lean: Boolean = false)
       extends StatefulProcessor[String, (String, Int, Long), BandVerdict] {
     @transient private var owner: ValueState[Long] = _
 
@@ -255,7 +267,8 @@ object TextStreams {
       val out = Seq.newBuilder[BandVerdict]
       sorted.foreach { case (_, band, doc) =>
         if (own < 0L) { own = doc; owner.update(doc) }
-        out += BandVerdict(doc, band, own)
+        if (!lean || band <= 0 || doc != own)
+          out += BandVerdict(doc, band, own)
       }
       out.result().iterator
     }
@@ -286,7 +299,7 @@ object TextStreams {
     * `processAllAvailable`.
     */
   def streamingNearDupAdmit(spark: SparkSession, stream: DataFrame,
-      ttl: TTLConfig = TTLConfig.NONE): Dataset[BandVerdict] = {
+      ttl: TTLConfig = TTLConfig.NONE, lean: Boolean = false): Dataset[BandVerdict] = {
     import spark.implicits._
     import graft.operators.Text
     val bandStructs = (0 until 4).map { b =>
@@ -294,7 +307,7 @@ object TextStreams {
     }
     stream
       .withColumn("w", split(col("text"), " "))
-      .withColumn("hs", when(size(col("w")) >= 3, Text.shingleHashes))
+      .withColumn("hs", Text.shingleHashesOnce)
       .withColumn("bs",
         when(size(col("w")) >= 3, array(bandStructs: _*))
           .otherwise(array(struct(lit(-1).as("band"),
@@ -303,7 +316,7 @@ object TextStreams {
       .select(col("b.sig").as("sig"), col("b.band").as("band"), col("doc_id"))
       .as[(String, Int, Long)]
       .groupByKey { case (sig, band, _) => s"$band|$sig" }
-      .transformWithState(new BandVerdictProcessor(ttl),
+      .transformWithState(new BandVerdictProcessor(ttl, lean),
         if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
         OutputMode.Append())
   }

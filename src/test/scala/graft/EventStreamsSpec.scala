@@ -355,6 +355,44 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("LEAN admit emission reduces to the same admit set as the total " +
+      "shape, at under half the verdict rows") {
+    withRocksDb {
+      import spark.implicits._
+      // TTLConfig.NONE keeps the run deterministic (a TTL'd horizon
+      // evicts on the wall clock, so two pacing-different runs can admit
+      // differently — that's TTL timing, not emission shape)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .as[(Long, String)].collect()
+      def run(lean: Boolean, name: String): (Set[Long], Long, Set[Long]) = {
+        val mem = MemoryStream[(Long, String)](spark)
+        val q = TextStreams.streamingNearDupAdmit(
+          spark, mem.toDF().toDF("doc_id", "text"), lean = lean)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+        try {
+          docs.grouped(math.max(1, docs.length / 3)).foreach { slice =>
+            mem.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+          val out = spark.table(name)
+          (TextStreams.admittedOf(out).as[Long].collect().toSet,
+            out.count(),
+            out.select(col("docId")).distinct().as[Long].collect().toSet)
+        } finally q.stop()
+      }
+      val (admitTotal, rowsTotal, docsTotal) = run(lean = false, "lean_a")
+      val (admitLean, rowsLean, docsLean) = run(lean = true, "lean_b")
+      assert(admitLean === admitTotal, "emission shape changed the admit set")
+      // presence stays total per doc: the per-batch doc accounting the
+      // ingest loop derives from DISTINCT docId is shape-invariant
+      assert(docsLean === docsTotal)
+      assert(rowsLean * 2 < rowsTotal,
+        s"lean should cut emission >2x (got $rowsLean vs $rowsTotal)")
+    }
+  }
+
   test("intra-stream LSH collisions: TTL'd ownership expires between Trigger.Once runs") {
     withRocksDb {
       import spark.implicits._

@@ -194,7 +194,7 @@ class IngestLoopSpec extends SparkSpec {
       StreamBench.sliceOrdered(docs, "doc_id", 6, cycDir)
       // incarnation 1: start, let at least two micro-batches commit,
       // then stop mid-replay
-      val (q, _, _) = IngestLoop.startCycleQuery(spark, idxRoot,
+      val (q, _, _, _) = IngestLoop.startCycleQuery(spark, idxRoot,
         s"$landRoot/cycle_0", cycDir, docs.schema, Some(ckpt))
       val deadline = System.currentTimeMillis() + 60000
       while (q.recentProgress.count(_.numInputRows > 0) < 2 &&
