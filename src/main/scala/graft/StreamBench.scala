@@ -455,6 +455,18 @@ object StreamBench {
       totalRows, nSlices,
       () => try spark.read.parquet(sessionsOut).count() catch { case _: Throwable => 0L })
 
+    // stage 4': the stream-stream range join (q149's streaming twin) —
+    // both sides of the no-equi-key temporal join read the SAME events
+    // replay; the time-bucket fanout (err side probes b−1/b/b+1) gives
+    // the symmetric hash join its equi-key, and the 10 s watermark plus
+    // the ±60 s range condition bound BOTH sides' buffered state to the
+    // horizon — expect rows_max to plateau and removed > 0 as the
+    // watermark advances across micro-batches (horizon-bounded, not
+    // input-tracking).
+    val (nearby, _, _) = stage(spark, "nearby_pairs",
+      streaming.EventStreams.nearbyPairs(eventsStream),
+      OutputMode.Append, totalRows)
+
     // stage 5: intra-stream LSH near-dup collisions — per-band-signature
     // first-arrival ownership in the state store. Un-TTL'd here (a TTL'd
     // run needs processing-time triggers, which never go idle under
@@ -1054,7 +1066,7 @@ object StreamBench {
     val stealS = if (steal0 < 0 || steal1 < 0) "-1" else fmt(steal1 - steal0)
     val line = s"""{"metric":"stream_bench","unit":"rows/sec",""" +
       s""""slices":$nSlices,"changelog_ckpt":$changelog,""" +
-      s"""$tumbling,$replaySrc,$paced50,$paced90,$pacedOver,$gate,$pacedGate,$assign,$sessions,""" +
+      s"""$tumbling,$replaySrc,$paced50,$paced90,$pacedOver,$gate,$pacedGate,$assign,$sessions,$nearby,""" +
       s"""$lsh,$lshTtl,$admit,$pacedAdmit,$compaction,$dedupService,""" +
       s"""$hllLive,$cmLive,$ingestLoop,$blobGate,$audit,$standing,""" +
       s""""load":{"start":${fmt(load0, 2)},"end":${fmt(load1, 2)},"cpus":$cpus,"steal_s":$stealS},""" +

@@ -164,6 +164,30 @@ class StreamingPlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream range join (q149 twin): one symmetric hash join " +
+      "on the bucket equi-key, no cross join") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    mem.addData(Seq(
+      (1L, "error", ts0),
+      (2L, "click", java.sql.Timestamp.from(
+        java.time.Instant.parse("2025-08-03T13:00:30Z")))))
+    val plan = executedPlan(
+      EventStreams.nearbyPairs(
+        mem.toDF().toDF("event_id", "event_type", "ts"))
+        .writeStream.format("memory").queryName("audit_nearby")
+        .outputMode(OutputMode.Append).start())
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the time-bucket fanout must give the join an equi-key:\n$plan")
+    // exactly ONE stateful stream-stream join; the ±60 s range predicate
+    // rides it as a post-join condition, never a second state operator
+    assert(countOf(plan, "StreamingSymmetricHashJoin") === 1, plan)
+    assert(!plan.contains("TransformWithState") &&
+      !plan.contains("StateStoreSave"),
+      s"no accidental extra state operator:\n$plan")
+  }
+
   test("composed ingest chain (gate → admit): broadcast-only anti-joins " +
       "feeding exactly ONE transformWithState") {
     withRocksDb {
