@@ -52,7 +52,16 @@ object Bench {
     // one stall and reported 34.5 s for a query that measures 4.7 s in
     // isolation — min-of-2 can't help when both samples are adjacent.
     // A query that throws is reported as -1, never as a fast timing.
+    // SPARK_GRAFT_BENCH_ONLY=q106,q107,... — rehearsal subset for scale
+    // decades where a full 150-query sweep is wasteful (the sf10
+    // appendix runs ~15 queries). Matches the short qNN prefix. The
+    // artifact keeps the same shape; scaling.py's appendix mode joins it
+    // against a full lower-SF artifact, iterating the SUBSET's keys.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
+    require(names.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY matched no queries: $only")
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }

@@ -745,46 +745,7 @@ object StreamBench {
     // register over the stream's lifetime). After the full replay each
     // group's hllEstimate must EQUAL the oracle-checked batch q134
     // n_hll — groups_match counts that equality.
-    val hllLive = {
-      val docsAll = docs.select(col("doc_id"), col("lang"), col("text"))
-      val nDocs = docsAll.count()
-      sliceOrdered(docsAll, "doc_id", nSlices, s"$base/docs_all")
-      val dstream = spark.readStream.schema(docsAll.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/docs_all")
-      val toks = dstream.select(lit("token").as("domain"), col("lang"),
-        explode(split(col("text"), " ")).as("item"))
-      val shing = dstream
-        .select(col("lang"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(lit("shingle").as("domain"), col("lang"),
-          explode(array_distinct(expr(
-            "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
-          ))).as("item"))
-      val items = toks.unionAll(shing)
-        .select(concat_ws("|", col("domain"), col("lang")), col("item"))
-        .as[(String, String)]
-      val t0 = System.nanoTime()
-      val q = streaming.TextStreams.streamingHllBy(spark, items)
-        .toDF("grp", "bucket", "r")
-        .writeStream.format("memory").queryName("hll_live")
-        .outputMode(OutputMode.Update).start()
-      q.processAllAvailable()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val progress = q.recentProgress.toSeq
-      q.stop()
-      val regs = spark.table("hll_live").as[(String, Long, Int)].collect()
-      val est = regs.groupBy(_._1).view.mapValues(rs =>
-        streaming.TextStreams.hllEstimate(rs.map(t => (t._2, t._3)))).toMap
-      val batch = SparkEntry.queries("q134_hll_distinct")(spark, sfDir)
-        .select(concat_ws("|", col("domain"), col("lang")).as("g"),
-          col("n_hll"))
-        .as[(String, Long)].collect().toMap
-      val matches = batch.count { case (g, n) => est.get(g).contains(n) }
-      // in_rows: both stream branches scan the doc replay → 2x docs
-      s""""hll_live":{${progressJson(progress, 2 * nDocs, regs.length.toLong, wall)},""" +
-        s""""groups":${batch.size},"groups_match":$matches,""" +
-        s""""state_rows_bound":${256L * batch.size}}"""
-    }
+    val hllLive = hllLiveStage(spark, sfDir, base, nSlices)
 
     // stage 5a''''''b: the live count-min frequency sketch —
     // streamingCountMin maintains the q90 d×w cell table incrementally
@@ -794,42 +755,7 @@ object StreamBench {
     // do. After the full replay, every vocabulary term's
     // min-over-hash-rows estimate read from the live cells must EQUAL
     // the oracle-checked batch q90 estimate (terms_match == vocab).
-    val cmLive = {
-      val w = operators.Text.CountMinWidth
-      val docsAll = docs.select(col("doc_id"), col("text"))
-      val nToks = docsAll.select(explode(split(col("text"), " "))).count()
-      sliceOrdered(docsAll, "doc_id", nSlices, s"$base/docs_cm")
-      val dstream = spark.readStream.schema(docsAll.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/docs_cm")
-      val terms = dstream
-        .select(explode(split(col("text"), " ")).as("t")).as[String]
-      val t0 = System.nanoTime()
-      val q = streaming.TextStreams.streamingCountMin(spark, terms)
-        .toDF("cell", "csum")
-        .writeStream.format("memory").queryName("cm_live")
-        .outputMode(OutputMode.Update).start()
-      q.processAllAvailable()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val progress = q.recentProgress.toSeq
-      q.stop()
-      // cell sums are monotone, so the max emission per cell is the
-      // final cell value — no snapshot read of the state store needed
-      val cells = spark.table("cm_live").as[(Long, Long)].collect()
-        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-      val batch = SparkEntry.queries("q90_countmin")(spark, sfDir)
-        .select(col("term"), col("est")).as[(String, Long)].collect().toMap
-      val matches = batch.count { case (term, est) =>
-        val live = (0 until 4).map { j =>
-          cells.getOrElse(
-            j.toLong * w + streaming.TextStreams.hash60(s"$term#$j") % w, 0L)
-        }.min
-        live == est
-      }
-      val emissions = spark.table("cm_live").count()
-      s""""countmin_live":{${progressJson(progress, nToks, emissions, wall)},""" +
-        s""""vocab":${batch.size},"terms_match":$matches,""" +
-        s""""state_rows_bound":${4L * w}}"""
-    }
+    val cmLive = cmLiveStage(spark, sfDir, base, nSlices)
 
     // stage 5a''''''': the COMPOSED INGEST LOOP — gate → admit →
     // exactly-once landing → minor compaction, repeated over three
@@ -1078,5 +1004,101 @@ object StreamBench {
       System.err.println(s"[stream_bench] spark.stop failed: ${e.getMessage}")
     }
     println(line)
+  }
+
+  /** The bounded-state sketch stages, shared between the full
+    * [[main]] sweep and `graft.tools.SketchScaleBench` (the sf10
+    * rehearsal runs ONLY these two — the corpus-size-INDEPENDENT state
+    * bounds are the claims a new decade can falsify cheaply).
+    */
+  private[graft] def hllLiveStage(spark: SparkSession, sfDir: String,
+      base: String, nSlices: Int): String = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    locally {
+      val docsAll = docs.select(col("doc_id"), col("lang"), col("text"))
+      val nDocs = docsAll.count()
+      sliceOrdered(docsAll, "doc_id", nSlices, s"$base/docs_all")
+      val dstream = spark.readStream.schema(docsAll.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/docs_all")
+      val toks = dstream.select(lit("token").as("domain"), col("lang"),
+        explode(split(col("text"), " ")).as("item"))
+      val shing = dstream
+        .select(col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(lit("shingle").as("domain"), col("lang"),
+          explode(array_distinct(expr(
+            "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+          ))).as("item"))
+      val items = toks.unionAll(shing)
+        .select(concat_ws("|", col("domain"), col("lang")), col("item"))
+        .as[(String, String)]
+      val t0 = System.nanoTime()
+      val q = streaming.TextStreams.streamingHllBy(spark, items)
+        .toDF("grp", "bucket", "r")
+        .writeStream.format("memory").queryName("hll_live")
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      val regs = spark.table("hll_live").as[(String, Long, Int)].collect()
+      val est = regs.groupBy(_._1).view.mapValues(rs =>
+        streaming.TextStreams.hllEstimate(rs.map(t => (t._2, t._3)))).toMap
+      val batch = SparkEntry.queries("q134_hll_distinct")(spark, sfDir)
+        .select(concat_ws("|", col("domain"), col("lang")).as("g"),
+          col("n_hll"))
+        .as[(String, Long)].collect().toMap
+      val matches = batch.count { case (g, n) => est.get(g).contains(n) }
+      // in_rows: both stream branches scan the doc replay → 2x docs
+      s""""hll_live":{${progressJson(progress, 2 * nDocs, regs.length.toLong, wall)},""" +
+        s""""groups":${batch.size},"groups_match":$matches,""" +
+        s""""state_rows_bound":${256L * batch.size}}"""
+    }
+  }
+
+  /** See [[hllLiveStage]] — the count-min twin (4×w cells, the
+    * corpus-size-independent bound).
+    */
+  private[graft] def cmLiveStage(spark: SparkSession, sfDir: String,
+      base: String, nSlices: Int): String = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    locally {
+      val w = operators.Text.CountMinWidth
+      val docsAll = docs.select(col("doc_id"), col("text"))
+      val nToks = docsAll.select(explode(split(col("text"), " "))).count()
+      sliceOrdered(docsAll, "doc_id", nSlices, s"$base/docs_cm")
+      val dstream = spark.readStream.schema(docsAll.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/docs_cm")
+      val terms = dstream
+        .select(explode(split(col("text"), " ")).as("t")).as[String]
+      val t0 = System.nanoTime()
+      val q = streaming.TextStreams.streamingCountMin(spark, terms)
+        .toDF("cell", "csum")
+        .writeStream.format("memory").queryName("cm_live")
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      // cell sums are monotone, so the max emission per cell is the
+      // final cell value — no snapshot read of the state store needed
+      val cells = spark.table("cm_live").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val batch = SparkEntry.queries("q90_countmin")(spark, sfDir)
+        .select(col("term"), col("est")).as[(String, Long)].collect().toMap
+      val matches = batch.count { case (term, est) =>
+        val live = (0 until 4).map { j =>
+          cells.getOrElse(
+            j.toLong * w + streaming.TextStreams.hash60(s"$term#$j") % w, 0L)
+        }.min
+        live == est
+      }
+      val emissions = spark.table("cm_live").count()
+      s""""countmin_live":{${progressJson(progress, nToks, emissions, wall)},""" +
+        s""""vocab":${batch.size},"terms_match":$matches,""" +
+        s""""state_rows_bound":${4L * w}}"""
+    }
   }
 }

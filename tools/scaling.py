@@ -10,8 +10,14 @@ Slope reads as the empirical scaling exponent over a 10x data step:
 the floor seconds at the larger SF of a step are skipped for that
 step's slope (overhead noise, not data-driven signal).
 
-Usage: scaling.py out.md [--note TEXT] sf1:bench_full_1.json ...
+Usage: scaling.py out.md [--append TITLE] [--note TEXT] sf1:bench_full_1.json ...
 (sf values are the numeric scale factors, ascending order not required)
+
+--append TITLE appends a "## TITLE" section to out.md instead of
+rewriting it — the sf10 rehearsal appendix: a SUBSET bench artifact
+(SPARK_GRAFT_BENCH_ONLY) at the biggest SF joined against full
+lower-SF artifacts; rows iterate the LARGEST SF's query set, so the
+table carries exactly the rehearsed subset.
 """
 import json, math, sys
 
@@ -22,6 +28,10 @@ def main():
     out_path = sys.argv[1]
     args = sys.argv[2:]
     note = None
+    append_title = None
+    if args and args[0] == "--append":
+        append_title = args[1]
+        args = args[2:]
     if args and args[0] == "--note":
         note = args[1]
         args = args[2:]
@@ -57,17 +67,20 @@ def main():
     med = sorted(s for _, s in sloped)[len(sloped) // 2] if sloped else None
 
     step_names = [f"slope {sfs[lo]}→{sfs[hi]}" for lo, hi in steps]
-    with open(out_path, "w") as f:
+    with open(out_path, "a" if append_title else "w") as f:
         w = f.write
-        w("# SCALING — measured warm-time scaling across scale factors\n\n")
-        w("Warm per-query seconds from `graft.Bench` (pass 2, stages "
-          "landed), plus the\nempirical scaling exponent "
-          "slope = log(t_hi/t_lo) / log(sf_hi/sf_lo) over each of the\n"
-          "two largest 10x data steps. ~1.0 = linear in data size; "
-          f"queries under {FLOOR_SEC}s at a\nstep's larger SF are "
-          "excluded from that slope (fixed per-query overhead, not\n"
-          "data-driven signal). Flags read the TOP step — the largest "
-          "measured scale.\n\n")
+        if append_title:
+            w(f"\n## {append_title}\n\n")
+        else:
+            w("# SCALING — measured warm-time scaling across scale factors\n\n")
+            w("Warm per-query seconds from `graft.Bench` (pass 2, stages "
+              "landed), plus the\nempirical scaling exponent "
+              "slope = log(t_hi/t_lo) / log(sf_hi/sf_lo) over each of the\n"
+              "two largest 10x data steps. ~1.0 = linear in data size; "
+              f"queries under {FLOOR_SEC}s at a\nstep's larger SF are "
+              "excluded from that slope (fixed per-query overhead, not\n"
+              "data-driven signal). Flags read the TOP step — the largest "
+              "measured scale.\n\n")
         if note:
             w(note + "\n\n")
         w(f"- queries with a measurable top-step slope: {len(sloped)}\n")
@@ -82,7 +95,11 @@ def main():
             tcells = " | ".join("-" if t is None else f"{t:.2f}" for t in times)
             scells = " | ".join("-" if s is None else f"{s:.2f}" for s in slopes)
             w(f"| {q} | {tcells} | {scells} |\n")
-        tot = [sum(v for v in r[1].values()) for r in runs]
+        # total over the LARGEST SF's query set only — in append mode the
+        # lower-SF artifacts are full sweeps and summing them whole would
+        # compare a 150-query total against the rehearsed subset
+        qset = set(runs[-1][1])
+        tot = [sum(v for q, v in r[1].items() if q in qset) for r in runs]
         tots = " | ".join(
             f"{math.log(tot[hi]/tot[lo])/math.log(sfs[hi]/sfs[lo]):.2f}"
             for lo, hi in steps)

@@ -39,8 +39,17 @@ def main():
         with open(path) as f:
             runs.append((float(sf), json.load(f)))
     runs.sort()
-    stages = [k for k, v in runs[-1][1].items()
-              if isinstance(v, dict) and "rows_per_sec" in v]
+
+    # stage lists come from the artifact with the MOST stages, not the
+    # largest SF: the sf10 rehearsal artifact (tools.SketchScaleBench)
+    # carries only the two bounded sketch stages — it joins as an extra
+    # column of those sections, it must not collapse the others
+    def stage_keys(d, marker):
+        return [k for k, v in d.items()
+                if isinstance(v, dict) and marker in v]
+    richest = max((r[1] for r in runs),
+                  key=lambda d: len(stage_keys(d, "rows_per_sec")))
+    stages = stage_keys(richest, "rows_per_sec")
 
     lines = [
         "# STREAM SCALING — state and throughput across scale factors",
@@ -106,8 +115,9 @@ def main():
 
     # paced-latency stages: the SLO view (latency at an offered rate),
     # not a throughput view — separate table shape
-    paced = [k for k, v in runs[-1][1].items()
-             if isinstance(v, dict) and "e2e_ms" in v]
+    paced = stage_keys(
+        max((r[1] for r in runs),
+            key=lambda d: len(stage_keys(d, "e2e_ms"))), "e2e_ms")
     if paced:
         lines.append("## latency at offered rate (paced replay)")
         lines.append("")
