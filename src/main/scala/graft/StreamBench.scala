@@ -137,6 +137,12 @@ object StreamBench {
     val outRows = spark.table(name).count()
     val progress = q.recentProgress.toSeq
     q.stop()
+    // free the sink: a memory sink holds EVERY emitted row on the
+    // driver for the JVM's lifetime — nearby_pairs emits 9.3M rows at
+    // sf1, and carrying them degrades every later ProcessingTime-paced
+    // stage through GC pauses (observed: lsh_dedup_ttl 13 → 64 s wall
+    // with the sink retained, same code)
+    spark.catalog.dropTempView(name)
     (s""""$name":{${progressJson(progress, inRows, outRows, wall)}}""",
       wall, progress)
   }
@@ -404,6 +410,7 @@ object StreamBench {
         .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
         .outputMode(OutputMode.Append).start()
       val (progress, wall) = runPaced(q, gateIn, 0L)
+      spark.catalog.dropTempView("paced_gate")
       s""""paced_gate":{"offered_rps":${fmt(rps)},""" +
         pacedStats(progress, intervalMs, nSlices.toLong, wall)
     }
@@ -455,18 +462,6 @@ object StreamBench {
       totalRows, nSlices,
       () => try spark.read.parquet(sessionsOut).count() catch { case _: Throwable => 0L })
 
-    // stage 4': the stream-stream range join (q149's streaming twin) —
-    // both sides of the no-equi-key temporal join read the SAME events
-    // replay; the time-bucket fanout (err side probes b−1/b/b+1) gives
-    // the symmetric hash join its equi-key, and the 10 s watermark plus
-    // the ±60 s range condition bound BOTH sides' buffered state to the
-    // horizon — expect rows_max to plateau and removed > 0 as the
-    // watermark advances across micro-batches (horizon-bounded, not
-    // input-tracking).
-    val (nearby, _, _) = stage(spark, "nearby_pairs",
-      streaming.EventStreams.nearbyPairs(eventsStream),
-      OutputMode.Append, totalRows)
-
     // stage 5: intra-stream LSH near-dup collisions — per-band-signature
     // first-arrival ownership in the state store. Un-TTL'd here (a TTL'd
     // run needs processing-time triggers, which never go idle under
@@ -507,6 +502,7 @@ object StreamBench {
         .outputMode(OutputMode.Append).start()
       val (progress, drainWall) = runPaced(q, gateIn, settleMs = 2 * ttlMs + 1500)
       val outRows = spark.table("lsh_ttl").count()
+      spark.catalog.dropTempView("lsh_ttl")
       s""""lsh_dedup_ttl":{${progressJson(progress, gateIn, outRows, drainWall)},""" +
         s""""ttl_ms":$ttlMs}"""
     }
@@ -530,6 +526,7 @@ object StreamBench {
       val verdicts = spark.table("admit_ttl")
       val outRows = verdicts.count()
       val admitted = streaming.TextStreams.admittedOf(verdicts).count()
+      spark.catalog.dropTempView("admit_ttl")
       (s""""admit":{${progressJson(progress, gateIn, outRows, drainWall)},""" +
         s""""admitted":$admitted,"ttl_ms":$ttlMs}""", progress)
     }
@@ -552,6 +549,7 @@ object StreamBench {
         .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
         .outputMode(OutputMode.Append).start()
       val (progress, wall) = runPaced(q, gateIn, 0L)
+      spark.catalog.dropTempView("paced_admit")
       s""""paced_admit":{"offered_rps":${fmt(rps)},""" +
         pacedStats(progress, intervalMs, nSlices.toLong, wall)
     }
@@ -607,6 +605,7 @@ object StreamBench {
       val gWall = (System.nanoTime() - t2) / 1e9
       val gProg = qg.recentProgress.toSeq
       qg.stop()
+      Seq("lshc_p1", "lshc_gate").foreach(spark.catalog.dropTempView)
       val q2 = streaming.TextStreams.streamingLshCollisions(spark,
           str(s"$base/docs_p2").select(col("doc_id"), col("text")))
         .toDF().writeStream.format("memory").queryName("lshc_p2")
@@ -614,6 +613,7 @@ object StreamBench {
       q2.processAllAvailable()
       val rowsAfter = lastStateRows(q2)
       q2.stop()
+      spark.catalog.dropTempView("lshc_p2")
       // MAJOR compaction: fold the delta-epoch segments into one.
       // Measured here because its cost is what bounds how often a
       // deployment can afford to re-base the gate's union-read; the
@@ -698,6 +698,7 @@ object StreamBench {
         gq.processAllAvailable()
         val admitted = spark.table(s"svc_gate_$c").count()
         gq.stop()
+        spark.catalog.dropTempView(s"svc_gate_$c")
         fed += nPh
         val deadline = System.currentTimeMillis() + 120000
         while (collQ.isActive && recorder.admitted(collQ.runId) < fed &&
@@ -736,6 +737,7 @@ object StreamBench {
           s""""epochs_after":$epochsAfter}"""
       }
       collQ.stop()
+      spark.catalog.dropTempView("svc_coll")
       s""""dedup_service":{"ttl_ms":$ttlMs,"cycles":[${cycleJsons.mkString(",")}]}"""
     }
 
@@ -896,6 +898,7 @@ object StreamBench {
         .trigger(Trigger.ProcessingTime(s"$interval milliseconds"))
         .outputMode(OutputMode.Complete).start()
       val (progress, wall) = runPaced(q, activityRows.length.toLong, 0L)
+      spark.catalog.dropTempView(s"paced_$tag")
       val expected = math.ceil(activityRows.length.toDouble / perBatch).toLong
       s""""paced_$tag":{"offered_rps":${fmt(rps)},""" +
         pacedStats(progress, interval, expected, wall)
@@ -983,6 +986,24 @@ object StreamBench {
         .outputMode(OutputMode.Append).start(),
       gateIn, nSlices,
       () => try spark.read.parquet(standingOut).count() catch { case _: Throwable => 0L })
+
+    // stage LAST: the stream-stream range join (q149's streaming twin)
+    // — both sides of the no-equi-key temporal join read the SAME
+    // events replay; the time-bucket fanout (err side probes b−1/b/b+1)
+    // gives the symmetric hash join its equi-key, and the 10 s
+    // watermark plus the ±60 s range condition bound BOTH sides'
+    // buffered state to the horizon — expect rows_max to plateau and
+    // removed > 0 as the watermark advances across micro-batches
+    // (horizon-bounded, not input-tracking). Runs LAST deliberately:
+    // the join holds 4 state stores × 32 partitions, and at sf1 the
+    // loaded RocksDB providers linger past q.stop() until store
+    // maintenance unloads them — run mid-sweep they inflate the
+    // following stateful stages' batch times ~2x (measured: lsh_dedup
+    // 16 → 40 s wall when this stage preceded it).
+    val (nearby, _, _) = stage(spark, "nearby_pairs",
+      streaming.EventStreams.nearbyPairs(eventsStream),
+      OutputMode.Append, totalRows)
+
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
     spark.conf.unset(
@@ -1043,6 +1064,7 @@ object StreamBench {
       val progress = q.recentProgress.toSeq
       q.stop()
       val regs = spark.table("hll_live").as[(String, Long, Int)].collect()
+      spark.catalog.dropTempView("hll_live")
       val est = regs.groupBy(_._1).view.mapValues(rs =>
         streaming.TextStreams.hllEstimate(rs.map(t => (t._2, t._3)))).toMap
       val batch = SparkEntry.queries("q134_hll_distinct")(spark, sfDir)
@@ -1096,6 +1118,7 @@ object StreamBench {
         live == est
       }
       val emissions = spark.table("cm_live").count()
+      spark.catalog.dropTempView("cm_live")
       s""""countmin_live":{${progressJson(progress, nToks, emissions, wall)},""" +
         s""""vocab":${batch.size},"terms_match":$matches,""" +
         s""""state_rows_bound":${4L * w}}"""

@@ -211,7 +211,13 @@ object TextStreams {
     stream
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .withColumn("hs", Text.shingleHashesOnce)
+      // plain hs, NO Generate barrier: unlike the admit path (whose
+      // conditional band array defeats codegen subexpression
+      // elimination — see Text.shingleHashesOnce), this unconditional
+      // explode keeps the 8 minhash references CSE'd; A/B measured on
+      // the sf1 replay (tools.TtlShapeProbe): plain 14.8 s vs barrier
+      // 17.1 s — the barrier's extra Generate is pure overhead here
+      .withColumn("hs", Text.shingleHashes)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("bs.sig").as("sig"), col("bs.band").as("band"), col("doc_id"))
       .as[(String, Int, Long)]
