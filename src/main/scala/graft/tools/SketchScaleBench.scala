@@ -32,6 +32,11 @@ object SketchScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     val base = "/tmp/graft_sketchscale"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // transformWithState needs column families → RocksDB provider (the
+    // same setup StreamBench.main applies before its stateful stages)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     val hll = StreamBench.hllLiveStage(spark, sfDir, base, nSlices)
     val cm = StreamBench.cmLiveStage(spark, sfDir, base, nSlices)
     val line = s"""{"metric":"sketch_scale","slices":$nSlices,""" +

@@ -99,7 +99,8 @@ def main():
         # lower-SF artifacts are full sweeps and summing them whole would
         # compare a 150-query total against the rehearsed subset
         qset = set(runs[-1][1])
-        tot = [sum(v for q, v in r[1].items() if q in qset) for r in runs]
+        tot = [sum(v for q, v in r[1].items() if q in qset and v >= 0)
+               for r in runs]
         tots = " | ".join(
             f"{math.log(tot[hi]/tot[lo])/math.log(sfs[hi]/sfs[lo]):.2f}"
             for lo, hi in steps)
