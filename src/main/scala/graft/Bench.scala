@@ -59,9 +59,12 @@ object Bench {
     // against a full lower-SF artifact, iterating the SUBSET's keys.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // accept either the short qNN prefix or the full registry name
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
-    require(names.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY matched no queries: $only")
+      .filter(n => only.forall(o =>
+        o.contains(n.takeWhile(_ != '_')) || o.contains(n)))
+    require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no queries: " +
+      only.map(_.mkString(",")).getOrElse(""))
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }

@@ -365,6 +365,12 @@ object StreamBench {
       .withColumn("eventTime",
         timestamp_seconds(lit(1735689600L) + col("doc_id")))
     val gateIn = arrivalsBatch.count()
+    // ONE lake-wide banding for every LSH stage (the corpus-derived
+    // serving construction batch q35/q123 use on this dir): gates,
+    // intra-stream twins and index inits share it, or their drop sets
+    // would diverge from the batch rule once the derivation engages
+    // (sf1+ rehearsal corpora; every driver SF stays at the default)
+    val lakeBanding = operators.Text.bandingOf(spark, sfDir)
     sliceOrdered(arrivalsBatch, "doc_id", nSlices, s"$base/docs")
     def arrivals = spark.readStream.schema(arrivalsBatch.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/docs")
@@ -392,7 +398,8 @@ object StreamBench {
     // bench run after a verify run pays a parquet scan, not a
     // shingle-pipeline derivation — the gate-restart contract)
     val (gate, _, gateProg) = stage(spark, "gate",
-      streaming.TextStreams.nearDupGateLanded(spark, arrivals, sfDir),
+      streaming.TextStreams.nearDupGateLanded(spark, arrivals, sfDir,
+        banding = lakeBanding),
       OutputMode.Append, gateIn)
 
     // stage 2': the SLO view of the DEDUP SERVICE itself — the near-dup
@@ -405,7 +412,8 @@ object StreamBench {
     val pacedGate = {
       val intervalMs = fitIntervalMs(batchP50Ms(gateProg))
       val rps = (gateIn.toDouble / nSlices) / (intervalMs / 1000.0)
-      val q = streaming.TextStreams.nearDupGateLanded(spark, arrivals, sfDir)
+      val q = streaming.TextStreams.nearDupGateLanded(spark, arrivals, sfDir,
+        banding = lakeBanding)
         .writeStream.format("memory").queryName("paced_gate")
         .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
         .outputMode(OutputMode.Append).start()
@@ -475,7 +483,7 @@ object StreamBench {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lshOut))
     val lsh = killRestoreStage(spark, "lsh_dedup",
       ckpt => streaming.TextStreams.streamingLshCollisions(spark,
-        arrivals.select(col("doc_id"), col("text")))
+        arrivals.select(col("doc_id"), col("text")), banding = lakeBanding)
         .toDF().writeStream.format("parquet")
         .option("path", lshOut)
         .option("checkpointLocation", ckpt)
@@ -496,7 +504,7 @@ object StreamBench {
     val lshTtl = {
       val q = streaming.TextStreams.streamingLshCollisions(spark,
           arrivals.select(col("doc_id"), col("text")),
-          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)), banding = lakeBanding)
         .toDF().writeStream.format("memory").queryName("lsh_ttl")
         .trigger(Trigger.ProcessingTime("500 milliseconds"))
         .outputMode(OutputMode.Append).start()
@@ -518,7 +526,8 @@ object StreamBench {
     val (admit, admitProg) = {
       val q = streaming.TextStreams.streamingNearDupAdmit(spark,
           arrivals.select(col("doc_id"), col("text")),
-          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)),
+          banding = lakeBanding)
         .toDF().writeStream.format("memory").queryName("admit_ttl")
         .trigger(Trigger.ProcessingTime("500 milliseconds"))
         .outputMode(OutputMode.Append).start()
@@ -544,7 +553,8 @@ object StreamBench {
       val rps = (gateIn.toDouble / nSlices) / (intervalMs / 1000.0)
       val q = streaming.TextStreams.streamingNearDupAdmit(spark,
           arrivals.select(col("doc_id"), col("text")),
-          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)),
+          banding = lakeBanding)
         .toDF().writeStream.format("memory").queryName("paced_admit")
         .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
         .outputMode(OutputMode.Append).start()
@@ -578,7 +588,8 @@ object StreamBench {
         .option("maxFilesPerTrigger", "1").parquet(path)
       // phase 1: ownership accretes over the phase-1 replay
       val q1 = streaming.TextStreams.streamingLshCollisions(spark,
-          str(s"$base/docs_p1").select(col("doc_id"), col("text")))
+          str(s"$base/docs_p1").select(col("doc_id"), col("text")),
+          banding = lakeBanding)
         .toDF().writeStream.format("memory").queryName("lshc_p1")
         .outputMode(OutputMode.Append).start()
       q1.processAllAvailable()
@@ -590,7 +601,7 @@ object StreamBench {
       // epoch-0 init is the one-time O(corpus) base build — keep it
       // OUTSIDE the timed section so compact_s measures what the
       // per-interval job actually costs: the O(new docs) delta
-      IndexCompaction.init(spark, idxRoot, corpus)
+      IndexCompaction.init(spark, idxRoot, corpus, banding = lakeBanding)
       val tC = System.nanoTime()
       IndexCompaction.compact(spark, idxRoot,
         p1.select(col("doc_id"), col("text")))
@@ -607,7 +618,8 @@ object StreamBench {
       qg.stop()
       Seq("lshc_p1", "lshc_gate").foreach(spark.catalog.dropTempView)
       val q2 = streaming.TextStreams.streamingLshCollisions(spark,
-          str(s"$base/docs_p2").select(col("doc_id"), col("text")))
+          str(s"$base/docs_p2").select(col("doc_id"), col("text")),
+          banding = lakeBanding)
         .toDF().writeStream.format("memory").queryName("lshc_p2")
         .outputMode(OutputMode.Append).start()
       q2.processAllAvailable()
@@ -661,12 +673,12 @@ object StreamBench {
         arrivalsBatch.filter(col("doc_id") <= qs(0)),
         arrivalsBatch.filter(col("doc_id") > qs(0) && col("doc_id") <= qs(1)),
         arrivalsBatch.filter(col("doc_id") > qs(1)))
-      IndexCompaction.init(spark, idxRoot, corpus)
+      IndexCompaction.init(spark, idxRoot, corpus, banding = lakeBanding)
       val collQ = streaming.TextStreams.streamingLshCollisions(spark,
           spark.readStream.schema(arrivalsBatch.schema)
             .option("maxFilesPerTrigger", "1").parquet(svcRoot)
             .select(col("doc_id"), col("text")),
-          TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+          TTLConfig(java.time.Duration.ofMillis(ttlMs)), banding = lakeBanding)
         .toDF().writeStream.format("memory").queryName("svc_coll")
         .trigger(Trigger.ProcessingTime("500 milliseconds"))
         .outputMode(OutputMode.Append).start()
@@ -775,7 +787,8 @@ object StreamBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b2))
       val idxRoot = s"$b2/index"; val landRoot = s"$b2/landed"
       val docsAll = docs.select(col("doc_id"), col("text"))
-      IndexCompaction.init(spark, idxRoot, docsAll.filter(lit(false)))
+      IndexCompaction.init(spark, idxRoot, docsAll.filter(lit(false)),
+        banding = lakeBanding)
       val qsI = docsAll.stat
         .approxQuantile("doc_id", Array(1.0 / 3, 2.0 / 3), 0.001)
       val phases = Seq(
@@ -812,8 +825,9 @@ object StreamBench {
       val bridgeOnly =
         if (extras.isEmpty) true
         else {
+          val bd = operators.Text.bandingOf(spark, sfDir)
           val bands = operators.Text.mhBands(
-            operators.Text.minhashAgg(spark, sfDir))
+            operators.Text.minhashAgg(spark, sfDir, bd), bd)
           bands.as("a")
             .join(bands.as("b"),
               col("a.band") === col("b.band") &&

@@ -25,6 +25,46 @@ import graft.sources.Tables
   * band-signature equi-joins (shuffle on band key) instead of the
   * inverted-index join whose hot shingles explode quadratically.
   */
+/** Serving text-LSH banding construction: `bands` bands of `rows`
+  * seeded minhashes each — band `b` reads minhash indices
+  * `b*rows until (b+1)*rows` of the shared universal family
+  * ([[Text.mhA]]/[[Text.mhB]]), so `Banding(4, 2)` reproduces the
+  * reference-scale mh0..mh7 / 4×2 construction bit-for-bit (the
+  * driver-SF oracle pin). `Banding(0, 0)` is the derive-from-corpus
+  * sentinel, the `Vectors.resolveLsh` convention.
+  *
+  * The construction is a property of an INDEX, not of a batch: every
+  * consumer that must agree on a drop set (the batch pair pipeline,
+  * q123's arrival rule, the streaming gate/admit twins, the compaction
+  * index's epochs) takes the banding explicitly or derives it from the
+  * SAME corpus count, and [[graft.streaming.IndexCompaction]] pins it
+  * in the index manifest at creation so a lake that grows across the
+  * derivation threshold cannot silently split an index across two
+  * constructions.
+  */
+final case class Banding(bands: Int, rows: Int) {
+  require(bands > 0 && rows > 0 || bands == 0 && rows == 0,
+    s"invalid banding ($bands, $rows)")
+  def nMh: Int = bands * rows
+  def isAuto: Boolean = bands == 0
+  override def toString: String = s"${bands}x$rows"
+}
+
+object Banding {
+  /** The reference-scale 4-band × 2-minhash construction — what every
+    * driver SF derives to, and what all 150 oracle hashes pin.
+    */
+  val Default: Banding = Banding(4, 2)
+
+  /** Derive-from-corpus sentinel. */
+  val Auto: Banding = Banding(0, 0)
+
+  def parse(s: String): Banding = {
+    val Array(b, r) = s.trim.split("x")
+    Banding(b.toInt, r.toInt)
+  }
+}
+
 object Text {
 
   /** Deterministic 60-bit hash shared with the DuckDB oracle. */
@@ -299,12 +339,16 @@ object Text {
   }
 
   /** MinHash + banded LSH near-dup detection — the scale path.
-    * 8 min-hashes per doc (seeded [[hash60]] over distinct shingles),
-    * banded 4×2; docs sharing any band signature become candidate pairs
-    * (equi-join on the band key — shuffle-friendly, no quadratic blowup),
-    * then candidates are verified with exact Jaccard and filtered.
-    * Same final semantics as [[ngramJaccardPairs]] at high thresholds,
-    * with recall traded for scalability at low ones.
+    * `bands×rows` seeded min-hashes per doc ([[hash60]] over distinct
+    * shingles), banded by the corpus-derived construction
+    * ([[bandingOf]]: the reference-scale 4×2 at every driver SF,
+    * deeper-and-wider beyond — [[scaleRows]]/[[scaleBands]]); docs
+    * sharing any band signature become candidate pairs (equi-join on
+    * the band key — shuffle-friendly, no quadratic blowup), then
+    * candidates are verified with exact Jaccard (keyed per pair, see
+    * [[minhashLshPairsBuild]]) and filtered. Same final semantics as
+    * [[ngramJaccardPairs]] at high thresholds, with recall traded for
+    * scalability at low ones.
     */
   /** Universal-hash family for MinHash: one md5 per shingle, then
     * `h_j = (a_j * (h mod p) + b_j) mod p` with p < 2^30 so every product
@@ -315,6 +359,58 @@ object Text {
   private val P = 1073741789L
   private[graft] def mhA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % P
   private[graft] def mhB(j: Int): Long = (1103515245L * (j + 101) + 54321L) % P
+
+  /** Occupancy-targeted rows-per-band: one extra minhash row per
+    * QUADRUPLING of the corpus beyond `base` docs, floor 2 (the
+    * reference-scale pin — every driver SF is under 12.5k docs, so the
+    * 4×2 construction and all its oracle hashes are untouched; the
+    * derivation only engages at rehearsal scale). Sized from
+    * tools.LshOccupancyProbe on the GenCorpus decades: at 500k docs the
+    * fixed r=2 band self-join emits 1.03M pairs/band (n^1.9 — the q35
+    * sf10 DNF), r=5 emits 28k (~0.056/doc, at the ~4.75% true-dup
+    * floor, where extra depth buys nothing); at 50k docs r=3 already
+    * sits on the floor. One row per quadrupling lands exactly those
+    * depths ((4,2)→≤12.5k, (5,3)→50k, (7,5)→500k) and keeps the
+    * emission near the floor for the next decades; the cap (8) bounds
+    * the per-row streaming projection cost. Integer shift arithmetic,
+    * not float log — the threshold crossings are exact.
+    */
+  private[graft] def scaleRows(n: Long, base: Long = 12500L): Int = {
+    var r = 2
+    while ((base << (2 * (r - 2))) < n && r < 8) r += 1
+    r
+  }
+
+  /** Recall-compensating band count: one extra band per extra row over
+    * the reference-scale 2 — the modest bump ([[Vectors.scaleTables]]'
+    * discipline). Full compensation at the Jaccard-0.5 threshold would
+    * grow bands exponentially in rows and re-inflate the collision
+    * join; instead the q107 band-recall sweep — whose sampled cost no
+    * longer depends on the construction — measures what the derived
+    * depth actually recalls per corpus (on the generated corpora the
+    * true-pair mass sits at J ≥ 0.85, where (7,5) still recalls
+    * 1−(1−0.85⁵)^7 ≈ 0.99).
+    */
+  private[graft] def scaleBands(rows: Int): Int = 4 + (rows - 2)
+
+  /** The corpus-derived banding for a doc count. */
+  private[graft] def bandingFor(n: Long): Banding = {
+    val r = scaleRows(n)
+    Banding(scaleBands(r), r)
+  }
+
+  /** The corpus-derived banding for a lake dir (doc count cached per
+    * dir per JVM — a parquet metadata scan).
+    */
+  def bandingOf(s: SparkSession, dir: String): Banding =
+    bandingFor(nDocCache.computeIfAbsent(dir,
+      d => Tables.documents(s, d).count()).longValue())
+
+  /** Resolve the [[Banding.Auto]] sentinel against a (lazily counted)
+    * corpus size.
+    */
+  private[graft] def resolveBanding(b: Banding, nDocs: => Long): Banding =
+    if (b.isAuto) bandingFor(nDocs) else b
 
   /** Per-row minhash band signatures — the SAME 8 seeded minhashes and
     * 4×2 banding as [[minhashLshPairsBuild]], but computed with array
@@ -334,10 +430,11 @@ object Text {
              AS BIGINT) % ${P}L)
     ELSE array() END""")
 
-  private[graft] def bandSigCol(bnd: Int): Column = {
+  private[graft] def bandSigCol(bnd: Int, rows: Int = 2): Column = {
     def mh(j: Int): String =
       s"array_min(transform(hs, h -> (${mhA(j)}L * h + ${mhB(j)}L) % ${P}L))"
-    expr(s"concat_ws('_', ${mh(2 * bnd)}, ${mh(2 * bnd + 1)})")
+    expr((bnd * rows until (bnd + 1) * rows).map(mh)
+      .mkString("concat_ws('_', ", ", ", ")"))
   }
 
   /** [[shingleHashes]] behind a 1:1 Generate barrier (explode of a
@@ -374,8 +471,9 @@ object Text {
     * must stay cheap even where the truth stage is expensive.
     */
   def arrivalDedup(s: SparkSession, dir: String): DataFrame = {
+    val bd = bandingOf(s, dir)
     val bucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    mhBands(minhashAgg(s, dir))
+    mhBands(minhashAgg(s, dir, bd), bd)
       .withColumn("owner", min(col("doc_id")).over(bucket))
       .filter(col("owner") < col("doc_id"))
       .groupBy(col("doc_id"))
@@ -385,11 +483,17 @@ object Text {
   }
 
   /** Static (band, sig) index over a corpus — the right-hand side of the
-    * streaming near-dup gate's anti-joins. O(4·docs) rows, distinct.
+    * streaming near-dup gate's anti-joins. O(bands·docs) rows, distinct.
+    * `banding` is the index's pinned construction ([[Banding.Auto]]
+    * derives it from THIS corpus's size — correct for a fresh index,
+    * wrong for a delta being folded into an existing one, whose pin
+    * the caller must pass).
     */
-  private[graft] def bandIndexOf(docs: DataFrame): DataFrame = {
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"), bandSigCol(b).as("sig"))
+  private[graft] def bandIndexOf(docs: DataFrame,
+      banding: Banding = Banding.Auto): DataFrame = {
+    val bd = resolveBanding(banding, docs.count())
+    val bandStructs = (0 until bd.bands).map { b =>
+      struct(lit(b).as("band"), bandSigCol(b, bd.rows).as("sig"))
     }
     docs.select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
@@ -406,12 +510,16 @@ object Text {
   private[graft] def contentHashesOf(docs: DataFrame): DataFrame =
     docs.select(md5(col("text").cast("binary")).as("h")).distinct()
 
-  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    Materialize.table(s, s"text_pairs_${dir}_$threshold", dir,
-      minhashLshPairsBuild(s, dir, threshold))
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val bd = bandingOf(s, dir)
+    val key = if (bd == Banding.Default) s"text_pairs_${dir}_$threshold"
+      else s"text_pairs_${dir}_${threshold}_$bd"
+    Materialize.table(s, key, dir, minhashLshPairsBuild(s, dir, threshold))
       .orderBy(col("d1"), col("d2"))
+  }
 
-  /** One pass computes the 8 minhashes AND the shingle-set size. The
+  /** One pass computes the banding's minhashes AND the shingle-set
+    * size. The
     * minhash table feeds THREE consumers in the LSH build (bands, sizes
     * s1, sizes s2) and the candidate table three more — without
     * materialization each consumer replays the shingle explode + hash +
@@ -420,8 +528,9 @@ object Text {
     * eager local checkpoint is scale-safe; the corpus-sized shingle
     * stream itself stays lazy.
     */
-  private[graft] def minhashAgg(s: SparkSession, dir: String): DataFrame =
-    Materialize.table(s, s"text_mh_$dir", dir, {
+  private[graft] def minhashAgg(s: SparkSession, dir: String,
+      banding: Banding = Banding.Default): DataFrame =
+    Materialize.table(s, mhKey(dir, banding), dir, {
       // reads only (doc_id, h) from the landed shingle stage — the string
       // column is pruned at the parquet scan. Landed (not just
       // localCheckpoint'd): three consumers call this per corpus — the
@@ -429,19 +538,29 @@ object Text {
       // per-run banding — and a checkpoint caches only within one
       // DataFrame instance, so each caller would re-pay the groupBy.
       val shh = docShingles(s, dir).select(col("doc_id"), (col("h") % P).as("h"))
-      val mhCols = (0 until 8).map(j =>
+      val mhCols = (0 until banding.nMh).map(j =>
         min((lit(mhA(j)) * col("h") + lit(mhB(j))) % P).as(s"mh$j")) :+
         count(lit(1)).as("n_sh")
       shh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     })
 
+  /** Landed-stage keys carry the construction when it is NOT the
+    * reference-scale default — two bandings of one corpus must never
+    * share a landed table, and default-keyed tables landed before the
+    * derivation existed stay valid.
+    */
+  private def mhKey(dir: String, bd: Banding): String =
+    if (bd == Banding.Default) s"text_mh_$dir" else s"text_mh_${dir}_$bd"
+
   /** (doc_id, band, sig) — explode, not union: one pass over the minhash
     * aggregate instead of re-evaluating its subtree once per band.
     */
-  private[graft] def mhBands(mh: DataFrame): DataFrame = {
-    val bandStructs = (0 until 4).map { bnd =>
+  private[graft] def mhBands(mh: DataFrame,
+      banding: Banding = Banding.Default): DataFrame = {
+    val bandStructs = (0 until banding.bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        concat_ws("_", col(s"mh${2 * bnd}"), col(s"mh${2 * bnd + 1}")).as("sig"))
+        concat_ws("_", (bnd * banding.rows until (bnd + 1) * banding.rows)
+          .map(j => col(s"mh$j")): _*).as("sig"))
     }
     mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -456,33 +575,44 @@ object Text {
     * collision join is the dominant cost of the LSH pipeline, so
     * replaying it per consumer would double the most expensive stage.
     */
-  private[graft] def bandCollisionPairs(s: SparkSession, dir: String): DataFrame =
-    Materialize.table(s, s"text_minband_$dir", dir, {
-      val bands = mhBands(minhashAgg(s, dir))
+  private[graft] def bandCollisionPairs(s: SparkSession, dir: String): DataFrame = {
+    val bd = bandingOf(s, dir)
+    val key = if (bd == Banding.Default) s"text_minband_$dir"
+      else s"text_minband_${dir}_$bd"
+    Materialize.table(s, key, dir, {
+      val bands = mhBands(minhashAgg(s, dir, bd), bd)
       bands.toDF("d1", "band", "sig")
         .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
         .filter(col("d1") < col("d2"))
         .groupBy(col("d1"), col("d2")).agg(min(col("band")).as("min_b"))
     })
+  }
 
   private[graft] def minhashLshPairsBuild(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val sh = shingles(s, dir)
-    val mh = minhashAgg(s, dir)
+    val mh = minhashAgg(s, dir, bandingOf(s, dir))
     // the landed collision stage IS the candidate set (already distinct
     // by construction of its groupBy)
     val cand = bandCollisionPairs(s, dir).select(col("d1"), col("d2"))
-    // exact-Jaccard verification touches ONLY candidate docs' shingles —
-    // at scale the candidate set is tiny vs. the corpus, so the verify
-    // join stays proportional to true near-dups, not to corpus size
-    val candDocs = cand.select(col("d1").as("doc_id"))
-      .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candDocs), "doc_id").localCheckpoint(true)
+    // exact-Jaccard verification keyed PER CANDIDATE PAIR, never on the
+    // bare shingle value: route d1's shingles through the pair (one
+    // equi-join on d1), then probe (d2, sh) — a near-unique composite
+    // key — so the join emits ≤ |cand|·|shingles(d1)| rows, linear in
+    // the candidate set. The tempting alternative (candidate-doc-
+    // filtered shingle self-join on `sh`) carries a Σc² mass over
+    // shingle-value multiplicity, and a bounded-vocabulary corpus caps
+    // distinct shingles at |V|³ — measured n²/|V|³ growth
+    // (tools.LshOccupancyProbe: 1.3e8 rows at 50k docs → 1.3e10 at
+    // 500k, the q35 sf10 DNF) that no banding selectivity can fix,
+    // because it grows with CORPUS size, not candidate count.
     val sizes = mh.select(col("doc_id"), col("n_sh"))
-    // SHUFFLE_HASH: hash the string shingle keys instead of sorting them
-    // (same rationale + measurement as ngramJaccardPairsOf)
-    val inter = shCand.toDF("d1", "sh").hint("SHUFFLE_HASH")
-      .join(shCand.toDF("d2", "sh").hint("SHUFFLE_HASH"), "sh")
-      .filter(col("d1") < col("d2"))
+    // d2-side probe table pruned to candidate docs first (broadcast
+    // semi-shape): the pair routing only reads d2 shingles that can
+    // match, so the big side's shuffle is candidate-bounded too
+    val candD2 = cand.select(col("d2").as("doc_id")).distinct()
+    val shD2 = sh.join(broadcast(candD2), "doc_id").toDF("d2", "sh")
+    val inter = cand.join(sh.toDF("d1", "sh"), "d1")
+      .join(shD2, Seq("d2", "sh"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
     cand.join(inter, Seq("d1", "d2"), "left")
       .na.fill(0L, Seq("n_common"))
@@ -549,12 +679,15 @@ object Text {
       if (sampleMod > 0) sampleMod
       else sampleModOf(nDocCache.computeIfAbsent(dir,
         d => Tables.documents(s, d).count()).longValue())
+    // the construction UNDER AUDIT is the full corpus's derived banding
+    // (what q35/q123 serve), even when recall is estimated on a sample
+    val bd = bandingOf(s, dir)
     val tagged =
       if (mod == 1)
         ngramJaccardPairs(s, dir, threshold).select(col("d1"), col("d2"))
           .join(bandCollisionPairs(s, dir), Seq("d1", "d2"), "left")
       else Materialize.table(s,
-        s"text_recalltag_${dir}_${threshold}_s$mod", dir, {
+        s"text_recalltag_${dir}_${threshold}_s${mod}_$bd", dir, {
           val ids = docSampleIds(s, dir, mod)
           // per-doc stages (shingles, minhashes) filter by id BEFORE any
           // self-join: per-doc values are unchanged by dropping other
@@ -564,7 +697,7 @@ object Text {
             .select(col("doc_id"), col("sh"))
           val truePairs = ngramJaccardPairsOf(sh, threshold)
             .select(col("d1"), col("d2"))
-          val bands = mhBands(minhashAgg(s, dir).join(ids, "doc_id"))
+          val bands = mhBands(minhashAgg(s, dir, bd).join(ids, "doc_id"), bd)
           val minB = bands.toDF("d1", "band", "sig")
             .join(bands.toDF("d2", "band", "sig"), Seq("band", "sig"))
             .filter(col("d1") < col("d2"))
@@ -573,7 +706,7 @@ object Text {
         })
     val hist = tagged.groupBy(col("min_b")).agg(count(lit(1)).as("c"))
     val tot = tagged.agg(count(lit(1)).as("n_true"))
-    s.range(1, 5).select(col("id").as("n_bands"))
+    s.range(1, bd.bands + 1).select(col("id").as("n_bands"))
       .crossJoin(broadcast(hist))
       .groupBy(col("n_bands"))
       .agg(sum(when(col("min_b") < col("n_bands"), col("c"))
@@ -1892,17 +2025,20 @@ object Text {
     // TINY in this corpus (exercises the linear-counting branch) and
     // the shingle space is thousands-to-tens-of-thousands (the raw-HLL
     // regime) — every code path runs under the oracle
-    val toks = docs.select(lit("token").as("domain"), col("lang"),
-      explode(split(col("text"), " ")).as("item"))
-    val shing = docs.select(col("lang"), words.as("w"))
-      .filter(size(col("w")) >= 3)
+    // both domains read LANDED stages instead of replaying corpus
+    // explodes: registers max- and exact-counts distinct-aggregate, so
+    // the per-doc-distinct landed rows (tfStage terms, docShingles
+    // 3-grams with their hash60 already computed) yield identical
+    // aggregates to the raw token/shingle streams at a fraction of the
+    // rows — and zero re-hashing on the shingle side
+    val toks = tfStage(s, dir).select(lit("token").as("domain"),
+      col("lang"), col("term").as("item"), hash60(col("term")).as("h"))
+    val shing = docShingles(s, dir)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(lit("shingle").as("domain"), col("lang"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
-        ))).as("item"))
+        col("sh").as("item"), col("h"))
     val items = toks.unionAll(shing)
-    val hashed = items.select(col("domain"), col("lang"),
-      hash60(col("item")).as("h"))
+    val hashed = items.select(col("domain"), col("lang"), col("h"))
     val v = shiftright(col("h"), 8)
     val rho = when(v === 0, lit(cap)).otherwise(
       least(round(log2(v.bitwiseAND(-v))).cast(IntegerType) + lit(1), lit(cap)))
@@ -1968,16 +2104,17 @@ object Text {
     val m = 256
     val cap = 24
     val docs = Tables.documents(s, dir)
-    val items = docs.select(col("lang"),
-      when(col("source") === "src0", lit("src0")).otherwise(lit("rest"))
-        .as("cls"), words.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("lang"), col("cls"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
-        ))).as("item"))
-    val hashed = items.select(col("lang"), col("cls"),
-      hash60(col("item")).as("h"))
+    // the LANDED shingle stage already carries the identical per-doc
+    // word-3-gram set AND its hash60 — re-deriving them here would pay
+    // the corpus-sized tokenize + explode + one md5 per shingle a
+    // second time (measured the bulk of this audit's cost at sf1);
+    // only the doc→lang attribution is joined on
+    val items = docShingles(s, dir)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"),
+        when(col("source") === "src0", lit("src0")).otherwise(lit("rest"))
+          .as("cls"), col("sh").as("item"), col("h"))
+    val hashed = items.select(col("lang"), col("cls"), col("h"))
     val v = shiftright(col("h"), 8)
     val rho = when(v === 0, lit(cap)).otherwise(
       least(round(log2(v.bitwiseAND(-v))).cast(IntegerType) + lit(1), lit(cap)))

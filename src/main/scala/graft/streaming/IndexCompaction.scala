@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Materialize, Text}
+import graft.operators.{Banding, Materialize, Text}
 
 /** Stream→landed-index COMPACTION: the batch job that closes the dedup
   * service's lifecycle loop. A continuously-running near-dup service is
@@ -143,30 +143,68 @@ object IndexCompaction {
     n
   }
 
-  private def bandsOf(docs: DataFrame): DataFrame = Text.bandIndexOf(docs)
+  private def bandsOf(docs: DataFrame, banding: Banding): DataFrame =
+    Text.bandIndexOf(docs, banding)
 
   private def hashesOf(docs: DataFrame): DataFrame = Text.contentHashesOf(docs)
 
-  /** Initialize the index at `root` as epoch 0 over the base `corpus`
-    * (doc_id, text). No-op if the index already has epochs.
+  /** The banding manifest: the index's LSH construction, pinned at
+    * [[init]] and read by every later delta/gate — a lake that grows
+    * across the corpus-derived threshold must NOT silently split one
+    * index across two constructions (a delta banded (5,3) matches
+    * nothing in a (4,2) epoch, and the gate would stop dropping). Old
+    * indexes without the file read as the pre-derivation default (what
+    * they were built with).
     */
-  def init(spark: SparkSession, root: String, corpus: DataFrame): Unit =
+  private val BandingFile = "_banding"
+
+  def indexBanding(root: String): Banding = {
+    val f = new java.io.File(root, BandingFile)
+    if (f.isFile) Banding.parse(java.nio.file.Files.readString(f.toPath))
+    else Banding.Default
+  }
+
+  private def pinBanding(root: String, bd: Banding): Unit = {
+    val tmp = new java.io.File(root, s".$BandingFile.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, bd.toString): Unit
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(root, BandingFile).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Initialize the index at `root` as epoch 0 over the base `corpus`
+    * (doc_id, text). No-op if the index already has epochs. `banding`
+    * ([[Banding.Auto]] = derive from the base corpus size; an empty
+    * corpus floors at the default) is pinned in the index manifest —
+    * the construction every delta, merge and gate over this index uses
+    * for its lifetime, however large the lake grows. Size a long-lived
+    * production index for its TARGET corpus (pass
+    * `Text.bandingFor(expectedDocs)`), not its seed.
+    */
+  def init(spark: SparkSession, root: String, corpus: DataFrame,
+      banding: Banding = Banding.Auto): Unit =
     if (epochs(root).isEmpty) {
+      val bd = Text.resolveBanding(banding, corpus.count())
+      new java.io.File(root).mkdirs()
+      pinBanding(root, bd)
       // a lost init race means another process published epoch 0 over
       // the SAME base corpus — identical by construction, keep theirs
-      publish(root, 0L, bandsOf(corpus), hashesOf(corpus)): Unit
+      // (both writers also pin the same derived banding)
+      publish(root, 0L, bandsOf(corpus, bd), hashesOf(corpus)): Unit
     }
 
   /** MINOR compaction: fold `landedDocs` (doc_id, text — the docs that
     * landed in the lake since the last compaction) into the index as a
-    * new delta epoch. Returns the published epoch number. O(new docs).
-    * A lost epoch-number race (another compaction landed first) retries
-    * under the next free number — deltas are never interchangeable, so
-    * ours must still land.
+    * new delta epoch, banded with the INDEX's pinned construction —
+    * never the delta's own size. Returns the published epoch number.
+    * O(new docs). A lost epoch-number race (another compaction landed
+    * first) retries under the next free number — deltas are never
+    * interchangeable, so ours must still land.
     */
   def compact(spark: SparkSession, root: String, landedDocs: DataFrame): Long =
     publishRetrying(root, epochs(root).lastOption.getOrElse(-1L) + 1L,
-      bandsOf(landedDocs), hashesOf(landedDocs))
+      bandsOf(landedDocs, indexBanding(root)), hashesOf(landedDocs))
 
   /** MAJOR compaction: merge every live epoch into one distinct
     * segment (published as the next epoch number) and TOMBSTONE the
@@ -277,5 +315,6 @@ object IndexCompaction {
       keepText: Boolean = false): DataFrame =
     TextStreams.nearDupGateOn(stream,
       bands(spark, root).localCheckpoint(true),
-      hashes(spark, root).localCheckpoint(true), keepText)
+      hashes(spark, root).localCheckpoint(true), keepText,
+      banding = indexBanding(root))
 }

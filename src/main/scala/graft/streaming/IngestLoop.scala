@@ -87,7 +87,8 @@ object IngestLoop {
     // and same per-batch doc accounting (both spec-pinned; measured in
     // tools/AdmitCostBench)
     val verdicts = TextStreams.streamingNearDupAdmit(spark,
-      gated.select(col("doc_id"), col("text")), lean = true)
+      gated.select(col("doc_id"), col("text")), lean = true,
+      banding = IndexCompaction.indexBanding(idxRoot))
     // the cycle's lake segment, for attaching payloads to admitted ids
     val cycleBatch = spark.read.parquet(cycleDir)
       .select(col("doc_id"), col("text"))

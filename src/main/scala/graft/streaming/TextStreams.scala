@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import graft.operators.Banding
 
 /** The batch text-pipeline operators (operators.Text, q38/q39/q33/q37
   * family) composed as ONE streaming ingest pipeline — the shape a
@@ -53,7 +54,11 @@ object TextStreams {
     * admitted only if it is (a) not byte-identical to any corpus doc
     * (anti-join on the content hash) and (b) not a MinHash-LSH
     * candidate against the corpus band index (one anti-join per band
-    * key, the same 8-hash 4×2 banding as batch q35). Both layers are
+    * key, the same corpus-derived banding as batch q35 —
+    * `Banding.Auto` derives from the corpus size, exactly like the
+    * batch side's `Text.bandingOf`, so the stream==batch drop-set
+    * equality holds by construction; an index-backed deployment passes
+    * the index's pinned banding instead). Both layers are
     * STATELESS stream-static anti-joins — no state store at all, so
     * state never grows with the corpus; the static side is the
     * O(4·docs) band index, not the corpus text, and each doc's band
@@ -64,8 +69,10 @@ object TextStreams {
     * plan (batch q63's fingerprint layer makes the same trade); docs
     * under 3 words have no bands and always pass the LSH layer.
     */
-  def nearDupGate(stream: DataFrame, corpus: DataFrame): DataFrame = {
+  def nearDupGate(stream: DataFrame, corpus: DataFrame,
+      banding: Banding = Banding.Auto): DataFrame = {
     import graft.operators.Text
+    val bd = Text.resolveBanding(banding, corpus.count())
     // land both static sides ONCE at gate construction: a stream-static
     // join re-evaluates the static plan EVERY micro-batch, and the fold
     // below joins the band index four times per batch — without this the
@@ -75,9 +82,9 @@ object TextStreams {
     // that spelling is [[nearDupGateLanded]] (fingerprint-keyed landed
     // stage) and [[IndexCompaction]] (the continuously-folded index);
     // this DataFrame-corpus variant serves ad-hoc/in-memory corpora.
-    val bandIdx = Text.bandIndexOf(corpus).localCheckpoint(true)
+    val bandIdx = Text.bandIndexOf(corpus, bd).localCheckpoint(true)
     val hashes = Text.contentHashesOf(corpus).localCheckpoint(true)
-    nearDupGateOn(stream, bandIdx, hashes)
+    nearDupGateOn(stream, bandIdx, hashes, banding = bd)
   }
 
   /** [[nearDupGate]] with the static sides read from LANDED
@@ -91,16 +98,19 @@ object TextStreams {
     * sources arrive).
     */
   def nearDupGateLanded(spark: SparkSession, stream: DataFrame, dir: String,
-      corpusSource: String = "src0"): DataFrame = {
+      corpusSource: String = "src0", banding: Banding = Banding.Auto): DataFrame = {
     import graft.operators.{Materialize, Text}
     def corpus = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("source") === corpusSource)
       .select(col("doc_id"), col("text"))
-    val bandIdx = Materialize.table(spark,
-      s"gate_bandidx_${corpusSource}_$dir", dir, Text.bandIndexOf(corpus))
+    val bd = Text.resolveBanding(banding, corpus.count())
+    val idxKey = if (bd == Banding.Default) s"gate_bandidx_${corpusSource}_$dir"
+      else s"gate_bandidx_${corpusSource}_${dir}_$bd"
+    val bandIdx = Materialize.table(spark, idxKey, dir,
+      Text.bandIndexOf(corpus, bd))
     val hashes = Materialize.table(spark,
       s"gate_hashes_${corpusSource}_$dir", dir, Text.contentHashesOf(corpus))
-    nearDupGateOn(stream, bandIdx, hashes)
+    nearDupGateOn(stream, bandIdx, hashes, banding = bd)
   }
 
   /** The gate's join core against PRE-BUILT static sides: `bandIdx` is
@@ -110,15 +120,16 @@ object TextStreams {
     * append-only delta segments without a rewrite.
     */
   private[graft] def nearDupGateOn(stream: DataFrame, bandIdx: DataFrame,
-      hashes: DataFrame, keepText: Boolean = false): DataFrame = {
+      hashes: DataFrame, keepText: Boolean = false,
+      banding: Banding = Banding.Default): DataFrame = {
     import graft.operators.Text
     val withSig = stream
       .withColumn("h", md5(col("text").cast("binary")))
       .withColumn("w", split(col("text"), " "))
       .withColumn("hs", Text.shingleHashesOnce)
     val afterExact = withSig.join(hashes, Seq("h"), "left_anti")
-    val gated = (0 until 4).foldLeft(afterExact) { (df, b) =>
-      df.withColumn("sig", Text.bandSigCol(b))
+    val gated = (0 until banding.bands).foldLeft(afterExact) { (df, b) =>
+      df.withColumn("sig", Text.bandSigCol(b, banding.rows))
         .join(bandIdx.filter(col("band") === b).select(col("sig")),
           Seq("sig"), "left_anti")
         .drop("sig")
@@ -202,11 +213,12 @@ object TextStreams {
     * (drain-and-stop; spec-pinned), never `processAllAvailable`.
     */
   def streamingLshCollisions(spark: SparkSession, stream: DataFrame,
-      ttl: TTLConfig = TTLConfig.NONE): Dataset[LshCollision] = {
+      ttl: TTLConfig = TTLConfig.NONE,
+      banding: Banding = Banding.Default): Dataset[LshCollision] = {
     import spark.implicits._
     import graft.operators.Text
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"), Text.bandSigCol(b).as("sig"))
+    val bandStructs = (0 until banding.bands).map { b =>
+      struct(lit(b).as("band"), Text.bandSigCol(b, banding.rows).as("sig"))
     }
     stream
       .withColumn("w", split(col("text"), " "))
@@ -305,11 +317,12 @@ object TextStreams {
     * `processAllAvailable`.
     */
   def streamingNearDupAdmit(spark: SparkSession, stream: DataFrame,
-      ttl: TTLConfig = TTLConfig.NONE, lean: Boolean = false): Dataset[BandVerdict] = {
+      ttl: TTLConfig = TTLConfig.NONE, lean: Boolean = false,
+      banding: Banding = Banding.Default): Dataset[BandVerdict] = {
     import spark.implicits._
     import graft.operators.Text
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"), Text.bandSigCol(b).as("sig"))
+    val bandStructs = (0 until banding.bands).map { b =>
+      struct(lit(b).as("band"), Text.bandSigCol(b, banding.rows).as("sig"))
     }
     stream
       .withColumn("w", split(col("text"), " "))

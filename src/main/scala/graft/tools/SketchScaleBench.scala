@@ -37,10 +37,18 @@ object SketchScaleBench {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // mirror StreamBench.main's changelog-checkpointing default: this
+    // artifact joins into STREAM_SCALING.md columns whose lower-SF rows
+    // were measured under changelog mode — batch_sec/rows_per_sec must
+    // be apples-to-apples (and the setting is recorded in the line)
+    val changelog = sys.env.getOrElse("SPARK_GRAFT_CHANGELOG_CKPT", "1") == "1"
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      changelog.toString)
     val hll = StreamBench.hllLiveStage(spark, sfDir, base, nSlices)
     val cm = StreamBench.cmLiveStage(spark, sfDir, base, nSlices)
     val line = s"""{"metric":"sketch_scale","slices":$nSlices,""" +
-      s"""$hll,$cm,"sf":"$sfDir"}"""
+      s""""changelog_ckpt":$changelog,$hll,$cm,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter("sketch_scale.json", "UTF-8")
     try w.println(line) finally w.close()
     try spark.stop()

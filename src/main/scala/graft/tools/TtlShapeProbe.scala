@@ -66,6 +66,10 @@ object TtlShapeProbe {
           .map(_.toLong / 1000.0).sorted
         val p50 = if (secs.isEmpty) -1 else secs(secs.length / 2)
         q.stop()
+        // free the memory sink: each rep's emitted rows otherwise stay
+        // retained on the driver and bias every LATER variant/rep (the
+        // same retained-sink skew StreamBench's stages drop)
+        spark.catalog.dropTempView(s"probe_${name}_$rep")
         println(f"[ttlshape] $name rep$rep wall=$wall%.1fs batches=$batches p50=$p50%.2fs")
       }
     }

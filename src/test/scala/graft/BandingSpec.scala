@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Banding, Text}
+import graft.streaming.IndexCompaction
+
+/** The corpus-derived LSH banding (Text.scaleRows/scaleBands — the text
+  * twin of Vectors.scaleBits/scaleTables): the oracle pin (every driver
+  * SF derives the reference-scale 4×2, so all oracle hashes hold), the
+  * derivation curve at rehearsal scales, generalized-construction
+  * consistency between the per-row (streaming) and explode+groupBy
+  * (batch) minhash paths, and the index-manifest pin that keeps a
+  * growing lake from splitting one index across two constructions.
+  */
+class BandingSpec extends SparkSpec {
+
+  test("derivation floors at the reference-scale 4x2 for every driver SF") {
+    // the driver's sf-series caps at ~6250 docs (sf0.1); the floor
+    // holds to double that, so the 150 oracle hashes cannot move
+    Seq(0L, 1L, 100L, 6250L, 12500L).foreach { n =>
+      assert(Text.bandingFor(n) === Banding.Default, s"n=$n")
+    }
+    // the driver dirs themselves resolve to the default
+    assert(Text.bandingOf(spark, sfDir) === Banding.Default)
+  }
+
+  test("derivation adds one row (and one band) per corpus quadrupling, capped") {
+    assert(Text.bandingFor(12501L) === Banding(5, 3))
+    assert(Text.bandingFor(50000L) === Banding(5, 3)) // GenCorpus sf1
+    assert(Text.bandingFor(200000L) === Banding(6, 4))
+    assert(Text.bandingFor(500000L) === Banding(7, 5)) // GenCorpus sf10
+    assert(Text.bandingFor(5000000L) === Banding(9, 7))
+    assert(Text.bandingFor(1L << 40) === Banding(10, 8), "rows cap at 8")
+  }
+
+  test("per-row and batch minhash paths agree under a non-default construction") {
+    val bd = Banding(5, 3)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val P = 1073741789L
+    val sh = Text.shinglesOf(docs).withColumn("hh", Text.hash60(col("sh")) % P)
+    val mhCols = (0 until bd.nMh).map(j =>
+      min((lit(Text.mhA(j)) * col("hh") + lit(Text.mhB(j))) % P).as(s"mh$j"))
+    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val batchBands = Text.mhBands(mh, bd).collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSet
+    val perRow = Text.bandIndexOf(docs, bd).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(perRow === batchBands,
+      "streaming per-row banding must agree with the batch banding at (5,3)")
+    // the generalized default reproduces the legacy shape bit-for-bit
+    val legacy = Text.bandIndexOf(docs, Banding.Default).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(legacy.forall { case (b, _) => b < 4 })
+    assert(legacy.forall { case (_, s) => s.count(_ == '_') == 1 })
+    assert(perRow.forall { case (b, s) => b < 5 && s.count(_ == '_') == 2 })
+  }
+
+  test("index pins its banding at init and deltas honor the pin") {
+    import spark.implicits._
+    val root = tempDir("banding_idx").getAbsolutePath + "/index"
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w v u t s")).toDF("doc_id", "text")
+    val delta = Seq((3L, "a b c d e f g q")).toDF("doc_id", "text")
+    val bd = Banding(5, 3)
+    IndexCompaction.init(spark, root, corpus, banding = bd)
+    assert(IndexCompaction.indexBanding(root) === bd)
+    IndexCompaction.compact(spark, root, delta)
+    val expected = Text.bandIndexOf(corpus.unionAll(delta), bd).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val got = IndexCompaction.bands(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === expected,
+      "epoch union must equal the one-shot index under the pinned banding")
+    // bands run 0..4 (5 bands), sigs carry 3 minhashes
+    assert(got.forall { case (b, s) => b < 5 && s.count(_ == '_') == 2 })
+  }
+
+  test("an empty-seeded index floors at the default pin") {
+    import spark.implicits._
+    val root = tempDir("banding_empty").getAbsolutePath + "/index"
+    IndexCompaction.init(spark, root,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(IndexCompaction.indexBanding(root) === Banding.Default)
+  }
+}

@@ -95,17 +95,22 @@ def main():
             tcells = " | ".join("-" if t is None else f"{t:.2f}" for t in times)
             scells = " | ".join("-" if s is None else f"{s:.2f}" for s in slopes)
             w(f"| {q} | {tcells} | {scells} |\n")
-        # total over the LARGEST SF's query set only — in append mode the
-        # lower-SF artifacts are full sweeps and summing them whole would
-        # compare a 150-query total against the rehearsed subset
+        # total over the INTERSECTION of queries measured (v >= 0) at
+        # EVERY SF — in append mode the lower-SF artifacts are full
+        # sweeps (summing them whole would compare a 150-query total
+        # against the rehearsed subset), and a query that errored at one
+        # SF only must drop from every SF's total or the slope skews
         qset = set(runs[-1][1])
+        qset = {q for q in qset
+                if all(r[1].get(q, -1) >= 0 for r in runs)}
         tot = [sum(v for q, v in r[1].items() if q in qset and v >= 0)
                for r in runs]
         tots = " | ".join(
             f"{math.log(tot[hi]/tot[lo])/math.log(sfs[hi]/sfs[lo]):.2f}"
+            if tot[lo] > 0 and tot[hi] > 0 else "-"
             for lo, hi in steps)
-        w("| **total** | " + " | ".join(f"{t:.1f}" for t in tot)
-          + f" | {tots} |\n")
+        w("| **total** (n=" + str(len(qset)) + ") | "
+          + " | ".join(f"{t:.1f}" for t in tot) + f" | {tots} |\n")
 
     print(f"wrote {out_path}: {len(rows)} queries, "
           f"{len(flagged)} flagged, median top-step slope "

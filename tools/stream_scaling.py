@@ -275,7 +275,11 @@ def main():
                     f"| {fmt(ms, 2) if ms >= 0 else '-'} "
                     f"| {c['epochs_after']} |")
         lines.append("")
-        last = runs[-1][1].get("dedup_service")
+        # the largest-SF artifact that actually CARRIES the section — a
+        # sketch-only rehearsal joined as the top SF must not suppress
+        # the steady-state verdict the full sweeps below it established
+        last = next((d["dedup_service"] for _, d in reversed(runs)
+                     if "dedup_service" in d), None)
         if last:
             cs = last["cycles"]
             maxes = [c["state_rows_max"] for c in cs]
