@@ -260,6 +260,57 @@ object VectorQueries {
          |GROUP BY n_tables, n_true ORDER BY n_tables""".stripMargin
     }),
 
+    // q151: the SAMPLED vector recall sweep — q106's 100 TB spelling,
+    // oracle-checked at an EXPLICIT 1/8 md5 vec sample (the q150
+    // discipline): beyond the derivation threshold the exact-pair
+    // ground truth (vec_exact, ~5 h single-node at the 200k-vec
+    // rehearsal corpus) is computed only over a bounded deterministic
+    // sample, so the audit's cost stops tracking corpus size; this
+    // query gives that sampled path its own exact DuckDB twin at every
+    // driver SF.
+    QueryDef("q151_lsh_recall_sampled",
+      (s, d) => lshRecallSweep(s, d, 0.4, sampleMod = 8), Some {
+      def bit(j: Int, weight: Long): String =
+        s"""CASE WHEN list_reduce(list_transform(generate_series(0, 63), i ->
+           |  CAST(embedding[i+1] AS DOUBLE) *
+           |  CAST((CAST(1103515245 AS BIGINT) * ($j*64 + i) + 12345) % 2001 - 1000 AS DOUBLE)),
+           |  (a, b) -> a + b) >= 0 THEN CAST($weight AS BIGINT) ELSE 0 END""".stripMargin
+      val tableBuckets = (0 until 6).map { t =>
+        val b = (0 until 3).map(k => bit(t * 3 + k, 1L << k)).mkString(" + ")
+        s"SELECT vec_id, $t AS t, $b AS b FROM emb_s"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH emb_s AS (
+         |  SELECT * FROM embeddings
+         |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |          AS BIGINT) % 8 = 0),
+         |base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[])) AS nsq FROM emb_s),
+         |exact AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.e, b.e) / sqrt(a.nsq * b.nsq), 6) >= 0.4),
+         |buckets AS (
+         |$tableBuckets),
+         |mt AS (
+         |  SELECT x.vec_id AS id1, y.vec_id AS id2, MIN(x.t) AS min_t
+         |  FROM buckets x JOIN buckets y
+         |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT exact.id1, exact.id2, mt.min_t
+         |      FROM exact LEFT JOIN mt USING (id1, id2)),
+         |tot AS (SELECT COUNT(*) AS n_true FROM j),
+         |ts AS (SELECT CAST(unnest(generate_series(1, 6)) AS BIGINT) AS n_tables)
+         |SELECT n_tables, n_true,
+         |  CAST(SUM(CASE WHEN j.min_t < ts.n_tables THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_found,
+         |  (CAST(SUM(CASE WHEN j.min_t < ts.n_tables THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // n_true AS recall_micro
+         |FROM ts CROSS JOIN tot CROSS JOIN j
+         |GROUP BY n_tables, n_true ORDER BY n_tables""".stripMargin
+    }),
+
     // q69: connected components over q45's verified pair graph — the
     // oracle reuses the q45 CTEs and walks the graph with a recursive
     // CTE; min-reachable-vec_id is an engine-independent fixpoint.

@@ -141,8 +141,21 @@ object Vectors {
       .orderBy(col("id1"), col("id2"))
 
   private[graft] def embedNearDupBuild(s: SparkSession, dir: String, threshold: Double,
+      cells: Int, blocks: Int): DataFrame =
+    embedNearDupBuildOf(withNorm(Tables.embeddings(s, dir)), threshold,
+      cells, blocks)
+
+  /** [[embedNearDupBuild]] over a caller-supplied (possibly sampled)
+    * normalized base. The output is EXACT for whatever vector set is
+    * passed — the centroid/radius machinery only prunes, so a sampled
+    * base yields exactly the sample's true pairs (the property the
+    * sampled recall audit rests on: per-vector values are unchanged by
+    * dropping other vectors).
+    */
+  private[graft] def embedNearDupBuildOf(base0: DataFrame, threshold: Double,
       cells: Int, blocks: Int): DataFrame = {
-    val base = withNorm(Tables.embeddings(s, dir))
+    val s = base0.sparkSession
+    val base = base0
     // round(cos,6) >= t keeps raw cos >= t - 5e-7; acos is then padded
     // against double rounding — slack only ever ADMITS extra candidates
     val thetaT = math.acos(threshold - 1e-6) + 1e-6
@@ -363,12 +376,48 @@ object Vectors {
     * sweep itself runs on a `tables`-row histogram — constant-size
     * metadata. Recall math is exact integer micro-units.
     */
+  /** Target size for the recall audit's ground-truth vector sample —
+    * the q107/RecallSampleTarget discipline for the vector modality:
+    * the FULL exact-truth sweep runs up to 2000 vectors (≥ every
+    * driver SF, so the q106 oracle is untouched); beyond that
+    * [[vecSampleModOf]] doubles the modulus per decade, bounding the
+    * sampled exact-pair job — the one intrinsically quadratic stage
+    * (vec_exact: ~5 h single-node at the 200k-vec rehearsal corpus) —
+    * to a constant independent of corpus size. Recall is a RATIO, so a
+    * deterministic 1/mod sample estimates it; q151 oracle-pins the
+    * sampled path at an explicit mod, exactly as q150 pins q107.
+    */
+  private[graft] val VecRecallSampleTarget = 2000L
+
+  private[graft] def vecSampleModOf(nVecs: Long,
+      target: Long = VecRecallSampleTarget): Int = {
+    var m = 1
+    while (nVecs / m > target && m < (1 << 20)) m *= 2
+    m
+  }
+
+  /** The deterministic 1/mod ground-truth vector sample — the same
+    * md5-hash discipline as Text.docSampleIds, so any engine draws the
+    * SAME vectors.
+    */
+  private def sampledBase(s: SparkSession, dir: String, mod: Int): DataFrame =
+    withNorm(Tables.embeddings(s, dir))
+      .filter(graft.operators.Text.hash60(
+        col("vec_id").cast(org.apache.spark.sql.types.StringType))
+        % mod === 0)
+
   def lshRecallSweep(s: SparkSession, dir: String, threshold: Double = 0.4,
-      tables: Int = 0, bits: Int = 0): DataFrame = {
+      tables: Int = 0, bits: Int = 0, sampleMod: Int = 0): DataFrame = {
     val (tbl, bts) = resolveLsh(s, dir, tables, bits)
-    val base = withNorm(Tables.embeddings(s, dir))
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else vecSampleModOf(nVecCache.computeIfAbsent(dir,
+        d => Tables.embeddings(s, d).count()).longValue())
+    val base = if (mod == 1) withNorm(Tables.embeddings(s, dir))
+      else sampledBase(s, dir, mod)
+    val modKey = if (mod == 1) "" else s"_s$mod"
     val tagged = Materialize.table(s,
-      s"vec_mintag_${dir}_${threshold}_${tbl}_$bts", dir, {
+      s"vec_mintag_${dir}_${threshold}_${tbl}_$bts$modKey", dir, {
         def sig(idCol: String, p: String) = base.select(
           col("vec_id").as(idCol) +:
             (0 until tbl).map(t => bucketCol(t, bts).as(s"$p$t")): _*)
@@ -377,7 +426,15 @@ object Vectors {
         // enumerated LEFT JOIN, in whole-stage codegen
         val minT = least((0 until tbl).map(t =>
           when(col(s"l$t") === col(s"r$t"), lit(t))): _*)
-        embedNearDup(s, dir, threshold).select(col("id1"), col("id2"))
+        // full path: the LANDED once-per-corpus exact truth; sampled
+        // path: exact truth computed fresh over the (bounded) sample —
+        // per-vector values are unchanged by dropping other vectors,
+        // so this is exactly the full pipeline run on the sample
+        val truth = if (mod == 1)
+          embedNearDup(s, dir, threshold).select(col("id1"), col("id2"))
+        else embedNearDupBuildOf(base, threshold, 8, 8)
+          .select(col("id1"), col("id2"))
+        truth
           .join(sig("id1", "l"), "id1").join(sig("id2", "r"), "id2")
           .select(col("id1"), col("id2"), minT.as("min_t"))
       })
