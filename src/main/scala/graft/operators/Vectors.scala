@@ -160,7 +160,15 @@ object Vectors {
     // against double rounding — slack only ever ADMITS extra candidates
     val thetaT = math.acos(threshold - 1e-6) + 1e-6
 
-    val cent = base.filter(col("vec_id") < cells)
+    // coarse centroids = the `cells` smallest vec_ids PRESENT in the
+    // base (on the full corpus exactly the historical `vec_id < cells`
+    // pick, ids being contiguous from 0) — never a fixed id filter: a
+    // hash-sampled base would usually retain none of ids 0..7, and an
+    // EMPTY centroid set silently empties every downstream join (wrong
+    // answer, not slow answer). The exactness argument is centroid-
+    // agnostic — any nonempty pick only changes the pruning, never the
+    // output — and one centroid (all pairs verified) is its floor.
+    val cent = base.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nsq").as("cn"))
 
     // nearest-centroid assignment; the bound in step 3 is valid for
@@ -175,12 +183,15 @@ object Vectors {
 
     val radii = assign.groupBy(col("cid")).agg(max(col("theta")).as("r"))
 
-    // cells × cells literal grid; every join against it is O(cells²)
-    // broadcast metadata — no O(N) work and no driver-side collect
-    val grid = s.range(1).select(explode(array(
-      (for { i <- 0 until cells; j <- 0 until cells }
-        yield struct(lit(i.toLong).as("ci"), lit(j.toLong).as("cj"))): _*)).as("p"))
-      .select(col("p.ci").as("ci"), col("p.cj").as("cj"))
+    // cells × cells grid of the ACTUAL centroid ids (a broadcast cross
+    // of two ≤cells-row frames — O(cells²) metadata, no O(N) work and
+    // no driver-side collect). Never a literal 0..cells-1 id grid: that
+    // spelling silently matches nothing the moment the centroid pick
+    // isn't the contiguous full-corpus ids — a sampled base's compat
+    // set came back EMPTY (zero candidate pairs against 80k brute-force
+    // true pairs at the sf1 rehearsal sample) with no error anywhere.
+    val grid = cent.select(col("cid").as("ci"))
+      .crossJoin(broadcast(cent.select(col("cid").as("cj"))))
     val compat = grid
       .join(broadcast(cent.select(col("cid").as("ci"), col("ce").as("cei"),
         col("cn").as("cni"))), "ci")

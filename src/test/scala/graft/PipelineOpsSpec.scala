@@ -121,6 +121,33 @@ class PipelineOpsSpec extends SparkSpec {
       s"missed=${(brute -- pruned).take(5)} invented=${(pruned -- brute).take(5)}")
   }
 
+  test("cell-pair-pruned near-dup is exact on a HASH-SAMPLED base too") {
+    // the q151/sampled-q106 path: centroids and the compat grid must
+    // derive from the ids actually present — a sample usually retains
+    // none of ids 0..cells, where a fixed-id pick (or a literal 0..7
+    // grid) silently empties every candidate join
+    val base = sources.Tables.embeddings(spark, sfDir)
+      .withColumn("nsq", Vectors.dot("embedding", "embedding"))
+      .filter(Text.hash60(col("vec_id").cast("string")) % 4 === 0)
+    assert(base.filter(col("vec_id") < 8).count() < 8,
+      "fixture must drop some of ids 0..7 or the test proves nothing")
+    val pruned = Vectors.embedNearDupBuildOf(base, 0.4, 8, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = base.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("nsq").as("n1"))
+    val b = base.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("nsq").as("n2"))
+    val brute = a.join(b, col("id1") < col("id2"))
+      .withColumn("cos",
+        round(Vectors.dot("e1", "e2") / sqrt(col("n1") * col("n2")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("id1"), col("id2"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned === brute,
+      s"sampled pruned/brute diverge: ${pruned.size} vs ${brute.size} pairs")
+    assert(brute.nonEmpty, "sampled fixture must contain true pairs")
+  }
+
   test("LSH-bucketed near-dup: exact precision, measured recall vs brute force") {
     val exact = Vectors.embedNearDup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
