@@ -118,6 +118,56 @@ class IngestLoopSpec extends SparkSpec {
     }
   }
 
+  test("out-of-doc_id-order arrivals: fpt=1 keeps the first ARRIVAL, " +
+      "one batch keeps the MIN doc_id — same admit count, the exact " +
+      "survivor divergence the filesPerTrigger contract documents") {
+    import spark.implicits._
+    // one near-dup pair planted ARRIVAL-REVERSED: doc 20 (the copy)
+    // arrives before doc 10 (the smaller id). File order is pinned by
+    // mtime (the file source's ordering key), not by name.
+    def writeOne(dir: String, name: String, id: Long, text: String,
+        mtime: Long): Unit = {
+      val tmp = tempDir(s"ooo_tmp_$name").getAbsolutePath + "/p"
+      Seq((id, text)).toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(dir).mkdirs()
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    def runOne(fpt: Int, tag: String): Set[Long] = {
+      val base = tempDir(s"ingest_ooo_$tag").getAbsolutePath
+      val idxRoot = s"$base/index"
+      val in0 = s"$base/in_0"
+      IndexCompaction.init(spark, idxRoot,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      val t0 = System.currentTimeMillis() - 120000
+      val dupText = "the quick brown fox jumps over the lazy dog again"
+      writeOne(in0, "f0.parquet", 20L, dupText, t0)
+      writeOne(in0, "f1.parquet", 10L, dupText, t0 + 30000)
+      writeOne(in0, "f2.parquet", 30L,
+        "an entirely different sentence with no overlap at all", t0 + 60000)
+      val schema = spark.read.parquet(in0).schema
+      IngestLoop.runCycle(spark, idxRoot, s"$base/landed", 0, in0,
+        schema, 3L, filesPerTrigger = fpt)
+      IngestLoop.landedAll(spark, s"$base/landed")
+        .select(col("doc_id")).as[Long].collect().toSet
+    }
+    withRocksDb {
+      val oneByOne = runOne(1, "fpt1")
+      val batched = runOne(3, "fpt3")
+      // same admit COUNT: one owner per signature group either way
+      assert(oneByOne.size === batched.size && oneByOne.size === 2)
+      assert(oneByOne === Set(20L, 30L),
+        "fpt=1 on an out-of-order lake keeps the first ARRIVAL (doc 20)")
+      assert(batched === Set(10L, 30L),
+        "one micro-batch breaks the tie by MIN doc_id (doc 10) — the " +
+          "documented survivor divergence; out-of-order lakes that " +
+          "need the arrival-order survivor must run fpt = 1")
+    }
+  }
+
   test("an all-duplicate arrival wave (zero admits) is a normal cycle: " +
       "lands 0, folds 0, leaves the index untouched, and landedAll " +
       "skips the empty cycle dir") {
