@@ -643,16 +643,28 @@ object TextQueries {
          |GROUP BY n_bands, n_true ORDER BY n_bands""".stripMargin)),
 
     // q150: the SAMPLED band recall sweep — q107's 100 TB spelling,
-    // oracle-checked at an EXPLICIT 1/8 md5 doc sample so the sampled
-    // path (the one a production corpus actually runs, where the full
+    // oracle-checked at an EXPLICIT 1/8 sample so the sampled path
+    // (the one a production corpus actually runs, where the full
     // ground truth is quadratic in shingle co-occurrence) has its own
-    // exact DuckDB twin at every driver SF.
+    // exact DuckDB twin at every driver SF. The sample is stratified
+    // by CONTENT FINGERPRINT (min shingle hash60 per doc — see
+    // operators.Text.docSampleIds): an id-keyed sample loses sparse
+    // near-dup PAIRS at 1/mod², collapsing the audit's denominator at
+    // scale; fingerprint strata keep partners together.
     QueryDef("q150_band_recall_sampled",
       (s, d) => bandRecallSweep(s, d, 0.5, sampleMod = 8), Some {
       val sample =
-        s"""docs_s AS (
-           |  SELECT doc_id, text FROM documents
-           |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 8 = 0)""".stripMargin
+        s"""sh_all AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, len(w)-2),
+           |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |  WHERE len(w) >= 3),
+           |fpt AS (SELECT doc_id, MIN(${h60("sh")}) AS fp
+           |        FROM sh_all GROUP BY doc_id),
+           |docs_s AS (
+           |  SELECT d.doc_id, d.text FROM documents d JOIN fpt USING (doc_id)
+           |  WHERE fpt.fp % 8 = 0)""".stripMargin
       s"""WITH $sample,
          |${BAND_CTES_OF("docs_s")},
          |$SIZES,

@@ -644,12 +644,36 @@ object Text {
   private val nDocCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** The deterministic 1/mod ground-truth doc sample — q136's md5
-    * discipline over the doc key, so any engine draws the SAME docs.
+  /** The deterministic 1/mod ground-truth doc sample, stratified by
+    * CONTENT FINGERPRINT (the doc's minimum shingle hash60), not by
+    * doc id. The distinction is load-bearing for a PAIR-recall audit:
+    * true near-dup pairs are a sparse matching (~5% of docs), so an
+    * id-keyed sample retains a pair only when BOTH endpoints survive
+    * independently — 1/mod² — and at the sf10 rehearsal (mod 128) the
+    * ground truth collapsed to n_true = 1, a denominator that measures
+    * nothing. Near-dup partners share most shingles, hence almost
+    * always their MINIMUM shingle hash (exact copies always; 1–2-token
+    * edits unless the edit hits the argmin 3-gram), so sampling on the
+    * fingerprint keeps partners TOGETHER: pair survival ~0.9/mod,
+    * linear. Measured at sf10: n_true 1 → 89.
+    *
+    * Honest-bias note: the sample conditions on fingerprint agreement,
+    * so measured recall is recall among fingerprint-stable pairs;
+    * heavily-edited pairs that changed their argmin shingle are
+    * underrepresented. The alternative (id sampling) has no
+    * denominator at all at scale — and the minhash bands under audit
+    * key on affine re-hashes of the SAME shingle hashes, where the
+    * min of `a_j·h + b_j mod P` is NOT attained at argmin h, so the
+    * conditioning does not mechanically force band agreement.
+    * Deterministic and engine-reproducible: the oracle (q150) computes
+    * the same MIN(h60(shingle)) per doc. Docs under 3 words carry no
+    * shingles and thus never enter (they cannot be in shingle pairs).
     */
   private[graft] def docSampleIds(s: SparkSession, dir: String, mod: Int): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"))
-      .filter(hash60(col("doc_id").cast(StringType)) % mod === 0)
+    docShingles(s, dir).groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp"))
+      .filter(col("fp") % mod === 0)
+      .select(col("doc_id"))
 
   /** MinHash band tuning table (q107) — the text twin of the vector
     * recall sweep (q106): every true near-dup pair (the
@@ -687,7 +711,7 @@ object Text {
         ngramJaccardPairs(s, dir, threshold).select(col("d1"), col("d2"))
           .join(bandCollisionPairs(s, dir), Seq("d1", "d2"), "left")
       else Materialize.table(s,
-        s"text_recalltag_${dir}_${threshold}_s${mod}_$bd", dir, {
+        s"text_recalltag_${dir}_${threshold}_fp${mod}_$bd", dir, {
           val ids = docSampleIds(s, dir, mod)
           // per-doc stages (shingles, minhashes) filter by id BEFORE any
           // self-join: per-doc values are unchanged by dropping other
