@@ -50,6 +50,13 @@ def main():
     richest = max((r[1] for r in runs),
                   key=lambda d: len(stage_keys(d, "rows_per_sec")))
     stages = stage_keys(richest, "rows_per_sec")
+    # stages only a partial artifact carries (e.g. the sf10 rehearsal's
+    # admit_drain) still get their section — appended after the full
+    # sweep's ordering, never silently dropped
+    for _, d in runs:
+        for k in stage_keys(d, "rows_per_sec"):
+            if k not in stages:
+                stages.append(k)
 
     lines = [
         "# STREAM SCALING — state and throughput across scale factors",
