@@ -161,6 +161,12 @@ object DedupService {
         Seq.empty[(Long, String)].toDF("doc_id", "text")
     }
     IndexCompaction.init(spark, idxRoot, corpus)
+    // index-size running total for the reband-drift signal: the index
+    // owns the base corpus plus everything landed since (resumed
+    // cycles' landed counts are on disk — count once at startup)
+    var indexDocs = corpus.count() +
+      (try IngestLoop.landedAll(spark, landRoot).count()
+       catch { case _: Throwable => 0L })
 
     // resume: files already claimed by a previous incarnation's cycle
     // are recorded in that cycle's _manifest.json — the authoritative
@@ -224,6 +230,12 @@ object DedupService {
           Some(s"$root/ckpt/cycle_$cycle"), filesPerTrigger)
         java.nio.file.Files.writeString(
           workDir.toPath.resolve("_cycle_done"), "done"): Unit
+        indexDocs += st.landed
+        // reband drift: correctness-neutral (the pin keeps gating
+        // consistently) but the occupancy bound erodes as the lake
+        // outgrows the founding construction — surface it per cycle so
+        // an operator schedules IndexCompaction.reband in a window
+        val drift = IndexCompaction.rebandDrift(idxRoot, indexDocs)
         val mergeS =
           if (cycle % 4 == 3) {
             val tM = System.nanoTime()
@@ -238,8 +250,9 @@ object DedupService {
           f""""gate_build_s":${st.gateBuildS}%.2f,""" +
           f""""drain_s":${st.drainWallS}%.2f,""" +
           f""""compact_s":${st.compactS}%.2f,""" +
-          (if (mergeS < 0) """"merge_s":-1}"""
-           else f""""merge_s":$mergeS%.2f}"""))
+          (if (mergeS < 0) """"merge_s":-1,"""
+           else f""""merge_s":$mergeS%.2f,""") +
+          s""""index_docs":$indexDocs,"reband_drift":$drift}""")
         cycle += 1
       }
       val elapsed = System.currentTimeMillis() - t0

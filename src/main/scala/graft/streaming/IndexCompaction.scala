@@ -194,6 +194,54 @@ object IndexCompaction {
       publish(root, 0L, bandsOf(corpus, bd), hashesOf(corpus)): Unit
     }
 
+  /** REBAND migration — the maintenance job for a lake that has
+    * OUTGROWN its index's founding construction. The banding pin is
+    * deliberate (a delta banded differently matches nothing in older
+    * epochs), which means a long-lived index keeps its init-time depth
+    * however large the lake grows; when the corpus-derived banding has
+    * moved past the pin (see [[rebandDrift]]), the migration is a full
+    * rebuild from the LAKE — the index stores signatures, not text, so
+    * there is nothing to re-derive in place. Builds the new index
+    * (epoch 0 over `corpus`, new pin) beside the live one, then swaps
+    * directories. Returns the new pinned banding.
+    *
+    * Concurrency contract: single-writer MAINTENANCE WINDOW, like
+    * [[merge]]'s run-rarely cadence but stricter — a reader that lists
+    * epochs between the two swap renames sees no index at all. Run it
+    * where the dedup service runs its merges (between cycles, no gate
+    * construction in flight). Crash safety: a crash before the first
+    * rename leaves the live index untouched (the half-built `.tmp`
+    * sibling is swept by the next reband); a crash between renames
+    * leaves the old index at `<root>.reband_old` — operator-restorable
+    * by hand, and the next reband sweeps it.
+    */
+  def reband(spark: SparkSession, root: String, corpus: DataFrame,
+      banding: Banding = Banding.Auto): Banding = {
+    val bd = Text.resolveBanding(banding, corpus.count())
+    val tmp = new java.io.File(root + ".reband_tmp")
+    val old = new java.io.File(root + ".reband_old")
+    Materialize.deleteRecursively(tmp)
+    Materialize.deleteRecursively(old)
+    init(spark, tmp.getPath, corpus, bd)
+    java.nio.file.Files.move(new java.io.File(root).toPath, old.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    Materialize.deleteRecursively(old)
+    bd
+  }
+
+  /** True when the lake has grown past the index's pinned construction:
+    * the corpus-derived banding for `lakeDocs` documents is deeper than
+    * the pin. The signal an operator (or a service's cycle loop) reads
+    * to schedule a [[reband]] — drift does NOT break correctness (the
+    * pinned construction keeps gating consistently), it erodes the
+    * collision join's occupancy bound, which is a cost problem the
+    * next batch rehearsal would surface as a superlinear q35 slope.
+    */
+  def rebandDrift(root: String, lakeDocs: Long): Boolean =
+    Text.bandingFor(lakeDocs).rows > indexBanding(root).rows
+
   /** MINOR compaction: fold `landedDocs` (doc_id, text — the docs that
     * landed in the lake since the last compaction) into the index as a
     * new delta epoch, banded with the INDEX's pinned construction —

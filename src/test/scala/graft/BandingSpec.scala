@@ -76,6 +76,40 @@ class BandingSpec extends SparkSpec {
     assert(got.forall { case (b, s) => b < 5 && s.count(_ == '_') == 2 })
   }
 
+  test("reband rebuilds the index under a new pin; deltas then honor it") {
+    import spark.implicits._
+    val root = tempDir("banding_reband").getAbsolutePath + "/index"
+    val lake = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w v u t s"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    IndexCompaction.init(spark, root, lake) // empty→derived = default 4x2
+    assert(IndexCompaction.indexBanding(root) === Banding.Default)
+    // the lake outgrows the pin (simulated by an explicit target)
+    val bd = Banding(5, 3)
+    assert(IndexCompaction.reband(spark, root, lake, bd) === bd)
+    assert(IndexCompaction.indexBanding(root) === bd)
+    // the rebuilt index equals a FRESH index pinned at the new banding
+    val expected = Text.bandIndexOf(lake, bd).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val got = IndexCompaction.bands(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === expected)
+    // a post-reband delta folds under the NEW pin and still matches
+    val delta = Seq((4L, "a b c d e f g q")).toDF("doc_id", "text")
+    IndexCompaction.compact(spark, root, delta)
+    val all = Text.bandIndexOf(lake.unionAll(delta), bd).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val got2 = IndexCompaction.bands(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got2 === all, "delta after reband must band with the new pin")
+    // drift signal: fires exactly when the derived rows exceed the pin
+    assert(!IndexCompaction.rebandDrift(root, 50000L),
+      "50k docs derive (5,3) — no drift against a (5,3) pin")
+    assert(IndexCompaction.rebandDrift(root, 500000L),
+      "500k docs derive (7,5) — drift against a (5,3) pin")
+  }
+
   test("an empty-seeded index floors at the default pin") {
     import spark.implicits._
     val root = tempDir("banding_empty").getAbsolutePath + "/index"
