@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, LongL2, MinGramHash60, SpanHashes60}
+import graft.functions.{FloatDot, LongL2, MinGramHash60, MinHashes60, SpanHashes60}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`,
   * wired in GraftSession.configure): registers the engine's native
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("span_hashes60"),
       new ExpressionInfo(classOf[SpanHashes60].getName, "span_hashes60"),
       (children: Seq[Expression]) => SpanHashes60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("min_hashes60"),
+      new ExpressionInfo(classOf[MinHashes60].getName, "min_hashes60"),
+      (children: Seq[Expression]) => MinHashes60(children.head, children(1))))
   }
 }

@@ -430,12 +430,55 @@ object Text {
              AS BIGINT) % ${P}L)
     ELSE array() END""")
 
+  /** Band `bnd`'s signature from the per-row shingle-hash column `hs`,
+    * through the codegen'd one-pass minhash bank
+    * ([[graft.functions.MinHashes60]]): ONE primitive pass computes the
+    * construction's full minhash array, and every band reference is a
+    * per-element `element_at` over it — common-subexpression-eliminated
+    * inside whole-stage codegen, where the previous
+    * `array_min(transform(hs, …))` spelling ran one INTERPRETED
+    * higher-order pass (with a boxed intermediate array) per minhash
+    * per reference. Measured: the barriered production shape drops
+    * 9.1 → 6.4 s/pass and the unbarriered plain shape 146 → 22 s at
+    * the reference-scale 4×2 (tools/BandingShapeBench, 47.5k-doc
+    * corpus, identical output hash); at the corpus-derived (7,5) = 35
+    * minhashes the 500k-doc streaming drains gain 37–77%
+    * (tools/GateScaleBench — see [[minHashBankOnce]], which the
+    * serving paths bind so the bank is evaluated once per row). The
+    * bank depth is the banding's total minhash count (every
+    * [[Banding]] in the library is [[scaleBands]]-shaped, so it
+    * derives from `rows` alone — and the SAME literal depth across a
+    * projection's bands is what makes the references one CSE'd
+    * computation).
+    */
   private[graft] def bandSigCol(bnd: Int, rows: Int = 2): Column = {
-    def mh(j: Int): String =
-      s"array_min(transform(hs, h -> (${mhA(j)}L * h + ${mhB(j)}L) % ${P}L))"
-    expr((bnd * rows until (bnd + 1) * rows).map(mh)
-      .mkString("concat_ws('_', ", ", ", ")"))
+    val nMh = math.max(scaleBands(rows) * rows, (bnd + 1) * rows)
+    val mh = call_function("min_hashes60", col("hs"), lit(nMh))
+    concat_ws("_",
+      (bnd * rows until (bnd + 1) * rows).map(j => element_at(mh, j + 1)): _*)
   }
+
+  /** The minhash BANK as a per-row column, behind the same 1:1 Generate
+    * barrier as [[shingleHashesOnce]]: one `min_hashes60` evaluation
+    * per row, period. A projection that references the bank expression
+    * from several band signatures relies on codegen subexpression
+    * elimination to collapse them — which a conditional (`when`) band
+    * array defeats, exactly as it did for the shingle pipeline in r13;
+    * measured on the 500k-doc admit drain, the unbarriered bank ran 7
+    * evaluations/row at 2,300 rows/s vs 4,912 behind the barrier.
+    * Consumers bind `mhb` once after `hs` and extract with
+    * [[bandSigFromBank]].
+    */
+  private[graft] def minHashBankOnce(rows: Int): Column =
+    explode(array(call_function("min_hashes60", col("hs"),
+      lit(scaleBands(rows) * rows))))
+
+  /** Band `bnd`'s signature as pure element extraction over the bound
+    * `mhb` bank column — zero recompute per reference.
+    */
+  private[graft] def bandSigFromBank(bnd: Int, rows: Int): Column =
+    concat_ws("_", (bnd * rows until (bnd + 1) * rows)
+      .map(j => element_at(col("mhb"), j + 1)): _*)
 
   /** [[shingleHashes]] behind a 1:1 Generate barrier (explode of a
     * single-element array — same row count). Every per-row banding
@@ -493,11 +536,12 @@ object Text {
       banding: Banding = Banding.Auto): DataFrame = {
     val bd = resolveBanding(banding, docs.count())
     val bandStructs = (0 until bd.bands).map { b =>
-      struct(lit(b).as("band"), bandSigCol(b, bd.rows).as("sig"))
+      struct(lit(b).as("band"), bandSigFromBank(b, bd.rows).as("sig"))
     }
     docs.select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("hs", shingleHashesOnce)
+      .withColumn("mhb", minHashBankOnce(bd.rows))
       .select(explode(array(bandStructs: _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
       .distinct()

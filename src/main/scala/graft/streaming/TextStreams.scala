@@ -127,9 +127,13 @@ object TextStreams {
       .withColumn("h", md5(col("text").cast("binary")))
       .withColumn("w", split(col("text"), " "))
       .withColumn("hs", Text.shingleHashesOnce)
+      // one minhash-bank evaluation per row, shared by every band's
+      // anti-join step (Text.minHashBankOnce — the barrier keeps the
+      // fold's per-step projections from re-deriving it)
+      .withColumn("mhb", Text.minHashBankOnce(banding.rows))
     val afterExact = withSig.join(hashes, Seq("h"), "left_anti")
     val gated = (0 until banding.bands).foldLeft(afterExact) { (df, b) =>
-      df.withColumn("sig", Text.bandSigCol(b, banding.rows))
+      df.withColumn("sig", Text.bandSigFromBank(b, banding.rows))
         .join(bandIdx.filter(col("band") === b).select(col("sig")),
           Seq("sig"), "left_anti")
         .drop("sig")
@@ -218,18 +222,17 @@ object TextStreams {
     import spark.implicits._
     import graft.operators.Text
     val bandStructs = (0 until banding.bands).map { b =>
-      struct(lit(b).as("band"), Text.bandSigCol(b, banding.rows).as("sig"))
+      struct(lit(b).as("band"), Text.bandSigFromBank(b, banding.rows).as("sig"))
     }
     stream
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      // plain hs, NO Generate barrier: unlike the admit path (whose
-      // conditional band array defeats codegen subexpression
-      // elimination — see Text.shingleHashesOnce), this unconditional
-      // explode keeps the 8 minhash references CSE'd; A/B measured on
-      // the sf1 replay (tools.TtlShapeProbe): plain 14.8 s vs barrier
-      // 17.1 s — the barrier's extra Generate is pure overhead here
+      // plain hs, NO Generate barrier on the shingle pipeline: this
+      // unconditional path keeps the (single) bank reference CSE'd;
+      // the BANK itself rides its own 1:1 barrier so the band structs
+      // are pure element extraction (see Text.minHashBankOnce)
       .withColumn("hs", Text.shingleHashes)
+      .withColumn("mhb", Text.minHashBankOnce(banding.rows))
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("bs.sig").as("sig"), col("bs.band").as("band"), col("doc_id"))
       .as[(String, Int, Long)]
@@ -322,11 +325,16 @@ object TextStreams {
     import spark.implicits._
     import graft.operators.Text
     val bandStructs = (0 until banding.bands).map { b =>
-      struct(lit(b).as("band"), Text.bandSigCol(b, banding.rows).as("sig"))
+      struct(lit(b).as("band"), Text.bandSigFromBank(b, banding.rows).as("sig"))
     }
     stream
       .withColumn("w", split(col("text"), " "))
       .withColumn("hs", Text.shingleHashesOnce)
+      // the bank behind its own barrier: the conditional band array
+      // below defeats codegen subexpression elimination (the r13
+      // admit finding), so an inline bank would re-evaluate once PER
+      // BAND — measured 2,300 vs 4,912 rows/s on the 500k-doc drain
+      .withColumn("mhb", Text.minHashBankOnce(banding.rows))
       .withColumn("bs",
         when(size(col("w")) >= 3, array(bandStructs: _*))
           .otherwise(array(struct(lit(-1).as("band"),
