@@ -77,8 +77,6 @@ object GenCorpus {
     val nPart = math.max(1L, (200000L * sf).toLong)
     val nOrd = math.max(1L, (1500000L * sf).toLong)
     val nEvt = math.max(1L, (1000000L * sf).toLong)
-    val nDoc = math.max(1L, (50000L * sf).toLong)
-    val nVec = math.max(1L, (20000L * sf).toLong)
 
     val id = col("id")
 
@@ -176,6 +174,21 @@ object GenCorpus {
       format_string("{\"k\": %d}", pmod(h(seed, 30, id), lit(100)))
         .as("props")), nEvt, s"$outDir/events.parquet")
 
+    generateDocsEmb(spark, outDir, sf, seed)
+  }
+
+  /** The documents + embeddings tables alone — the text/vector-domain
+    * slice of [[generate]], bit-identical to the full run's two tables
+    * (every value derives from (table, row id, salt, seed), never from
+    * the other tables). Exists so a text-LSH decade past sf10 (5M docs
+    * at sf100) can be rehearsed without generating the ~150M-row
+    * relational lake alongside it (`--docs-only`).
+    */
+  def generateDocsEmb(spark: SparkSession, outDir: String, sf: Double,
+      seed: Long): Unit = {
+    val nDoc = math.max(1L, (50000L * sf).toLong)
+    val nVec = math.max(1L, (20000L * sf).toLong)
+    val id = col("id")
     // documents: ~5% are near-copies of an earlier doc (text re-derived
     // from the SOURCE id — pure function, no self-join — with 1-2
     // tokens swapped to the "dup" marker), the rest fresh 10..100-word
@@ -228,17 +241,20 @@ object GenCorpus {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenCorpus <outDir> <sf> [--seed N]")
+    require(args.length >= 2,
+      "usage: GenCorpus <outDir> <sf> [--seed N] [--docs-only]")
     val outDir = args(0)
     val sf = args(1).toDouble
     val seed = args.sliding(2).collectFirst {
       case Array("--seed", v) => v.toLong }.getOrElse(42L)
+    val docsOnly = args.contains("--docs-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    generate(spark, outDir, sf, seed)
+    if (docsOnly) generateDocsEmb(spark, outDir, sf, seed)
+    else generate(spark, outDir, sf, seed)
     println(f"""{"gen":"corpus","sf":$sf,"seed":$seed,""" +
       f""""out":"$outDir","wall_s":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     spark.stop()
