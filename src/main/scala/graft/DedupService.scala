@@ -119,7 +119,8 @@ object DedupService {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: DedupService <serviceRoot> <streamDir> [--corpus p] " +
-        "[--interval-ms N] [--max-cycles N] [--files-per-trigger N]")
+        "[--interval-ms N] [--max-cycles N] [--files-per-trigger N] " +
+        "[--auto-reband]")
     val root = args(0)
     val streamDir = args(1)
     def opt(flag: String): Option[String] =
@@ -134,6 +135,13 @@ object DedupService {
     // need the exact fpt=1 survivor set should leave this at 1.
     val filesPerTrigger =
       opt("--files-per-trigger").map(_.toInt).getOrElse(1)
+    // close the banding lifecycle loop IN the service: when the lake
+    // has outgrown the index's pinned construction, run the reband
+    // migration between cycles (the maintenance window the pin's
+    // contract demands — no gate construction is in flight here).
+    // Off by default: a production operator may prefer to schedule
+    // the full-lake rebuild in a quiet window instead.
+    val autoReband = args.contains("--auto-reband")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.configure(
@@ -164,9 +172,13 @@ object DedupService {
     // index-size running total for the reband-drift signal: the index
     // owns the base corpus plus everything landed since (resumed
     // cycles' landed counts are on disk — count once at startup)
+    // only the nothing-landed-yet case reads as 0 — a real read
+    // failure propagates (swallowing it would silently under-count
+    // and suppress the reband_drift signal this total exists for)
     var indexDocs = corpus.count() +
-      (try IngestLoop.landedAll(spark, landRoot).count()
-       catch { case _: Throwable => 0L })
+      (if (IngestLoop.hasLanded(landRoot))
+        IngestLoop.landedAll(spark, landRoot).count()
+      else 0L)
 
     // resume: files already claimed by a previous incarnation's cycle
     // are recorded in that cycle's _manifest.json — the authoritative
@@ -253,6 +265,23 @@ object DedupService {
           (if (mergeS < 0) """"merge_s":-1,"""
            else f""""merge_s":$mergeS%.2f,""") +
           s""""index_docs":$indexDocs,"reband_drift":$drift}""")
+        // BETWEEN cycles (the single-writer maintenance window): the
+        // drift signal just fired and no gate is under construction —
+        // rebuild the index from the full lake under the corpus-derived
+        // construction. Later cycles gate and band under the new pin;
+        // the landed set is unchanged (reband rewrites signatures, not
+        // docs), so landed_total == q123 keep still holds across it.
+        if (autoReband && drift) {
+          val tR = System.nanoTime()
+          val lake =
+            if (IngestLoop.hasLanded(landRoot))
+              corpus.unionByName(IngestLoop.landedAll(spark, landRoot))
+            else corpus
+          val bd = IndexCompaction.reband(spark, idxRoot, lake)
+          println(s"""{"service":"dedup","cycle":$cycle,""" +
+            s""""rebanded":"$bd","lake_docs":$indexDocs,""" +
+            f""""reband_s":${(System.nanoTime() - tR) / 1e9}%.2f}""")
+        }
         cycle += 1
       }
       val elapsed = System.currentTimeMillis() - t0

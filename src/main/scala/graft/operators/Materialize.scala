@@ -270,6 +270,27 @@ object Materialize {
     * encoded in the key — which every graft pipeline stage is by
     * construction.
     */
+  /** A stable landed-ARTIFACT root (not a single parquet table) keyed
+    * like [[table]] — for stages with their own multi-dir layout, e.g.
+    * an IndexCompaction epoch index. The caller owns the layout and
+    * its idempotence/atomicity (IndexCompaction publishes epochs
+    * atomically and init is a no-op on a populated root); this method
+    * only names the dir, creates it, and records the source marker so
+    * the startup sweep retires it when the source data changes —
+    * exactly the staleness discipline every landed table gets.
+    */
+  def artifactRoot(key: String, srcDir: String): java.io.File = {
+    val safe = key.map(c => if (c.isLetterOrDigit) c else '_') +
+      "__" + fpOf(srcDir)
+    val dir = new java.io.File(base, safe)
+    if (dir.mkdirs() || dir.isDirectory) {
+      val marker = dir.toPath.resolve(SrcMarker)
+      if (!java.nio.file.Files.exists(marker))
+        java.nio.file.Files.writeString(marker, srcDir): Unit
+    }
+    dir
+  }
+
   def table(s: SparkSession, key: String, srcDir: String,
       build: => DataFrame): DataFrame = {
     val safe = key.map(c => if (c.isLetterOrDigit) c else '_') +

@@ -59,9 +59,29 @@ object Banding {
   /** Derive-from-corpus sentinel. */
   val Auto: Banding = Banding(0, 0)
 
-  def parse(s: String): Banding = {
-    val Array(b, r) = s.trim.split("x")
-    Banding(b.toInt, r.toInt)
+  /** Parse a `BxR` construction string. `source` names where the
+    * string came from (e.g. a `_banding` manifest path) so a corrupt
+    * or truncated manifest fails with context instead of a bare
+    * MatchError deep inside gate construction. Any positive BxR shape
+    * is accepted — the bank sizing ([[Text.minHashBankOnce]]) honors
+    * bandings wider than the scaleBands shape — but a non-canonical
+    * shape is worth a loud note, so we reject the degenerate cases
+    * (missing separator, non-numeric, non-positive) explicitly.
+    */
+  def parse(s: String, source: String = "banding string"): Banding = {
+    val parts = s.trim.split("x")
+    if (parts.length != 2)
+      throw new IllegalArgumentException(
+        s"$source: expected BxR (e.g. 4x2), got '${s.trim}'")
+    val (b, r) = try (parts(0).toInt, parts(1).toInt) catch {
+      case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$source: non-numeric banding '${s.trim}'", e)
+    }
+    if (b <= 0 || r <= 0)
+      throw new IllegalArgumentException(
+        s"$source: banding must be positive, got ${b}x$r")
+    Banding(b, r)
   }
 }
 
@@ -468,10 +488,19 @@ object Text {
     * evaluations/row at 2,300 rows/s vs 4,912 behind the barrier.
     * Consumers bind `mhb` once after `hs` and extract with
     * [[bandSigFromBank]].
+    *
+    * The bank is sized from the FULL banding — `max(banding.bands,
+    * scaleBands(banding.rows)) * rows` — because [[bandSigFromBank]]
+    * reads indices up to `banding.bands * rows`: a pinned manifest
+    * banding with more bands than the scaleBands shape (constructible
+    * via IndexCompaction.init's public param) would otherwise make
+    * `element_at` read past the bank and, with ANSI off, silently
+    * truncate high-band signatures to empty — turning every arrival
+    * into a collision and the gate into a drop-everything sieve.
     */
-  private[graft] def minHashBankOnce(rows: Int): Column =
+  private[graft] def minHashBankOnce(banding: Banding): Column =
     explode(array(call_function("min_hashes60", col("hs"),
-      lit(scaleBands(rows) * rows))))
+      lit(math.max(banding.bands, scaleBands(banding.rows)) * banding.rows))))
 
   /** Band `bnd`'s signature as pure element extraction over the bound
     * `mhb` bank column — zero recompute per reference.
@@ -508,43 +537,94 @@ object Text {
     * bands, exactly like the streaming operator and the pair pipeline.
     *
     * The band rows come from [[mhBands]] over the shared minhash
-    * aggregate (one read of the landed shingle stage), and the bucket
-    * window never materializes pairs — an m-doc hot bucket costs O(m),
-    * where the pair table's self-join costs O(m²); the decision query
-    * must stay cheap even where the truth stage is expensive.
+    * aggregate (one read of the landed shingle stage), and the owner
+    * side is the landed [[bandOwners]] stage — a groupBy-min with
+    * map-side partial aggregation instead of the previous
+    * `min().over(Window.partitionBy(band, sig))`, whose full sort of
+    * the bands×docs rows was the one slope>1.0 cell in the r14 sf100
+    * rehearsal (27.6 s at 5M docs). The join never materializes
+    * pairs — an m-doc hot bucket costs O(m), where the pair table's
+    * self-join costs O(m²); the decision query must stay cheap even
+    * where the truth stage is expensive.
     */
-  def arrivalDedup(s: SparkSession, dir: String): DataFrame = {
-    val bd = bandingOf(s, dir)
-    val bucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
-    mhBands(minhashAgg(s, dir, bd), bd)
-      .withColumn("owner", min(col("doc_id")).over(bucket))
-      .filter(col("owner") < col("doc_id"))
+  def arrivalDedup(s: SparkSession, dir: String): DataFrame =
+    bandHits(s, dir, bandingOf(s, dir))
       .groupBy(col("doc_id"))
       .agg(min(col("owner")).as("owner"),
         count(lit(1)).cast(LongType).as("n_bands_hit"))
       .orderBy(col("doc_id"))
-  }
 
-  /** Static (band, sig) index over a corpus — the right-hand side of the
-    * streaming near-dup gate's anti-joins. O(bands·docs) rows, distinct.
-    * `banding` is the index's pinned construction ([[Banding.Auto]]
-    * derives it from THIS corpus's size — correct for a fresh index,
-    * wrong for a delta being folded into an existing one, whose pin
-    * the caller must pass).
+  /** Landed BAND-HITS stage: one row per (later doc, band) whose band
+    * signature is owned by an EARLIER doc — the corpus's arrival-order
+    * collision set, i.e. exactly the decision content the dedup
+    * service accumulates incrementally (gate anti-join hits + stream
+    * ownership collisions; the epoch index's `owner` column is the
+    * same derivation). O(collisions) rows — at the occupancy floor a
+    * few percent of the corpus — so every re-audit over an unchanged
+    * corpus is a small read instead of the bands×docs recompute. The
+    * build is one corpus pass: owners via groupBy-min with map-side
+    * partial aggregation (no sort — the Window spelling's full sort of
+    * 45M rows was the 27.6 s / slope-1.21 cell at 5M docs in r14),
+    * solo buckets dropped before the hits join (their only member is
+    * their owner), then one equi-join back onto the band rows.
     */
-  private[graft] def bandIndexOf(docs: DataFrame,
-      banding: Banding = Banding.Auto): DataFrame = {
-    val bd = resolveBanding(banding, docs.count())
+  private[graft] def bandHits(s: SparkSession, dir: String,
+      banding: Banding): DataFrame =
+    Materialize.table(s, hitsKey(dir, banding), dir, {
+      val bands = mhBands(minhashAgg(s, dir, banding), banding)
+      val owners = bands.groupBy(col("band"), col("sig"))
+        .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("band"), col("sig"), col("owner"))
+      bands.join(owners, Seq("band", "sig"))
+        .filter(col("owner") < col("doc_id"))
+        .select(col("doc_id"), col("band"), col("owner"))
+    })
+
+  private def hitsKey(dir: String, bd: Banding): String =
+    if (bd == Banding.Default) s"text_bandhits_$dir"
+    else s"text_bandhits_${dir}_$bd"
+
+  /** Per-row (doc_id, band, sig) band rows of a corpus through the
+    * STREAMING per-row minhash path ([[shingleHashesOnce]] +
+    * [[minHashBankOnce]] barriers) — the un-aggregated form shared by
+    * the static gate index ([[bandIndexOf]]) and the index-backed
+    * arrival audit (IndexCompaction.arrivalAudit), which needs the
+    * doc_id kept. BandingSpec pins its agreement with the batch
+    * [[mhBands]]-over-[[minhashAgg]] spelling.
+    */
+  private[graft] def docBands(docs: DataFrame, bd: Banding): DataFrame = {
     val bandStructs = (0 until bd.bands).map { b =>
       struct(lit(b).as("band"), bandSigFromBank(b, bd.rows).as("sig"))
     }
     docs.select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("hs", shingleHashesOnce)
-      .withColumn("mhb", minHashBankOnce(bd.rows))
-      .select(explode(array(bandStructs: _*)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .distinct()
+      .withColumn("mhb", minHashBankOnce(bd))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"))
+  }
+
+  /** Static (band, sig, owner, m) index over a corpus — the right-hand
+    * side of the streaming near-dup gate's anti-joins (which project
+    * `sig`), PLUS the arrival-order bucket owner (minimum doc_id per
+    * band signature) and the bucket size `m` that make the landed
+    * index an O(delta) audit oracle: a later doc drops iff any of its
+    * band signatures carries an index owner earlier than it, and a
+    * SELF-audit can skip solo buckets (m = 1 — their only member is
+    * their owner) before the join. One row per distinct (band, sig);
+    * owner/m cost two longs per row. `banding` is the index's pinned
+    * construction ([[Banding.Auto]] derives it from THIS corpus's
+    * size — correct for a fresh index, wrong for a delta being folded
+    * into an existing one, whose pin the caller must pass).
+    */
+  private[graft] def bandIndexOf(docs: DataFrame,
+      banding: Banding = Banding.Auto): DataFrame = {
+    val bd = resolveBanding(banding, docs.count())
+    docBands(docs, bd)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("m"))
   }
 
   /** Distinct md5 content hashes of a corpus (single column `h`) — the

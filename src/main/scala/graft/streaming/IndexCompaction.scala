@@ -24,10 +24,17 @@ import graft.operators.{Banding, Materialize, Text}
   *
   * Index layout (one root dir = one gate index):
   * {{{
-  *   root/epoch_00000000/bands/   (band INT, sig STRING)   parquet
+  *   root/epoch_00000000/bands/   (band, sig, owner BIGINT, m BIGINT)
   *   root/epoch_00000000/hashes/  (h STRING)               parquet
   *   root/epoch_00000001/...                               (delta)
   * }}}
+  * `owner` is the arrival-order bucket owner (minimum doc_id per band
+  * signature within the epoch; MIN across epochs = the corpus bucket
+  * owner) and `m` the bucket size (SUM across epochs). The gate's
+  * anti-joins project `sig` and never read them; they exist so the
+  * landed index doubles as the arrival-order audit oracle
+  * ([[arrivalAudit]] / [[arrivalSelfAudit]]) — a re-audit reads the
+  * epochs instead of re-deriving a corpus-sized banded aggregate.
   *
   * Spark-first scale story: a MINOR compaction appends a delta epoch
   * holding ONLY the newly-landed docs' bands/hashes — O(new docs), not
@@ -160,7 +167,8 @@ object IndexCompaction {
 
   def indexBanding(root: String): Banding = {
     val f = new java.io.File(root, BandingFile)
-    if (f.isFile) Banding.parse(java.nio.file.Files.readString(f.toPath))
+    if (f.isFile) Banding.parse(java.nio.file.Files.readString(f.toPath),
+      s"_banding manifest at ${f.getPath}")
     else Banding.Default
   }
 
@@ -217,18 +225,36 @@ object IndexCompaction {
     */
   def reband(spark: SparkSession, root: String, corpus: DataFrame,
       banding: Banding = Banding.Auto): Banding = {
-    val bd = Text.resolveBanding(banding, corpus.count())
-    val tmp = new java.io.File(root + ".reband_tmp")
-    val old = new java.io.File(root + ".reband_old")
-    Materialize.deleteRecursively(tmp)
-    Materialize.deleteRecursively(old)
-    init(spark, tmp.getPath, corpus, bd)
-    java.nio.file.Files.move(new java.io.File(root).toPath, old.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(root).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-    Materialize.deleteRecursively(old)
-    bd
+    // single-writer lease: the maintenance-window contract is enforced,
+    // not just documented — a second reband (or a crashed one's stale
+    // lease) fails loudly instead of racing the directory swap.
+    val lease = new java.io.File(root + ".reband_lock")
+    if (!lease.createNewFile())
+      throw new IllegalStateException(
+        s"reband already in progress (lease ${lease.getPath} exists; " +
+          "remove it only if the prior reband crashed)")
+    try {
+      val bd = Text.resolveBanding(banding, corpus.count())
+      val tmp = new java.io.File(root + ".reband_tmp")
+      val old = new java.io.File(root + ".reband_old")
+      Materialize.deleteRecursively(tmp)
+      Materialize.deleteRecursively(old)
+      init(spark, tmp.getPath, corpus, bd)
+      java.nio.file.Files.move(new java.io.File(root).toPath, old.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      java.nio.file.Files.move(tmp.toPath, new java.io.File(root).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      // fail loudly if the swap somehow left no live index (a reader in
+      // the rename window would see an empty index and gate nothing)
+      if (epochs(root).isEmpty)
+        throw new IllegalStateException(
+          s"reband swap left no live epochs at $root " +
+            s"(old index preserved at ${old.getPath})")
+      Materialize.deleteRecursively(old)
+      bd
+    } finally {
+      lease.delete(): Unit
+    }
   }
 
   /** True when the lake has grown past the index's pinned construction:
@@ -281,8 +307,15 @@ object IndexCompaction {
       Materialize.deleteRecursively(new java.io.File(root, epochName(e))))
     val es = epochs(root)
     require(es.nonEmpty, s"no index at $root to merge")
+    // fold the arrival-order audit columns: a (band, sig) present in
+    // two epochs keeps the EARLIEST owner and the SUMMED bucket size,
+    // so the merged segment stays an exact audit oracle (distinct()
+    // would keep both rows and break the one-row-per-signature
+    // contract)
     val mergedBands = spark.read
-      .parquet(es.map(e => s"$root/${epochName(e)}/bands"): _*).distinct()
+      .parquet(es.map(e => s"$root/${epochName(e)}/bands"): _*)
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("owner")).as("owner"), sum(col("m")).as("m"))
     val mergedHashes = spark.read
       .parquet(es.map(e => s"$root/${epochName(e)}/hashes"): _*).distinct()
     val next = publishRetrying(root, es.last + 1L, mergedBands, mergedHashes)
@@ -365,4 +398,69 @@ object IndexCompaction {
       bands(spark, root).localCheckpoint(true),
       hashes(spark, root).localCheckpoint(true), keepText,
       banding = indexBanding(root))
+
+  /** Arrival-order dedup AUDIT of `docs` (doc_id, text) against this
+    * landed index: a doc drops iff any of its band signatures carries
+    * an index owner EARLIER than it; output (doc_id, owner,
+    * n_bands_hit) — per dropped doc the earliest such owner and the
+    * number of its bands hit, exactly q123's shape and rule. The index
+    * side is READ (epochs min-folded per signature), never re-derived,
+    * so the audit costs O(docs being audited): a re-audit after a
+    * compaction pays only the delta, where the previous full-corpus
+    * spelling re-paid the bands×corpus aggregate every run (27.6 s and
+    * the only slope>1.0 cell at 5M docs in the r14 rehearsal).
+    * Auditing an index's own full corpus reproduces q123 exactly —
+    * the epoch owners min-fold to the corpus bucket minimum, which is
+    * the Window spelling's `min(doc_id) over (partition by band, sig)`
+    * (CompactionSpec pins the equality; q152 oracle-pins it per driver
+    * SF with an independently-spelled DuckDB twin).
+    */
+  def arrivalAudit(spark: SparkSession, root: String,
+      docs: DataFrame): DataFrame =
+    auditJoin(indexOwners(spark, root),
+      Text.docBands(docs.select(col("doc_id"), col("text")),
+        indexBanding(root)))
+
+  /** Full-corpus SELF-audit: the arrival-order decision table for the
+    * index's OWN corpus, from band rows the caller already has (e.g.
+    * the landed batch minhash aggregate — one landed-stage read, no
+    * per-row re-banding of the whole corpus). Solo buckets (m = 1)
+    * are skipped before the join — their only member is their owner,
+    * so they can't produce a drop; at the LSH occupancy floor that
+    * removes ~95% of the index side. ONLY valid when `bandRows` are
+    * exactly the index corpus's bands — a delta audited this way would
+    * wrongly skip the size-1 buckets its docs collide with (use
+    * [[arrivalAudit]] for deltas).
+    */
+  def arrivalSelfAudit(spark: SparkSession, root: String,
+      bandRows: DataFrame): DataFrame =
+    auditJoin(indexOwners(spark, root).filter(col("m") >= 2), bandRows)
+
+  /** The index's per-signature (owner, m), min/sum-folded across live
+    * epochs — with a no-aggregation fast path for the single-segment
+    * index a MAJOR merge (or a fresh [[init]]) leaves, where each
+    * (band, sig) already appears exactly once.
+    */
+  private def indexOwners(spark: SparkSession, root: String): DataFrame = {
+    val b = bands(spark, root)
+    // loud legacy check: an index built before the audit columns
+    // existed cannot answer audit queries — rebuild it (reband does)
+    // rather than resolving to a confusing analysis error downstream
+    require(b.columns.contains("owner") && b.columns.contains("m"),
+      s"index at $root predates the (owner, m) audit schema — " +
+        "rebuild it (IndexCompaction.reband) before auditing")
+    if (epochs(root).size <= 1) b
+    else b.groupBy(col("band"), col("sig"))
+      .agg(min(col("owner")).as("owner"), sum(col("m")).as("m"))
+  }
+
+  private def auditJoin(owners: DataFrame, bandRows: DataFrame): DataFrame =
+    bandRows
+      .join(owners.select(col("band"), col("sig"), col("owner")),
+        Seq("band", "sig"))
+      .filter(col("owner") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("owner")).as("owner"),
+        count(lit(1)).cast("long").as("n_bands_hit"))
+      .orderBy(col("doc_id"))
 }

@@ -192,15 +192,27 @@ object IngestLoop {
   }
 
   /** All landed docs across the loop's cycles so far (doc_id, text). */
-  def landedAll(spark: SparkSession, landRoot: String): DataFrame = {
-    val dirs = Option(new java.io.File(landRoot).listFiles())
+  /** The landed cycle dirs that actually contain batch partitions — a
+    * zero-admit cycle lands no `batch_id=` dirs at all, and reading
+    * such a dir would throw "Unable to infer schema".
+    */
+  private def landedDirs(landRoot: String): Array[String] =
+    Option(new java.io.File(landRoot).listFiles())
       .getOrElse(Array.empty).filter(f =>
         f.isDirectory && f.getName.startsWith("cycle_") &&
-          // a zero-admit cycle lands no batch_id partitions at all —
-          // reading such a dir would throw "Unable to infer schema"
           Option(f.listFiles()).getOrElse(Array.empty)
             .exists(_.getName.startsWith("batch_id=")))
       .map(_.getAbsolutePath)
+
+  /** True when [[landedAll]] has something to read — callers that seed
+    * running totals at startup branch on this instead of swallowing
+    * the empty-index require (a real read failure must propagate, or
+    * it silently under-counts and suppresses the reband-drift signal).
+    */
+  def hasLanded(landRoot: String): Boolean = landedDirs(landRoot).nonEmpty
+
+  def landedAll(spark: SparkSession, landRoot: String): DataFrame = {
+    val dirs = landedDirs(landRoot)
     require(dirs.nonEmpty, s"no landed cycles under $landRoot")
     // one read per cycle dir: each is independently partitioned by
     // batch_id, so a multi-path read would see conflicting layouts

@@ -123,16 +123,22 @@ object TextStreams {
       hashes: DataFrame, keepText: Boolean = false,
       banding: Banding = Banding.Default): DataFrame = {
     import graft.operators.Text
-    val withSig = stream
+    // exact content-hash anti-join FIRST: rows the cheap byte-identical
+    // layer eliminates never pay the shingle pipeline or the nMh-deep
+    // minhash bank — at the derived (7,5)+ depths the bank projection
+    // is the dominant per-row cost, and the LSH fold is its only
+    // consumer.
+    val afterExact = stream
       .withColumn("h", md5(col("text").cast("binary")))
+      .join(hashes, Seq("h"), "left_anti")
+    val withSig = afterExact
       .withColumn("w", split(col("text"), " "))
       .withColumn("hs", Text.shingleHashesOnce)
       // one minhash-bank evaluation per row, shared by every band's
       // anti-join step (Text.minHashBankOnce — the barrier keeps the
       // fold's per-step projections from re-deriving it)
-      .withColumn("mhb", Text.minHashBankOnce(banding.rows))
-    val afterExact = withSig.join(hashes, Seq("h"), "left_anti")
-    val gated = (0 until banding.bands).foldLeft(afterExact) { (df, b) =>
+      .withColumn("mhb", Text.minHashBankOnce(banding))
+    val gated = (0 until banding.bands).foldLeft(withSig) { (df, b) =>
       df.withColumn("sig", Text.bandSigFromBank(b, banding.rows))
         .join(bandIdx.filter(col("band") === b).select(col("sig")),
           Seq("sig"), "left_anti")
@@ -232,7 +238,7 @@ object TextStreams {
       // the BANK itself rides its own 1:1 barrier so the band structs
       // are pure element extraction (see Text.minHashBankOnce)
       .withColumn("hs", Text.shingleHashes)
-      .withColumn("mhb", Text.minHashBankOnce(banding.rows))
+      .withColumn("mhb", Text.minHashBankOnce(banding))
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("bs.sig").as("sig"), col("bs.band").as("band"), col("doc_id"))
       .as[(String, Int, Long)]
@@ -334,7 +340,7 @@ object TextStreams {
       // below defeats codegen subexpression elimination (the r13
       // admit finding), so an inline bank would re-evaluate once PER
       // BAND — measured 2,300 vs 4,912 rows/s on the 500k-doc drain
-      .withColumn("mhb", Text.minHashBankOnce(banding.rows))
+      .withColumn("mhb", Text.minHashBankOnce(banding))
       .withColumn("bs",
         when(size(col("w")) >= 3, array(bandStructs: _*))
           .otherwise(array(struct(lit(-1).as("band"),

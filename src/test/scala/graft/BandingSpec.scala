@@ -110,6 +110,73 @@ class BandingSpec extends SparkSpec {
       "500k docs derive (7,5) — drift against a (5,3) pin")
   }
 
+  test("a pin WIDER than the scaleBands shape never truncates: the bank " +
+      "is sized from the full banding, so high bands carry real sigs") {
+    import spark.implicits._
+    // bands=6 > scaleBands(2)=4: before the bank-sizing fix the per-row
+    // path sized the bank at 4*2=8 minhashes while bands 4 and 5 read
+    // elements 9..12 — with ANSI off element_at returned null and
+    // concat_ws silently collapsed those sigs to "" (every arrival
+    // would collide in an all-empty band and the gate dropped all)
+    val bd = Banding(6, 2)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w v u t s"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val idx = Text.bandIndexOf(docs, bd).collect()
+    assert(idx.map(_.getInt(0)).toSet === (0 until 6).toSet,
+      "all 6 bands present")
+    idx.foreach { r =>
+      val sig = r.getString(1)
+      assert(sig.count(_ == '_') == 1 && !sig.split("_").exists(_.isEmpty),
+        s"band ${r.getInt(0)} sig '$sig' is truncated/empty")
+    }
+    // and the wide per-row path still agrees with the batch spelling
+    val P = 1073741789L
+    val sh = Text.shinglesOf(docs).withColumn("hh", Text.hash60(col("sh")) % P)
+    val mhCols = (0 until bd.nMh).map(j =>
+      min((lit(Text.mhA(j)) * col("hh") + lit(Text.mhB(j))) % P).as(s"mh$j"))
+    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val batch = Text.mhBands(mh, bd).collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(idx.map(r => (r.getInt(0), r.getString(1))).toSet === batch)
+  }
+
+  test("Banding.parse validates shape and names its source") {
+    assert(Banding.parse("4x2") === Banding.Default)
+    assert(Banding.parse(" 7x5\n") === Banding(7, 5))
+    val e1 = intercept[IllegalArgumentException] {
+      Banding.parse("4x", "_banding manifest at /idx/_banding")
+    }
+    assert(e1.getMessage.contains("/idx/_banding"))
+    val e2 = intercept[IllegalArgumentException] { Banding.parse("axb") }
+    assert(e2.getMessage.contains("non-numeric"))
+    val e3 = intercept[IllegalArgumentException] { Banding.parse("0x2") }
+    assert(e3.getMessage.contains("positive"))
+    assert(intercept[IllegalArgumentException] { Banding.parse("") }
+      .getMessage.contains("expected BxR"))
+  }
+
+  test("reband holds a single-writer lease: a stale lock fails loudly, " +
+      "a clean run removes its own") {
+    import spark.implicits._
+    val root = tempDir("banding_lease").getAbsolutePath + "/index"
+    val lake = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    IndexCompaction.init(spark, root, lake)
+    val lock = new java.io.File(root + ".reband_lock")
+    java.nio.file.Files.writeString(lock.toPath, "stale"): Unit
+    val e = intercept[IllegalStateException] {
+      IndexCompaction.reband(spark, root, lake, Banding(5, 3))
+    }
+    assert(e.getMessage.contains("reband already in progress"))
+    assert(IndexCompaction.indexBanding(root) === Banding.Default,
+      "a refused reband must leave the live index untouched")
+    lock.delete()
+    assert(IndexCompaction.reband(spark, root, lake, Banding(5, 3)) ===
+      Banding(5, 3))
+    assert(!lock.exists(), "a completed reband releases its lease")
+  }
+
   test("an empty-seeded index floors at the default pin") {
     import spark.implicits._
     val root = tempDir("banding_empty").getAbsolutePath + "/index"

@@ -46,9 +46,13 @@ class CompactionSpec extends SparkSpec {
     assert(IndexCompaction.epochs(root) === Seq(0L, 1L))
     // union view covers both epochs
     val bands = IndexCompaction.bands(spark, root)
-    assert(bands.columns.toSeq === Seq("band", "sig"))
+    assert(bands.columns.toSeq === Seq("band", "sig", "owner", "m"))
     val expected = Text.bandIndexOf(c.unionAll(delta))
-    assert(bands.distinct().count() === expected.count())
+    // distinct over the SIGNATURE key — a (band, sig) landing in two
+    // epochs rightly carries each epoch's own owner until a merge or
+    // an audit min-folds them
+    assert(bands.select(col("band"), col("sig")).distinct().count() ===
+      expected.count())
     assert(IndexCompaction.hashes(spark, root).distinct().count() === 2L)
     // ---- MAJOR merge with a CONCURRENT READER: the reader lists the
     // pre-merge epoch set (lazy union), the merge runs, and the
@@ -58,7 +62,8 @@ class CompactionSpec extends SparkSpec {
     val merged = IndexCompaction.merge(spark, root)
     assert(IndexCompaction.epochs(root) === Seq(merged),
       "tombstoned epochs must vanish from the live listing")
-    assert(preMergeBands.distinct().count() === expected.count(),
+    assert(preMergeBands.select(col("band"), col("sig")).distinct()
+        .count() === expected.count(),
       "a reader holding the pre-merge epoch set must still read it " +
         "(grace-period deletion, not immediate)")
     assert(IndexCompaction.foldedEpochs(root) === Seq(0L, 1L),
@@ -195,6 +200,52 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("arrivalAudit over the landed index: full-corpus audit equals " +
+      "q123 row-for-row; a delta audit reads the epochs, costs O(delta), " +
+      "and survives a MAJOR merge") {
+    import spark.implicits._
+    val docs = docsWithSource.select(col("doc_id"), col("text"))
+    val root = tempDir("audit_idx").toPath.toString + "/idx"
+    IndexCompaction.init(spark, root, docs)
+
+    // ---- full-corpus audit == q123 (owner, n_bands_hit and all) ----
+    val expected = Text.arrivalDedup(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = IndexCompaction.arrivalAudit(spark, root, docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected,
+      "index-backed audit must reproduce the q123 decision table exactly")
+    assert(expected.nonEmpty, "fixture corpus must contain near-dups")
+    // the SELF-audit (landed batch bands + solo-bucket skip) agrees too
+    val bd = Text.bandingOf(spark, sfDir)
+    val self = IndexCompaction.arrivalSelfAudit(spark, root,
+      Text.mhBands(Text.minhashAgg(spark, sfDir, bd), bd))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(self === expected,
+      "self-audit from the batch aggregate must match the q123 table")
+
+    // ---- O(delta): auditing a doc subset returns exactly the full
+    // audit restricted to those docs (decisions vs the WHOLE index,
+    // not vs the delta) ----
+    val cut = docs.agg(expr("percentile_approx(doc_id, 0.8)")).head().getLong(0)
+    val delta = docs.filter(col("doc_id") > cut)
+    val deltaGot = IndexCompaction.arrivalAudit(spark, root, delta)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(deltaGot === expected.filter(_._1 > cut),
+      "delta audit = full audit restricted to the delta docs")
+
+    // ---- the audit decisions are merge-invariant: min-folded owners
+    // across epochs equal the single-segment owners ----
+    IndexCompaction.compact(spark, root,
+      Seq((999999999L, docs.orderBy(col("doc_id")).first().getString(1)))
+        .toDF("doc_id", "text"))
+    IndexCompaction.merge(spark, root): Unit
+    val afterMerge = IndexCompaction.arrivalAudit(spark, root, docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(afterMerge === expected,
+      "a merged index (owners min-folded) must not change any decision")
+  }
+
   test("crash DURING merge: a merge killed mid-tombstoning (and one " +
       "killed right after publish) leaves unchanged gate decisions, " +
       "and the recovery merge double-folds the stragglers") {
@@ -208,7 +259,8 @@ class CompactionSpec extends SparkSpec {
     IndexCompaction.compact(spark, root,
       Seq((3L, s"three $filler p q r")).toDF("doc_id", "text"))
     def bandSet(): Set[(Int, String)] =
-      IndexCompaction.bands(spark, root).distinct()
+      IndexCompaction.bands(spark, root)
+        .select(col("band"), col("sig")).distinct()
         .as[(Int, String)].collect().toSet
     def hashSet(): Set[String] =
       IndexCompaction.hashes(spark, root).distinct()
