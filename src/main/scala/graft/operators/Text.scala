@@ -576,7 +576,10 @@ object Text {
         .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("m"))
         .filter(col("m") >= 2)
         .select(col("band"), col("sig"), col("owner"))
-      bands.join(owners, Seq("band", "sig"))
+      // owners as the hinted shuffle-hash build side: the bands side
+      // is corpus×bands-sized and must never be the broadcast or the
+      // sorted side (see IndexCompaction.auditJoin)
+      bands.join(owners.hint("SHUFFLE_HASH"), Seq("band", "sig"))
         .filter(col("owner") < col("doc_id"))
         .select(col("doc_id"), col("band"), col("owner"))
     })

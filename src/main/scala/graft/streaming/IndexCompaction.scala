@@ -456,7 +456,18 @@ object IndexCompaction {
 
   private def auditJoin(owners: DataFrame, bandRows: DataFrame): DataFrame =
     bandRows
-      .join(owners.select(col("band"), col("sig"), col("owner")),
+      // build the hash on the OWNERS side, shuffled: the bands side is
+      // corpus×bands-sized and a post-Generate size misestimate can
+      // tip the planner into broadcasting IT (measured at sf10: the
+      // 3.5M-row exploded side got broadcast, 6.2 s; at 45M rows that
+      // is an OOM, and the sort-merge fallback re-imports the full
+      // sort the band-hits respelling removed). The hinted shuffle
+      // hash join shuffles both sides by the band key and builds only
+      // per-partition owner maps — scale-safe at any corpus size, and
+      // AQE still downgrades to broadcast when the owners side is
+      // genuinely small.
+      .join(owners.select(col("band"), col("sig"), col("owner"))
+          .hint("SHUFFLE_HASH"),
         Seq("band", "sig"))
       .filter(col("owner") < col("doc_id"))
       .groupBy(col("doc_id"))
