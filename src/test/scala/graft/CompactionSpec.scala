@@ -239,6 +239,13 @@ class CompactionSpec extends SparkSpec {
     IndexCompaction.compact(spark, root,
       Seq((999999999L, docs.orderBy(col("doc_id")).first().getString(1)))
         .toDF("doc_id", "text"))
+    // TWO live epochs: the audit's cross-epoch owners fold (min owner,
+    // summed m) must leave every original decision unchanged — the
+    // late duplicate owns nothing
+    val twoEpochs = IndexCompaction.arrivalAudit(spark, root, docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(twoEpochs === expected,
+      "a delta epoch with a LATER duplicate must not change any decision")
     IndexCompaction.merge(spark, root): Unit
     val afterMerge = IndexCompaction.arrivalAudit(spark, root, docs)
       .as[(Long, Long, Long)].collect().toSeq
