@@ -49,6 +49,39 @@ object CurationQueries {
         |WHERE greatest(round(n_common / s1.n_sh, 6), round(n_common / s2.n_sh, 6)) >= 0.8
         |ORDER BY d1, d2""".stripMargin)),
 
+    // q153: the SAMPLED containment audit — q55's 100 TB spelling,
+    // oracle-checked at an EXPLICIT 1/8 fingerprint-stratified sample
+    // (the q150/q151 discipline) so the path a production corpus
+    // actually runs — where the full intersection's co-occurrence mass
+    // filled the disk at 500k docs — has its own exact DuckDB twin at
+    // every driver SF.
+    QueryDef("q153_containment_sampled",
+      (s, d) => Curation.containmentPairs(s, d, sampleMod = 8), Some(
+      """WITH sh_all AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w)-2),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |fpt AS (SELECT doc_id,
+        |          MIN(CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS fp
+        |        FROM sh_all GROUP BY doc_id),
+        |ids AS (SELECT doc_id FROM fpt WHERE fp % 8 = 0),
+        |sh AS (SELECT * FROM sh_all JOIN ids USING (doc_id)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, n_common,
+        |  round(n_common / s1.n_sh, 6) AS c1,
+        |  round(n_common / s2.n_sh, 6) AS c2
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE greatest(round(n_common / s1.n_sh, 6), round(n_common / s2.n_sh, 6)) >= 0.8
+        |ORDER BY d1, d2""".stripMargin)),
+
     QueryDef("q56_word_bigrams", (s, d) => Curation.wordBigrams(s, d), Some(
       """SELECT pair, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
         |FROM (

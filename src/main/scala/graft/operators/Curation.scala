@@ -64,14 +64,47 @@ object Curation {
     * needs more bands at the same threshold because min-wise signatures
     * estimate Jaccard, which lower-bounds containment).
     */
+  /** Asymmetric containment pairs (q55): max(n_common/s1, n_common/s2)
+    * ≥ threshold — the "small doc swallowed by a big doc" report that
+    * symmetric Jaccard misses.
+    *
+    * Scale: containment truth is intrinsically quadratic in shingle
+    * co-occurrence AND invisible to symmetric MinHash banding (a doc
+    * fully contained in one 100× its size has Jaccard ≈ 0.01 — no band
+    * can catch it), so past [[Text.RecallSampleTarget]] docs the audit
+    * runs on the deterministic fingerprint-stratified 1/mod doc sample
+    * (`sampleMod` 0 = derive from corpus size; every driver SF derives
+    * 1, so the q55 oracle reads the FULL landed intersection stage and
+    * is exact; q153 oracle-pins the sampled path at mod=8). MEASURED
+    * motivation, round 15: the full intersection at 500k GenCorpus
+    * docs filled the disk with shuffle spill (~1e10 co-occurrence
+    * rows, `No space left on device` after ~100 GB) — the same lesson
+    * as q150 at sf100, now carried by the derivation instead of a DNF.
+    * Containment sampling keeps contained-pair ENDPOINTS together for
+    * exact copies and near-copies (shared argmin shingle) but a doc
+    * contained in a much larger doc often fingerprints differently —
+    * the sampled audit measures the rate among fingerprint-stable
+    * pairs, the same honest-bias note as [[Text.docSampleIds]].
+    */
   def containmentPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame =
-    Text.shingleInter(s, dir)
+      threshold: Double = 0.8, sampleMod: Int = 0): DataFrame = {
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else Text.sampleModOf(Text.nDocsOf(s, dir))
+    val inter =
+      if (mod == 1) Text.shingleInter(s, dir) // the landed full stage
+      else Materialize.table(s, s"text_inter_s_${dir}_fp$mod", dir,
+        Text.shingleInterOf(
+          Text.docShingles(s, dir)
+            .join(Text.docSampleIds(s, dir, mod), "doc_id")
+            .select(col("doc_id"), col("sh"))))
+    inter
       .withColumn("c1", round(col("n_common") / col("s1"), 6))
       .withColumn("c2", round(col("n_common") / col("s2"), 6))
       .filter(greatest(col("c1"), col("c2")) >= threshold)
       .select(col("d1"), col("d2"), col("n_common"), col("c1"), col("c2"))
       .orderBy(col("d1"), col("d2"))
+  }
 
   /** Top-k adjacent-word pair counts (q56) — the statistic behind the
     * first merge round of BPE-style tokenizer training: the most frequent

@@ -266,16 +266,25 @@ object Text {
     * to this stage.
     */
   private[graft] def shingleInter(s: SparkSession, dir: String): DataFrame =
-    Materialize.table(s, s"text_inter_$dir", dir, {
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = sh.toDF("d1", "sh").hint("SHUFFLE_HASH")
-      val b = sh.toDF("d2", "sh").hint("SHUFFLE_HASH")
-      a.join(b, "sh").filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
-        .join(sizes.toDF("d1", "s1"), "d1")
-        .join(sizes.toDF("d2", "s2"), "d2")
-    })
+    Materialize.table(s, s"text_inter_$dir", dir,
+      shingleInterOf(shingles(s, dir)))
+
+  /** The exact-intersection stage over an arbitrary (doc_id, sh)
+    * shingle set: (d1, d2, n_common, s1, s2) for every shingle-sharing
+    * pair. The quadratic truth primitive behind [[shingleInter]] (full
+    * corpus, landed) and the SAMPLED audits (q55's derived-mod
+    * containment, q153's pinned 1/8 twin) — the caller bounds the doc
+    * set; this emits every co-occurrence of what it is given.
+    */
+  private[graft] def shingleInterOf(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("d1", "sh").hint("SHUFFLE_HASH")
+    val b = sh.toDF("d2", "sh").hint("SHUFFLE_HASH")
+    a.join(b, "sh").filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.toDF("d1", "s1"), "d1")
+      .join(sizes.toDF("d2", "s2"), "d2")
+  }
 
   /** Same operator over an arbitrary (doc_id, sh) shingle set.
     *
@@ -419,12 +428,17 @@ object Text {
     Banding(scaleBands(r), r)
   }
 
-  /** The corpus-derived banding for a lake dir (doc count cached per
-    * dir per JVM — a parquet metadata scan).
+  /** Doc count of a lake dir, cached per dir per JVM (a parquet
+    * metadata scan on first touch) — the input to every corpus-size
+    * derivation (banding, sample mod).
     */
+  private[graft] def nDocsOf(s: SparkSession, dir: String): Long =
+    nDocCache.computeIfAbsent(dir,
+      d => Tables.documents(s, d).count()).longValue()
+
+  /** The corpus-derived banding for a lake dir. */
   def bandingOf(s: SparkSession, dir: String): Banding =
-    bandingFor(nDocCache.computeIfAbsent(dir,
-      d => Tables.documents(s, d).count()).longValue())
+    bandingFor(nDocsOf(s, dir))
 
   /** Resolve the [[Banding.Auto]] sentinel against a (lazily counted)
     * corpus size.
