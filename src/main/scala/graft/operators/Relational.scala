@@ -690,17 +690,28 @@ object Relational {
     * aggregation plus one pure equi-join.
     */
   def soleReturnSuppliers(s: SparkSession, dir: String): DataFrame = {
+    // The explicit key not-null filters are load-bearing for exchange
+    // reuse: without them the two consumers of `g` push DIFFERENT
+    // inferred IsNotNull sets into their lineitem scans (the final
+    // supplier join adds IsNotNull(l_suppkey) on one branch only), the
+    // subtrees stop being identical, and ReuseExchange silently plans
+    // TWO scan+shuffle pipelines over the fact table.
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
     // ONE distinct-shuffle feeds both sides: the per-(order, supplier)
-    // any-R row set, and its per-order rollup. The checkpoint IS
-    // lineitem-proportional, but it replaces two replays of the
-    // scan+aggregate with one materialization to executor-local
-    // storage (same residency class as the shuffle files the replays
-    // would write anyway).
+    // any-R row set, and its per-order rollup. Both consumers reference
+    // the SAME aggregate subtree, so ReuseExchange deduplicates the
+    // scan + fact shuffle inside the one query — only the cheap
+    // post-shuffle final aggregation replays per branch. (This was a
+    // localCheckpoint(true) until round 15: at 600M lineitem rows the
+    // checkpoint's BlockManager materialization is lineitem-
+    // proportional UNEVICTABLE disk — it filled the host and killed
+    // the query, where the reused exchange's shuffle files for the
+    // identical data are written once and managed by the shuffle
+    // layer.)
     val g = li.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
-      .localCheckpoint(true)
     val ord = g.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r"))
       .filter(col("n_supp") >= 2 && col("n_r") === 1)
