@@ -120,7 +120,7 @@ object DedupService {
     require(args.length >= 2,
       "usage: DedupService <serviceRoot> <streamDir> [--corpus p] " +
         "[--interval-ms N] [--max-cycles N] [--files-per-trigger N] " +
-        "[--auto-reband]")
+        "[--auto-reband] [--banding BxR]")
     val root = args(0)
     val streamDir = args(1)
     def opt(flag: String): Option[String] =
@@ -142,6 +142,14 @@ object DedupService {
     // Off by default: a production operator may prefer to schedule
     // the full-lake rebuild in a quiet window instead.
     val autoReband = args.contains("--auto-reband")
+    // size the index for its TARGET corpus, not its seed: a service
+    // booted with an empty/small --corpus but a known lake-scale target
+    // must band at the target's depth or q123-equivalence breaks (the
+    // init doc's "Size a long-lived production index for its TARGET
+    // corpus" contract, exposed as the operator knob it implies)
+    val banding = opt("--banding")
+      .map(operators.Banding.parse(_, "--banding flag"))
+      .getOrElse(operators.Banding.Auto)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.configure(
@@ -168,17 +176,23 @@ object DedupService {
         import spark.implicits._
         Seq.empty[(Long, String)].toDF("doc_id", "text")
     }
-    IndexCompaction.init(spark, idxRoot, corpus)
-    // index-size running total for the reband-drift signal: the index
-    // owns the base corpus plus everything landed since (resumed
-    // cycles' landed counts are on disk — count once at startup)
-    // only the nothing-landed-yet case reads as 0 — a real read
-    // failure propagates (swallowing it would silently under-count
-    // and suppress the reband_drift signal this total exists for)
-    var indexDocs = corpus.count() +
-      (if (IngestLoop.hasLanded(landRoot))
-        IngestLoop.landedAll(spark, landRoot).count()
-      else 0L)
+    // a crashed auto-reband must be repaired BEFORE init: a crash
+    // between reband's two swap renames leaves no live index, and a
+    // bare init would silently rebuild epoch 0 from the base corpus
+    // alone — landed docs vanish from the gate and their near-dups get
+    // re-admitted; a stranded reband lease would crash-loop every
+    // later drift-triggered reband
+    IndexCompaction.recoverReband(idxRoot).foreach(note =>
+      println(s"""{"service":"dedup","reband_recovery":${jstr(note)}}"""))
+    // belt-and-braces for a genuinely lost index (recovery found
+    // nothing to restore): seed the rebuild from corpus ∪ landed — the
+    // lake the index is supposed to gate — never the base corpus alone
+    val seed =
+      if (IndexCompaction.epochs(idxRoot).isEmpty &&
+          IngestLoop.hasLanded(landRoot))
+        corpus.unionByName(IngestLoop.landedAll(spark, landRoot))
+      else corpus
+    IndexCompaction.init(spark, idxRoot, seed, banding)
 
     // resume: files already claimed by a previous incarnation's cycle
     // are recorded in that cycle's _manifest.json — the authoritative
@@ -223,6 +237,18 @@ object DedupService {
             s""""landed":${st.landed},"folded":${st.folded}}""")
         }
       }
+    // index-size running total for the reband-drift signal: the index
+    // owns the base corpus plus everything landed since. Seeded AFTER
+    // the crashed-cycle resume — the resumed cycle's landings are on
+    // disk by now, so the total counts them (seeding before the resume
+    // undercounted the lake by the resumed cycle's docs, muting the
+    // drift signal until the next restart). Only the nothing-landed-yet
+    // case reads as 0 — a real read failure propagates (swallowing it
+    // would silently under-count and suppress reband_drift)
+    var indexDocs = corpus.count() +
+      (if (IngestLoop.hasLanded(landRoot))
+        IngestLoop.landedAll(spark, landRoot).count()
+      else 0L)
     val stopFile = new java.io.File(root, "STOP")
     while (!stopFile.exists() && cycle < maxCycles) {
       val t0 = System.currentTimeMillis()
@@ -277,10 +303,20 @@ object DedupService {
             if (IngestLoop.hasLanded(landRoot))
               corpus.unionByName(IngestLoop.landedAll(spark, landRoot))
             else corpus
-          val bd = IndexCompaction.reband(spark, idxRoot, lake)
-          println(s"""{"service":"dedup","cycle":$cycle,""" +
-            s""""rebanded":"$bd","lake_docs":$indexDocs,""" +
-            f""""reband_s":${(System.nanoTime() - tR) / 1e9}%.2f}""")
+          // a held lease (another maintenance job, or an operator who
+          // forgot one) is a SKIP, not a death: drift is re-signalled
+          // every cycle, so the reband retries next interval instead of
+          // crash-looping the whole ingest service on a lock file
+          try {
+            val bd = IndexCompaction.reband(spark, idxRoot, lake)
+            println(s"""{"service":"dedup","cycle":$cycle,""" +
+              s""""rebanded":"$bd","lake_docs":$indexDocs,""" +
+              f""""reband_s":${(System.nanoTime() - tR) / 1e9}%.2f}""")
+          } catch {
+            case e: IllegalStateException =>
+              println(s"""{"service":"dedup","cycle":$cycle,""" +
+                s""""reband_skipped":${jstr(e.getMessage)}}""")
+          }
         }
         cycle += 1
       }

@@ -32,6 +32,23 @@ object GraftSession {
       // default 100-entry ring silently undercounts long drains
       .config("spark.sql.streaming.numRecentProgressUpdates", "4000")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // rehearsal-only overrides (semicolon-separated k=v). Scale
+      // rehearsals shrink DATA by 10-1000× but Spark's skew/advisory
+      // byte thresholds don't shrink with it — a 100 TB cluster's
+      // 256 MB skew threshold is ~1 MB at an sf10 rehearsal. The knob
+      // lets a rehearsal run scale those thresholds down WITHOUT
+      // changing the engine configuration every committed bench uses
+      // (unset = identical config to before).
+      .config(sys.env.get("SPARK_GRAFT_EXTRA_CONF") match {
+        case Some(kvs) =>
+          val m = new org.apache.spark.SparkConf(false)
+          kvs.split(';').filter(_.contains("=")).foreach { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            m.set(k.trim, v.trim)
+          }
+          m
+        case None => new org.apache.spark.SparkConf(false)
+      })
 
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val s = configure(

@@ -128,9 +128,27 @@ object TextQueries {
     * the corpus, then run the O(audited-docs) audit against it. At
     * driver SFs the full-corpus audit equals q123 row-for-row; in the
     * service the same call audits only a delta against the live index.
+    *
+    * `sampleMod` is the audit's scale knob (the q107/q150 discipline):
+    * past [[operators.Text.AuditSampleTarget]] docs the probe side is a
+    * deterministic 1/mod sample of the corpus, stratified by CONTENT
+    * FINGERPRINT — here mh0, the first seeded minhash, which the landed
+    * minhash aggregate already carries, so the sample costs ONE pushed
+    * filter on a doc-sized scan (no shingle re-aggregation). mh0
+    * conditioning keeps collision partners together (docs sharing a
+    * band-0 bucket share mh0 by construction; partners in other bands
+    * share it with probability ≈ Jaccard), so the sampled audit is
+    * positives-enriched — the right bias for a drop-decision audit,
+    * and deterministic in any engine (the oracle computes the same
+    * mh0). Sentinel 0 derives the mod from corpus size: mod 1 (the
+    * FULL audit — bit-identical to the pre-derivation q152) at every
+    * driver SF, sf1 and sf10; mod 16 first at the 5M-doc fourth
+    * decade. The m≥2 solo-bucket skip stays valid for any corpus
+    * SUBSET: a sampled doc in a size-1 bucket is that bucket's owner,
+    * so it can never be a drop.
     */
   private def arrivalAuditIndexed(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String, sampleMod: Int = 0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val bd = operators.Text.bandingOf(s, d)
     // v2: the epoch-bands layout grew (owner, m) audit columns — the
@@ -139,10 +157,16 @@ object TextQueries {
     graft.streaming.IndexCompaction.init(s, root.getPath,
       graft.sources.Tables.documents(s, d).select(col("doc_id"), col("text")),
       bd)
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else operators.Text.sampleModOf(operators.Text.nDocsOf(s, d),
+        operators.Text.AuditSampleTarget)
     // self-audit from the LANDED batch minhash aggregate (pinned equal
     // to the per-row banding) — no per-row re-banding of the corpus
+    val mh = operators.Text.minhashAgg(s, d, bd)
+    val probe = if (mod <= 1) mh else mh.filter(col("mh0") % mod === 0)
     graft.streaming.IndexCompaction.arrivalSelfAudit(s, root.getPath,
-      operators.Text.mhBands(operators.Text.minhashAgg(s, d, bd), bd))
+      operators.Text.mhBands(probe, bd))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -227,6 +251,29 @@ object TextQueries {
          |SELECT b.doc_id, MIN(o.owner) AS owner,
          |  CAST(COUNT(*) AS BIGINT) AS n_bands_hit
          |FROM bands b JOIN owners o ON b.band = o.band AND b.sig = o.sig
+         |WHERE o.owner < b.doc_id
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+    // q154: the SAMPLED index audit — q152's 100 TB spelling,
+    // oracle-checked at an EXPLICIT 1/8 sample so the path a
+    // production lake actually runs past the derivation threshold
+    // (where min-folding the full corpus's band rows through the
+    // audit join is the steepest remaining audit cell) has its own
+    // exact DuckDB twin at every driver SF. The sample is stratified
+    // by mh0 — the first seeded minhash, a content fingerprint the
+    // landed aggregate already carries (one pushed filter, no shingle
+    // re-aggregation; the oracle's mh CTE computes the identical
+    // value). The OWNERS side stays the FULL index — per-doc drop
+    // decisions are exact, only the set of audited docs is sampled.
+    QueryDef("q154_arrival_audit_sampled",
+      (s, d) => arrivalAuditIndexed(s, d, sampleMod = 8), Some(
+      s"""WITH $BAND_CTES,
+         |owners AS (
+         |  SELECT band, sig, MIN(doc_id) AS owner FROM bands GROUP BY 1, 2)
+         |SELECT b.doc_id, MIN(o.owner) AS owner,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bands_hit
+         |FROM bands b
+         |JOIN mh ON b.doc_id = mh.doc_id AND mh.mh0 % 8 = 0
+         |JOIN owners o ON b.band = o.band AND b.sig = o.sig
          |WHERE o.owner < b.doc_id
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
 

@@ -197,8 +197,18 @@ object Materialize {
     } else {
       val marker = new java.io.File(dir, SrcMarker)
       val fpIdx = name.lastIndexOf("__")
-      if (!marker.isFile || fpIdx < 0) false
-      else {
+      if (fpIdx < 0) false
+      else if (!marker.isFile) {
+        // published-shape name but no marker: a crash inside
+        // artifactRoot's mkdirs→marker window. isStale() can never
+        // retire it (nothing records its source), so without an age
+        // fence it leaks forever once the source data changes (a new
+        // fingerprint mints a new root name). Any LIVE root is
+        // far inside the grace window — its marker lands milliseconds
+        // after mkdirs.
+        val mtime = dir.lastModified()
+        mtime > 0L && nowMs - mtime > LegacyTmpGraceMs
+      } else {
         val named = name.drop(fpIdx + 2)
         val src = try java.nio.file.Files.readString(marker.toPath).trim
                   catch { case _: Throwable => return false }
@@ -285,8 +295,23 @@ object Materialize {
     val dir = new java.io.File(base, safe)
     if (dir.mkdirs() || dir.isDirectory) {
       val marker = dir.toPath.resolve(SrcMarker)
-      if (!java.nio.file.Files.exists(marker))
-        java.nio.file.Files.writeString(marker, srcDir): Unit
+      if (!java.nio.file.Files.exists(marker)) {
+        // marker lands ATOMICALLY (tmp + move), like table()'s publish:
+        // a crash mid-write must never leave a half-written marker that
+        // isStale() would read as a bogus source path and keep forever.
+        // A lost move race means a concurrent caller of the same
+        // (key, srcDir) landed the identical marker — keep theirs.
+        val tmp = dir.toPath.resolve(s".$SrcMarker.tmp_${pid}")
+        java.nio.file.Files.writeString(tmp, srcDir): Unit
+        try java.nio.file.Files.move(tmp, marker,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(marker) =>
+            java.nio.file.Files.deleteIfExists(tmp): Unit
+        }
+      }
     }
     dir
   }

@@ -774,6 +774,19 @@ object Text {
     */
   private[graft] val RecallSampleTarget = 6250L
 
+  /** Doc budget for the SAMPLED index audits (q152's derivation). Far
+    * larger than [[RecallSampleTarget]] because the audit join is
+    * LINEAR in the sampled docs (each band row probes one owner
+    * bucket), not quadratic like the recall sweep's ground truth — the
+    * budget is set by "the probe side should stay a sub-second scan",
+    * not by a self-join blowup. 500k docs × bands ≈ a few million probe
+    * rows at any banding depth. Every driver SF, sf1 and sf10 sit
+    * UNDER the budget (derived mod 1 — the full audit, so committed
+    * artifacts and oracle hashes are untouched); the derivation first
+    * engages at the fourth decade (5M docs → mod 16).
+    */
+  private[graft] val AuditSampleTarget = 500000L
+
   /** Smallest power-of-two modulus keeping n/mod ≤ the target. */
   private[graft] def sampleModOf(nDocs: Long,
       target: Long = RecallSampleTarget): Int = {

@@ -268,17 +268,87 @@ object IndexCompaction {
   def rebandDrift(root: String, lakeDocs: Long): Boolean =
     Text.bandingFor(lakeDocs).rows > indexBanding(root).rows
 
+  /** STARTUP recovery from a crashed [[reband]] — call it where a
+    * single process owns the index (a service boot, before [[init]]).
+    * A reband crash has exactly three observable leftovers, each
+    * repaired here:
+    *
+    *  - crash BETWEEN the two swap renames: the live index is gone and
+    *    the old one sits at `<root>.reband_old` — restore it (move it
+    *    back). Without this, a restart's `init` would silently rebuild
+    *    epoch 0 from the BASE corpus only: every doc landed since
+    *    vanishes from the gate and its near-dups get re-admitted.
+    *  - crash AFTER the swap completed (before the old copy's
+    *    cleanup): both indexes exist — the live one is the new pin;
+    *    sweep the stale old copy.
+    *  - a stranded `.reband_lock` lease: at a single-owner boot no
+    *    reband can be in flight, so the lease is provably stale —
+    *    remove it (leaving it would crash-loop every later
+    *    drift-triggered reband on IllegalStateException).
+    *
+    * Returns a short note per repair (empty = clean boot). The
+    * half-built `.reband_tmp` sibling needs no handling here: the next
+    * reband sweeps it.
+    */
+  def recoverReband(root: String): Seq[String] = {
+    val notes = scala.collection.mutable.ArrayBuffer[String]()
+    val old = new java.io.File(root + ".reband_old")
+    if (old.isDirectory) {
+      if (epochs(root).isEmpty) {
+        Materialize.deleteRecursively(new java.io.File(root))
+        java.nio.file.Files.move(old.toPath,
+          new java.io.File(root).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        notes += s"restored pre-reband index from ${old.getPath}"
+      } else {
+        Materialize.deleteRecursively(old)
+        notes += s"swept stale ${old.getPath} (reband had completed)"
+      }
+    }
+    val lease = new java.io.File(root + ".reband_lock")
+    if (lease.isFile && lease.delete())
+      notes += s"removed stale reband lease ${lease.getPath}"
+    notes.toSeq
+  }
+
+  /** Fail loudly when any live epoch's bands segment predates the
+    * (owner, m) audit schema. Mixing schemas inside one index is the
+    * silent-wrong-answer case: the multi-path parquet read samples ONE
+    * file's schema, so when it samples a new-format file the legacy
+    * rows read owner/m as NULL — min(owner) skips them, a merge bakes
+    * wrong owners into the merged segment, and audits miss drops while
+    * a whole-index columns check still passes. One footer read per
+    * epoch (epoch counts are merge-bounded), so the guard is cheap.
+    */
+  private def requireAuditSchema(spark: SparkSession, root: String,
+      doing: String): Unit = {
+    val legacy = epochs(root).filter { e =>
+      val cols = spark.read.parquet(s"$root/${epochName(e)}/bands")
+        .schema.fieldNames.toSet
+      !(cols.contains("owner") && cols.contains("m"))
+    }
+    require(legacy.isEmpty,
+      s"cannot $doing: epoch(s) ${legacy.mkString(", ")} at $root predate " +
+        "the (owner, m) audit schema — rebuild the index " +
+        "(IndexCompaction.reband) first")
+  }
+
   /** MINOR compaction: fold `landedDocs` (doc_id, text — the docs that
     * landed in the lake since the last compaction) into the index as a
     * new delta epoch, banded with the INDEX's pinned construction —
     * never the delta's own size. Returns the published epoch number.
     * O(new docs). A lost epoch-number race (another compaction landed
     * first) retries under the next free number — deltas are never
-    * interchangeable, so ours must still land.
+    * interchangeable, so ours must still land. Refuses to append a
+    * new-format delta beside legacy (band, sig)-only epochs — that
+    * would plant the mixed-schema landmine [[requireAuditSchema]]
+    * exists to catch.
     */
-  def compact(spark: SparkSession, root: String, landedDocs: DataFrame): Long =
+  def compact(spark: SparkSession, root: String, landedDocs: DataFrame): Long = {
+    requireAuditSchema(spark, root, "compact a delta into this index")
     publishRetrying(root, epochs(root).lastOption.getOrElse(-1L) + 1L,
       bandsOf(landedDocs, indexBanding(root)), hashesOf(landedDocs))
+  }
 
   /** MAJOR compaction: merge every live epoch into one distinct
     * segment (published as the next epoch number) and TOMBSTONE the
@@ -307,6 +377,7 @@ object IndexCompaction {
       Materialize.deleteRecursively(new java.io.File(root, epochName(e))))
     val es = epochs(root)
     require(es.nonEmpty, s"no index at $root to merge")
+    requireAuditSchema(spark, root, "merge this index")
     // fold the arrival-order audit columns: a (band, sig) present in
     // two epochs keeps the EARLIEST owner and the SUMMED bucket size,
     // so the merged segment stays an exact audit oracle (distinct()
@@ -442,13 +513,13 @@ object IndexCompaction {
     * (band, sig) already appears exactly once.
     */
   private def indexOwners(spark: SparkSession, root: String): DataFrame = {
+    // loud legacy check, PER EPOCH: an index built (or partially built)
+    // before the audit columns existed cannot answer audit queries —
+    // a whole-index columns check would pass on a mixed index while
+    // the legacy epochs' rows read owner/m as null and silently
+    // disappear from min(owner)
+    requireAuditSchema(spark, root, "audit against this index")
     val b = bands(spark, root)
-    // loud legacy check: an index built before the audit columns
-    // existed cannot answer audit queries — rebuild it (reband does)
-    // rather than resolving to a confusing analysis error downstream
-    require(b.columns.contains("owner") && b.columns.contains("m"),
-      s"index at $root predates the (owner, m) audit schema — " +
-        "rebuild it (IndexCompaction.reband) before auditing")
     if (epochs(root).size <= 1) b
     else b.groupBy(col("band"), col("sig"))
       .agg(min(col("owner")).as("owner"), sum(col("m")).as("m"))

@@ -67,8 +67,26 @@ object GenCorpus {
     df.repartition(math.max(1, (rows / 250000L).toInt))
       .write.mode("overwrite").parquet(path)
 
+  /** `--skew` rehearsal knob: every rehearsed decade of the default
+    * corpus is UNIFORM (all values are (id, salt, seed) hashes), but a
+    * real 100 TB lake is not — so the skewed variant concentrates a
+    * seed-pinned 30% of each fact table's foreign keys on a handful of
+    * hot entities (10 customers, 5 suppliers, 10 parts, 10 users) and,
+    * in the text domain, replaces 25% of word draws with one of two
+    * hot tokens (hot vocabulary ⇒ hot shingles ⇒ hot LSH buckets).
+    * Dimension keyspaces, row counts, schemas, and the dup-mechanics
+    * are unchanged, so every bench/rehearsal harness runs on it
+    * unmodified; with the flag off the output stays bit-identical to
+    * the pre-knob generator (the skewed draws never evaluate).
+    */
+  private def hotKey(skew: Boolean, seed: Long, salt: Int, nHot: Int,
+      uniform: Column, keys: Column*): Column =
+    if (!skew) uniform
+    else when(pmod(h(seed, salt, keys: _*), lit(10)) < 3,
+      pmod(h(seed, salt + 1, keys: _*), lit(nHot))).otherwise(uniform)
+
   def generate(spark: SparkSession, outDir: String, sf: Double,
-      seed: Long): Unit = {
+      seed: Long, skew: Boolean = false): Unit = {
     // match the driver lake's physical encoding (µs timestamps)
     spark.conf.set("spark.sql.parquet.outputTimestampType",
       "TIMESTAMP_MICROS")
@@ -120,7 +138,8 @@ object GenCorpus {
     // over O/P/F uncorrelated with the date — matching the driver data
     val orders = spark.range(nOrd).select(
       id.as("o_orderkey"),
-      pmod(h(seed, 11, id), lit(nCust)).as("o_custkey"),
+      hotKey(skew, seed, 50, 10, pmod(h(seed, 11, id), lit(nCust)), id)
+        .as("o_custkey"),
       pick(Seq("O", "P", "F"), pmod(h(seed, 12, id), lit(3)))
         .as("o_orderstatus"),
       round(lit(1000d) + u(seed, 13, id) * 499000d, 2).as("o_totalprice"),
@@ -140,8 +159,10 @@ object GenCorpus {
     val ln = col("l_linenumber")
     write(li.select(
       id.as("l_orderkey"),
-      pmod(h(seed, 17, id, ln), lit(nPart)).as("l_partkey"),
-      pmod(h(seed, 18, id, ln), lit(nSupp)).as("l_suppkey"),
+      hotKey(skew, seed, 52, 10, pmod(h(seed, 17, id, ln), lit(nPart)),
+        id, ln).as("l_partkey"),
+      hotKey(skew, seed, 54, 5, pmod(h(seed, 18, id, ln), lit(nSupp)),
+        id, ln).as("l_suppkey"),
       ln,
       (pmod(h(seed, 19, id, ln), lit(50)) + 1).cast("double")
         .as("l_quantity"),
@@ -167,14 +188,15 @@ object GenCorpus {
       id.as("event_id"),
       timestamp_micros(lit(1704067200000000L) +
         h(seed, 26, id) * lit(2592L)).cast("timestamp_ntz").as("ts"),
-      pmod(h(seed, 27, id), lit(nUsers)).as("user_id"),
+      hotKey(skew, seed, 56, 10, pmod(h(seed, 27, id), lit(nUsers)), id)
+        .as("user_id"),
       pick(eventTypes, pmod(h(seed, 28, id), lit(5))).as("event_type"),
       round(-log((h(seed, 29, id) + 1).cast("double") / 1e9) * 50d, 2)
         .as("value"),
       format_string("{\"k\": %d}", pmod(h(seed, 30, id), lit(100)))
         .as("props")), nEvt, s"$outDir/events.parquet")
 
-    generateDocsEmb(spark, outDir, sf, seed)
+    generateDocsEmb(spark, outDir, sf, seed, skew)
   }
 
   /** The documents + embeddings tables alone — the text/vector-domain
@@ -185,7 +207,7 @@ object GenCorpus {
     * relational lake alongside it (`--docs-only`).
     */
   def generateDocsEmb(spark: SparkSession, outDir: String, sf: Double,
-      seed: Long): Unit = {
+      seed: Long, skew: Boolean = false): Unit = {
     val nDoc = math.max(1L, (50000L * sf).toLong)
     val nVec = math.max(1L, (20000L * sf).toLong)
     val id = col("id")
@@ -206,9 +228,19 @@ object GenCorpus {
     val srcId = when(isDup, cand).otherwise(id)
     def docText(j: Column, mutateAt: Column): Column = {
       val nWords = (pmod(h(seed, 33, j), lit(91)) + 10).cast(IntegerType)
-      concat_ws(" ", transform(sequence(lit(1), nWords), w =>
-        when(w === mutateAt || w === mutateAt + 7, lit("dup"))
-          .otherwise(pick(vocab, pmod(h(seed, 34, j, w), lit(30))))))
+      concat_ws(" ", transform(sequence(lit(1), nWords), w => {
+        // hot tokens (--skew): 25% of word draws collapse onto two
+        // tokens ⇒ hot shingles ⇒ hot LSH buckets / hot term groups.
+        // Keyed on (SOURCE id, position) like the base draw, so a
+        // near-dup copies its source's hot tokens and stays a near-dup
+        val base = pick(vocab, pmod(h(seed, 34, j, w), lit(30)))
+        val tok =
+          if (!skew) base
+          else when(pmod(h(seed, 58, j, w), lit(4)) === 0,
+            pick(Seq("data", "the"), pmod(h(seed, 59, j, w), lit(2))))
+            .otherwise(base)
+        when(w === mutateAt || w === mutateAt + 7, lit("dup")).otherwise(tok)
+      }))
     }
     // 1 in 4 copies stays EXACT (mutateAt −100 never matches a word
     // index); the rest swap 1-2 tokens — the ref's exact/near-dup mix
@@ -242,20 +274,21 @@ object GenCorpus {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: GenCorpus <outDir> <sf> [--seed N] [--docs-only]")
+      "usage: GenCorpus <outDir> <sf> [--seed N] [--docs-only] [--skew]")
     val outDir = args(0)
     val sf = args(1).toDouble
     val seed = args.sliding(2).collectFirst {
       case Array("--seed", v) => v.toLong }.getOrElse(42L)
     val docsOnly = args.contains("--docs-only")
+    val skew = args.contains("--skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
-    if (docsOnly) generateDocsEmb(spark, outDir, sf, seed)
-    else generate(spark, outDir, sf, seed)
-    println(f"""{"gen":"corpus","sf":$sf,"seed":$seed,""" +
+    if (docsOnly) generateDocsEmb(spark, outDir, sf, seed, skew)
+    else generate(spark, outDir, sf, seed, skew)
+    println(f"""{"gen":"corpus","sf":$sf,"seed":$seed,"skew":$skew,""" +
       f""""out":"$outDir","wall_s":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     spark.stop()
   }

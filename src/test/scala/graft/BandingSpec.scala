@@ -177,6 +177,42 @@ class BandingSpec extends SparkSpec {
     assert(!lock.exists(), "a completed reband releases its lease")
   }
 
+  test("recoverReband repairs every reband crash shape: a lost swap is " +
+      "restored, a completed swap's leftover is swept, a stranded lease " +
+      "is removed, a clean boot is a no-op") {
+    import spark.implicits._
+    val root = tempDir("banding_recover").getAbsolutePath + "/index"
+    val lake = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    IndexCompaction.init(spark, root, lake)
+    val rootF = new java.io.File(root)
+    val old = new java.io.File(root + ".reband_old")
+    val lock = new java.io.File(root + ".reband_lock")
+
+    // crash BETWEEN the two swap renames: live index gone, pre-reband
+    // index stranded at .reband_old, lease still held
+    java.nio.file.Files.move(rootF.toPath, old.toPath)
+    lock.createNewFile()
+    val notes = IndexCompaction.recoverReband(root)
+    assert(notes.size === 2, s"expected restore + lease notes, got $notes")
+    assert(IndexCompaction.epochs(root) === Seq(0L),
+      "the pre-reband index must be restored as the live index")
+    assert(!old.exists() && !lock.exists())
+    assert(IndexCompaction.bands(spark, root).count() > 0,
+      "the restored index must gate again")
+
+    // crash AFTER the swap completed (before the old copy's cleanup):
+    // both indexes exist — keep the live one, sweep the stale copy
+    old.mkdirs()
+    java.nio.file.Files.writeString(
+      old.toPath.resolve("leftover"), "stale"): Unit
+    assert(IndexCompaction.recoverReband(root).size === 1)
+    assert(!old.exists(), "a completed reband's old copy must be swept")
+    assert(IndexCompaction.epochs(root) === Seq(0L))
+
+    // clean boot: nothing to repair
+    assert(IndexCompaction.recoverReband(root).isEmpty)
+  }
+
   test("an empty-seeded index floors at the default pin") {
     import spark.implicits._
     val root = tempDir("banding_empty").getAbsolutePath + "/index"

@@ -342,5 +342,53 @@ class CompactionSpec extends SparkSpec {
     assert(merged4 > merged3 && recovered2 > merged4)
   }
 
+  test("a legacy (band, sig)-only epoch fails compact/merge/audit LOUDLY " +
+      "— mixed epoch schemas must never silently null the audit columns") {
+    import spark.implicits._
+    val root = tempDir("gate_index_legacy").toPath.toString + "/idx"
+    val filler = (0 until 30).map(i => s"leg$i").mkString(" ")
+    IndexCompaction.init(spark, root,
+      Seq((1L, s"one $filler")).toDF("doc_id", "text"))
+    IndexCompaction.compact(spark, root,
+      Seq((2L, s"two $filler a b c")).toDF("doc_id", "text"))
+    // regress epoch 1's bands to the pre-(owner, m) layout — the
+    // on-disk state a pre-upgrade index (or a crashed partial upgrade)
+    // presents: schema sampling then reads legacy rows' owner/m as
+    // null and min(owner) silently skips them
+    val bandsDir = new java.io.File(root, s"${epochDirName(1L)}/bands")
+    val legacyRows = spark.read.parquet(bandsDir.getPath)
+      .select(col("band"), col("sig")).as[(Int, String)].collect().toSeq
+    graft.operators.Materialize.deleteRecursively(bandsDir)
+    legacyRows.toDF("band", "sig").write.parquet(bandsDir.getPath)
+
+    def mustRefuse(op: String)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("audit schema") &&
+        e.getMessage.contains("reband"),
+        s"$op must name the schema problem and the fix, got: ${e.getMessage}")
+    }
+    mustRefuse("compact")(IndexCompaction.compact(spark, root,
+      Seq((3L, s"three $filler p q r")).toDF("doc_id", "text")))
+    mustRefuse("merge")(IndexCompaction.merge(spark, root))
+    mustRefuse("audit")(IndexCompaction.arrivalAudit(spark, root,
+      Seq((9L, s"one $filler")).toDF("doc_id", "text")).collect())
+    // the GATE keeps working on the mixed index — its anti-joins
+    // project only (band, sig), which every epoch carries
+    val probe = Seq(
+      (10L, s"two $filler a b c"),
+      (13L, (0 until 40).map(i => s"fresh$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("eventTime", to_timestamp(lit("2025-08-03T13:00:00Z")))
+    assert(IndexCompaction.gate(spark, root, probe)
+      .collect().map(_.getLong(0)).toSet === Set(13L),
+      "gating never needed the audit columns")
+    // reband (the directed fix) heals the index: audits work again
+    IndexCompaction.reband(spark, root,
+      Seq((1L, s"one $filler"), (2L, s"two $filler a b c"))
+        .toDF("doc_id", "text"))
+    assert(IndexCompaction.arrivalAudit(spark, root,
+      Seq((9L, s"one $filler")).toDF("doc_id", "text")).count() === 1L)
+  }
+
   private def epochDirName(n: Long) = f"epoch_$n%08d"
 }

@@ -79,4 +79,55 @@ class GenCorpusSpec extends SparkSpec {
       math.abs(norms.getDouble(1) - 1d) < 1e-3, "unit-norm embeddings")
     assert(emb.select(col("label")).distinct().count() === 10L)
   }
+
+  test("--skew concentrates ~30% of fact keys on the hot entities and " +
+      "~25% of word draws on the hot tokens; base columns are unchanged") {
+    val plain = tempDir("gen_flat").getAbsolutePath
+    val skew = tempDir("gen_skew").getAbsolutePath
+    tools.GenCorpus.generate(spark, plain, 0.004, 42L)
+    tools.GenCorpus.generate(spark, skew, 0.004, 42L, skew = true)
+
+    def hotShare(dir: String, table: String, key: String, nHot: Int): Double = {
+      val df = spark.read.parquet(s"$dir/$table.parquet")
+      df.filter(col(key) < nHot).count().toDouble / df.count()
+    }
+    // hot share = 30% routed + the uniform mass the hot ids keep
+    assert(hotShare(skew, "orders", "o_custkey", 10) > 0.25)
+    assert(hotShare(plain, "orders", "o_custkey", 10) < 0.1)
+    assert(hotShare(skew, "lineitem", "l_suppkey", 5) > 0.25)
+    assert(hotShare(skew, "lineitem", "l_partkey", 10) > 0.25)
+    assert(hotShare(skew, "events", "user_id", 10) > 0.25)
+
+    def hotTokenShare(dir: String): Double = {
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      toks.filter(col("tok").isin("data", "the")).count().toDouble /
+        toks.count()
+    }
+    assert(hotTokenShare(skew) > 0.2, "hot tokens must dominate word draws")
+    assert(hotTokenShare(plain) < 0.12, "the flat corpus draws uniformly")
+
+    // skew touches ONLY the intended key/token columns: everything else
+    // (row counts, keys, measures) is bit-identical to the flat run
+    def agree(table: String, cols: Seq[String]): Unit = {
+      val sel = cols.map(col)
+      val a = spark.read.parquet(s"$plain/$table.parquet").select(sel: _*)
+      val b = spark.read.parquet(s"$skew/$table.parquet").select(sel: _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$table ${cols.mkString(",")} must not change under --skew")
+    }
+    agree("orders", Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    agree("lineitem", Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate"))
+    agree("events", Seq("event_id", "ts", "event_type", "value"))
+    agree("customer", Seq("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment"))
+    // documents keep their structure (ids, sources, dup mechanics) —
+    // only the token draws change
+    agree("documents", Seq("doc_id", "source"))
+    val dups = spark.read.parquet(s"$skew/documents.parquet")
+      .filter(col("text").contains(" dup ")).count()
+    assert(dups > 0, "dup mechanics must survive the hot-token rewrite")
+  }
 }

@@ -32,7 +32,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
     }
 
   test("the sweep is real: every registry query yields a non-trivial plan") {
-    assert(plans.size >= 153, s"registry shrank to ${plans.size} queries")
+    assert(plans.size >= 154, s"registry shrank to ${plans.size} queries")
     val empty = plans.collect { case (n, p) if p.linesIterator.size < 3 => n }
     assert(empty.isEmpty, s"degenerate plans: $empty")
     // layout guard: if FormattedMode stops printing operator trees the

@@ -116,6 +116,28 @@ class MaterializeSpec extends SparkSpec {
     assert(!Materialize.isStaleShared(d))
   }
 
+  test("shared sweep: a marker-less published-shape dir ages out — kept " +
+      "while young (a live artifactRoot's marker lands ms after mkdirs), " +
+      "swept past the grace window (the mkdirs→marker crash leftover " +
+      "nothing else can ever retire)") {
+    val d = new java.io.File(sharedBase, "spec_sweep_agedroot__deadbeef")
+    d.mkdirs()
+    assert(!Materialize.isStaleShared(d), "young marker-less root is kept")
+    val later = System.currentTimeMillis() +
+      Materialize.LegacyTmpGraceMs + 60000L
+    assert(Materialize.isStaleShared(d, nowMs = later),
+      "aged marker-less root must be swept")
+    // with a marker present, age is irrelevant — staleness is the
+    // fingerprint's job
+    val src = tmpDirWith("aged-but-live")
+    val live = new java.io.File(sharedBase,
+      safeKey("spec_sweep_agedlive", Materialize.fingerprint(src.toString)))
+    live.mkdirs()
+    java.nio.file.Files.writeString(
+      live.toPath.resolve("_graft_src"), src.toString)
+    assert(!Materialize.isStaleShared(live, nowMs = later))
+  }
+
   test("shared sweep: abandoned temp dir of a dead pid on THIS host is stale; live pid, foreign host, and legacy host-less names are kept") {
     val proc = tempDir("fake_proc_")
     Files.createDirectory(proc.toPath.resolve("4242"))
