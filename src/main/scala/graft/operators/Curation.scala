@@ -308,11 +308,15 @@ object Curation {
     */
   def skewReport(s: SparkSession, dir: String): DataFrame = {
     def keyStats(name: String, keyed: DataFrame): DataFrame = {
-      // key-count table feeds the top-10 branch AND the summary agg;
-      // land it once per relation (for shingles it is vocab-sized and
-      // its build is a corpus explode + shuffle)
+      // key-count table feeds the top-10 branch AND the summary agg.
+      // Both consumers reference the SAME aggregate subtree, so AQE
+      // exchange reuse runs the corpus scan + count shuffle once and
+      // only the cheap post-shuffle final agg replays per branch (the
+      // q94 pattern). r15 eager-localCheckpoint'd this instead, which
+      // cost 4 driver-blocking materialization jobs per run (21 jobs
+      // total, measured; now 6) and — the round-15 q94 lesson — pinned
+      // a vocab-sized table in unevictable BlockManager disk at scale.
       val cnt = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
       val top = cnt.orderBy(col("c").desc, col("k")).limit(10)
         .agg(sum(col("c")).as("top10"))
       cnt.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),

@@ -401,35 +401,52 @@ object EventWindows {
       .withColumn("r_days",
         expr("(unix_millis(mx) - unix_millis(last_ts)) div 86400000"))
       .withColumn("m_cents", expr("CAST(m_total * 100 AS BIGINT)"))
-      // one row per purchasing user — eager-checkpoint so the THREE
-      // chained rank passes (each with a bucket-offsets branch that
-      // re-reads this table) start from landed blocks instead of each
-      // replaying the corpus-sized purchase aggregation
-      .localCheckpoint(true)
+    // One row per purchasing user. Every consumer (three chained rank
+    // passes, each with a bucket-offsets branch, plus the n_total
+    // scalar) references this SAME subtree, so AQE exchange reuse runs
+    // the corpus-sized purchase aggregation's scan + shuffle once and
+    // replays only post-shuffle user-summary work per branch. r15
+    // eager-localCheckpoint'd here, which serialized the query behind a
+    // driver-blocking materialization (26 jobs measured, now one
+    // pipelined query) and pinned a users-sized table in unevictable
+    // BlockManager storage at scale — the round-15 q94 lesson.
     val n = u.agg(count(lit(1)).as("n_total"))
 
     // global rank without a global window: in-bucket rank + broadcast
     // exclusive bucket offsets (the bucket summary is the only thing a
-    // partition-less window ever sees)
-    def grank(df: DataFrame, bucketC: Column, inOrder: Seq[Column],
+    // partition-less window ever sees). All three bucket columns are
+    // pinned on u up front, and ONE exploded histogram shuffle computes
+    // all three bucket-count tables at once (r15 ran one offsets shuffle
+    // per metric — three passes over the user summary for three tiny
+    // histograms); each metric's offsets then filter out of the shared
+    // histogram and broadcast into its rank join.
+    val ub = u.withColumn("bkt_r", col("r_days"))
+      .withColumn("bkt_f", -col("f_cnt"))
+      .withColumn("bkt_m", -expr("m_cents div 10000"))
+    val wOff = Window.partitionBy(col("metric")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ub.select(explode(array(
+        struct(lit("r").as("metric"), col("bkt_r").as("bkt")),
+        struct(lit("f").as("metric"), col("bkt_f").as("bkt")),
+        struct(lit("m").as("metric"), col("bkt_m").as("bkt")))).as("mb"))
+      .select(col("mb.metric").as("metric"), col("mb.bkt").as("bkt"))
+      .groupBy(col("metric"), col("bkt")).agg(count(lit(1)).as("bn"))
+      .select(col("metric"), col("bkt"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
+    def grank(df: DataFrame, metric: String, inOrder: Seq[Column],
         name: String): DataFrame = {
-      val b = df.withColumn("bkt", bucketC)
-      val wOff = Window.orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = b.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
-        .select(col("bkt"),
-          coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
-      val wIn = Window.partitionBy(col("bkt")).orderBy(inOrder: _*)
-      b.withColumn("rn_in", row_number().over(wIn))
-        .join(broadcast(offsets), "bkt")
+      val wIn = Window.partitionBy(col(s"bkt_$metric")).orderBy(inOrder: _*)
+      df.withColumn("rn_in", row_number().over(wIn))
+        .join(broadcast(offsets.filter(col("metric") === metric)
+          .select(col("bkt").as(s"bkt_$metric"), col("off"))), s"bkt_$metric")
         .withColumn(name, col("off") + col("rn_in"))
-        .drop("bkt", "rn_in", "off")
+        .drop("rn_in", "off")
     }
-    val ranked = Seq[(Column, Seq[Column], String)](
-      (col("r_days"), Seq(col("user_id")), "r_rank"),
-      (-col("f_cnt"), Seq(col("user_id")), "f_rank"),
-      (-expr("m_cents div 10000"), Seq(col("m_cents").desc, col("user_id")), "m_rank")
-    ).foldLeft(u) { case (df, (bkt, ord, nm)) => grank(df, bkt, ord, nm) }
+    val ranked = Seq[(String, Seq[Column], String)](
+      ("r", Seq(col("user_id")), "r_rank"),
+      ("f", Seq(col("user_id")), "f_rank"),
+      ("m", Seq(col("m_cents").desc, col("user_id")), "m_rank")
+    ).foldLeft(ub) { case (df, (m, ord, nm)) => grank(df, m, ord, nm) }
 
     ranked.crossJoin(broadcast(n))
       .select(concat(lit("R"), expr("(4 * (r_rank - 1)) div n_total + 1"),

@@ -94,8 +94,14 @@ object Relational {
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+    // Optimization round 16 (guide §2.3 — filter before the shuffle):
+    // semi-join the segment's customers into ORDERS first, so the
+    // fact-fact join's orders side carries only BUILDING orders
+    // (~1/segment-count of them) instead of filtering after lineitem
+    // rows have already flowed through the join. Same rows out.
+    val oSeg = o.join(broadcast(c), o("o_custkey") === c("c_custkey"),
+      "left_semi")
+    li.join(oSeg, li("l_orderkey") === oSeg("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
@@ -665,13 +671,20 @@ object Relational {
     * exact DECIMAL inequality `5·q·cnt < sum_q`.
     */
   def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir)
+    // Optimization round 16 (guide §2.4, the q126 pattern): the per-part
+    // (sum, count) pair is a PARTITIONED WINDOW over the same rows, not
+    // a separate aggregate joined back — r15's spelling scanned lineitem
+    // twice and shuffled it twice (raw rows + partial aggregate, both on
+    // l_partkey); this is one scan, one shuffle, no join. The exact
+    // DECIMAL inequality (5·q·cnt < sum_q) is unchanged, so the kept
+    // row set — and the oracle hash — is identical.
+    val w = Window.partitionBy(col("l_partkey"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(s, dir)
       .select(col("l_partkey"), dec2(col("l_quantity")).as("q"),
         col("l_extendedprice"))
-    val per = l.groupBy(col("l_partkey"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cq"))
-    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
-    l.join(per, "l_partkey")
+      .withColumn("sq", sum(col("q")).over(w))
+      .withColumn("cq", count(lit(1)).over(w))
       .filter(col("q") * 5 * col("cq") < col("sq"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
@@ -690,34 +703,30 @@ object Relational {
     * aggregation plus one pure equi-join.
     */
   def soleReturnSuppliers(s: SparkSession, dir: String): DataFrame = {
-    // The explicit key not-null filters are load-bearing for exchange
-    // reuse: without them the two consumers of `g` push DIFFERENT
-    // inferred IsNotNull sets into their lineitem scans (the final
-    // supplier join adds IsNotNull(l_suppkey) on one branch only), the
-    // subtrees stop being identical, and ReuseExchange silently plans
-    // TWO scan+shuffle pipelines over the fact table.
+    // Optimization round 16 (guide §2.4 — remove shuffles outright): the
+    // EXISTS/NOT-EXISTS pair collapses into ONE per-order aggregate. An
+    // order qualifies iff it has ≥ 2 distinct suppliers and exactly one
+    // distinct R-flagged supplier — and that supplier IS the answer, so
+    // `collect_set(when(flag='R', suppkey))` names it in the same pass.
+    // This replaces the r15 spelling's second aggregate + equi-join back
+    // into the pair set (one extra fact-derived shuffle, one broadcast
+    // build, and a second replay of the pair aggregate's post-shuffle
+    // agg under AQE exchange reuse) with nothing at all: lineitem is
+    // scanned once and shuffled ONCE (on l_orderkey), the per-supplier
+    // rollup then moves an O(qualifying orders) summary. Same strategy
+    // q141 measures at 56 s vs this query's old 134 s at the 600M-row
+    // rehearsal. Per-group state is bounded by suppliers-per-order.
+    // Results identical (oracle-pinned): n_orders counts distinct
+    // qualifying orders per supplier, exactly as before.
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
-    // ONE distinct-shuffle feeds both sides: the per-(order, supplier)
-    // any-R row set, and its per-order rollup. Both consumers reference
-    // the SAME aggregate subtree, so ReuseExchange deduplicates the
-    // scan + fact shuffle inside the one query — only the cheap
-    // post-shuffle final aggregation replays per branch. (This was a
-    // localCheckpoint(true) until round 15: at 600M lineitem rows the
-    // checkpoint's BlockManager materialization is lineitem-
-    // proportional UNEVICTABLE disk — it filled the host and killed
-    // the query, where the reused exchange's shuffle files for the
-    // identical data are written once and managed by the shuffle
-    // layer.)
-    val g = li.groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
-    val ord = g.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r"))
-      .filter(col("n_supp") >= 2 && col("n_r") === 1)
-      .select(col("l_orderkey"))
-    val sole = g.filter(col("has_r") === 1).join(ord, "l_orderkey")
-    sole.groupBy(col("l_suppkey"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(size(collect_set(col("l_suppkey"))).as("n_supp"),
+        collect_set(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("r_supps"))
+      .filter(col("n_supp") >= 2 && size(col("r_supps")) === 1)
+      .select(element_at(col("r_supps"), 1).as("l_suppkey"))
+    perOrder.groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_orders"))
       .join(broadcast(Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_name"))),
@@ -1034,9 +1043,6 @@ object Relational {
     */
   def minCostSupplier(s: SparkSession, dir: String,
       region: String = "ASIA"): DataFrame = {
-    val cat = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey").as("p_key"), col("l_suppkey").as("s_key"))
-      .agg(min(col("l_extendedprice")).as("cost"))
     val rs = Tables.supplier(s, dir)
       .withColumnRenamed("s_nationkey", "nk")
       .join(broadcast(Tables.nation(s, dir)
@@ -1050,6 +1056,28 @@ object Relational {
     val parts = Tables.part(s, dir)
       .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
       .select(col("p_partkey"), col("p_brand"))
+    // Optimization round 16 (guide §3.2 — reduce the big side BEFORE the
+    // shuffle): the part filter (size+type) and the region-supplier set
+    // are both selective and both broadcast-sized, so semi-joining the
+    // fact scan against them drops non-qualifying lineitems map-side,
+    // before the (part, supplier) catalog aggregate shuffles. r15
+    // aggregated the FULL catalog first and filtered after — the fact
+    // exchange carried every (part, supplier) pair; now it carries only
+    // pairs that can reach the result. Groups survive the pre-filter
+    // intact (the filters are on the group keys), so per-group MIN — and
+    // the query result — is unchanged (oracle-pinned).
+    // The semi joins broadcast the SAME projections the post-aggregate
+    // attach joins use (not a narrower key-only select), so each
+    // BroadcastExchange subtree is identical to its attach-join twin and
+    // is built once, reused twice.
+    val cat = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(parts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(rs),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_key"), col("l_suppkey").as("s_key"))
+      .agg(min(col("l_extendedprice")).as("cost"))
     val w = Window.partitionBy(col("p_key"))
     cat
       .join(broadcast(parts), col("p_key") === col("p_partkey"))

@@ -1343,18 +1343,35 @@ object Text {
     * a hash/fingerprint index, never the full text.
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .withColumn("h", md5(col("text").cast(BinaryType)))
-    val corpus = docs.filter(col("source") === "src0")
-    val arrivals = docs.filter(col("source") =!= "src0")
-    val fp = fingerprint(s, dir).withColumnRenamed("fingerprint", "fpr")
-    val corpusFp = corpus.select(col("doc_id")).join(fp, "doc_id")
-      .select(col("fpr")).distinct()
-    val survivors = arrivals
-      .join(corpus.select(col("h")).distinct(), Seq("h"), "left_anti")
-      .join(fp, "doc_id")
-      .join(broadcast(corpusFp), Seq("fpr"), "left_anti")
-    survivors.groupBy(col("source"))
+    // Optimization round 16 (guide §2.3/§8 — decide on lightweight
+    // proxies, read the heavy payload once): the r15 spelling built the
+    // corpus hash set and the corpus fingerprint set as separate
+    // broadcast anti-join sides, each from its own scan — FOUR corpus
+    // text passes total (md5 twice, min_gram_hash60 twice). Both
+    // "unseen" tests are per-key membership checks against the src0
+    // slice, so they respell as keyed windows: ONE text scan computes
+    // both hashes, then two narrow shuffles (≈50 B/doc of metadata,
+    // never the text) count src0 occupancy per content hash and per
+    // fingerprint. Survivor set, and the per-source counts, identical
+    // (oracle-pinned): h unseen in src0, fingerprint defined
+    // (n_chars ≥ 8, as fingerprint() required) and unseen among
+    // defined src0 fingerprints.
+    val hs = Tables.documents(s, dir)
+      .select(col("source"),
+        md5(col("text").cast(BinaryType)).as("h"),
+        when(col("n_chars") >= 8,
+          call_function("min_gram_hash60", col("text"))).as("fpr"))
+    val wH = Window.partitionBy(col("h"))
+    val wFp = Window.partitionBy(col("fpr"))
+    hs
+      .withColumn("n_corpus_h",
+        sum(when(col("source") === "src0", 1).otherwise(0)).over(wH))
+      .withColumn("n_corpus_fp",
+        sum(when(col("source") === "src0" && col("fpr").isNotNull, 1)
+          .otherwise(0)).over(wFp))
+      .filter(col("source") =!= "src0" && col("n_corpus_h") === 0 &&
+        col("fpr").isNotNull && col("n_corpus_fp") === 0)
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_new"))
       .orderBy(col("source"))
   }
@@ -2103,15 +2120,21 @@ object Text {
       : DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("source"), md5(col("text").cast(BinaryType)).as("h"))
-    val keys = d.select(col("h")).distinct().localCheckpoint(true)
-    val m = keys.count() * bitsPerKey
-    require(m > 0, "bloomMerge: empty corpus — no bit space to build")
-    val five = explode(array((0 until 5).map(lit): _*))
-    // per-class builds over the SHARED bit space
+    // Optimization round 16 (guide §2.3/§1.2 — don't pay the corpus pass
+    // twice): r15 built `keys` (distinct h) and `keyedCls` (distinct
+    // (cls, h)) each directly from the corpus scan — two full text
+    // scans, two md5 passes. The key set is exactly keyedCls's h column
+    // deduplicated (≤ 2 rows per h), so land the per-class table once
+    // (its count() is unavoidable — the bit space m derives from data)
+    // and derive `keys` from it with an O(distinct-h) re-dedup.
     val keyedCls = d
       .withColumn("cls", when(col("source") === "src0", lit("src0"))
         .otherwise(lit("rest")))
-      .select(col("cls"), col("h")).distinct()
+      .select(col("cls"), col("h")).distinct().localCheckpoint(true)
+    val keys = keyedCls.select(col("h")).distinct()
+    val m = keys.count() * bitsPerKey
+    require(m > 0, "bloomMerge: empty corpus — no bit space to build")
+    val five = explode(array((0 until 5).map(lit): _*))
     val bitsCls = keyedCls
       .select(col("cls"), col("h"), five.as("i"))
       .withColumn("pos", hash60(concat(col("h"), lit("#"), col("i"))) % m)
@@ -2395,21 +2418,35 @@ object Text {
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     // derives from the LANDED corpus shingle stage ([[docShingles]]):
     // only (source, h) is read — the string column prunes away — and the
-    // per-doc-distinct explode never replays here. Per-doc dedup before
-    // source-level dedup changes nothing: distinct is idempotent.
-    val h = docShingles(s, dir)
+    // per-doc-distinct explode never replays here.
+    //
+    // Optimization round 16 (guide §3.3 — don't multiply rows through a
+    // join): r15 self-joined the distinct (source, h) table on h, which
+    // fans out C(k,2) rows per k-source hash BEFORE aggregating — ~28M
+    // joined rows at sf0.1 (measured 5 s of CPU, the bulk of the query).
+    // The pair counts only depend on each hash's SOURCE SET, so collapse
+    // to one row per hash (collect_set, ≤ |sources| entries), roll up to
+    // one row per distinct source-set (a few hundred), and only THEN
+    // expand pairs — the quadratic step runs over the set-mass table,
+    // never over hashes. Identical counts (n_shared(s1,s2) = Σ over
+    // source-sets containing both of that set's hash count), identical
+    // containment denominators, oracle-pinned.
+    val perHash = docShingles(s, dir)
       .select(col("source"), col("h"))
-      .distinct()
-      // distinct (source, hash) pairs feed THREE consumers (sizes + both
-      // self-join sides); eager-checkpoint so the dedup shuffle runs
-      // once, not three times
-      .localCheckpoint(true)
-    val sizes = h.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    h.select(col("source").as("s1"), col("h"))
-      .join(h.select(col("source").as("s2"), col("h")), "h")
-      .filter(col("s1") < col("s2"))
-      .groupBy(col("s1"), col("s2"))
-      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val setMass = perHash.groupBy(col("srcs")).agg(count(lit(1)).as("cnt"))
+    val sizes = setMass
+      .select(explode(col("srcs")).as("source"), col("cnt"))
+      .groupBy(col("source")).agg(sum(col("cnt")).as("n_sh"))
+    val pairExpand = expr(
+      """flatten(transform(srcs, (x, i) ->
+        |  transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS s1, y AS s2))))
+        |""".stripMargin)
+    setMass
+      .select(explode(pairExpand).as("p"), col("cnt"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col("cnt")).as("n_shared"))
       .join(broadcast(sizes.select(col("source").as("s1"), col("n_sh").as("n1"))), "s1")
       .join(broadcast(sizes.select(col("source").as("s2"), col("n_sh").as("n2"))), "s2")
       .select(col("s1"), col("s2"), col("n_shared"),

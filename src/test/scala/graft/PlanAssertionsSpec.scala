@@ -659,8 +659,11 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("q89 RFM: every user-level window is bucket-partitioned") {
     val plan = formatted("q89_rfm")
-    // partitioned in-bucket windows (comma after the partition column)
-    assert("windowspecdefinition\\(bkt#\\d+L?,".r.findFirstIn(plan).isDefined,
+    // partitioned in-bucket windows (comma after the partition column);
+    // r16 pins one bucket column per metric (bkt_r/bkt_f/bkt_m) so the
+    // shared exploded histogram can compute all three offset tables in
+    // one shuffle
+    assert("windowspecdefinition\\(bkt_[rfm]#\\d+L?,".r.findFirstIn(plan).isDefined,
       "per-user ranks must come from bucket-partitioned windows")
     // the naive global ntile/row_number over raw metrics must not appear:
     // any partition-less window may only order by the bucket summary
