@@ -348,6 +348,9 @@ object Materialize {
         built.add(safe)
       }
     }
-    s.read.parquet(path.toString)
+    // schema-cached read (guide §1: the artifact is immutable once
+    // published, so the footer-inference job only ever needs to run once
+    // per path; Tables keys the cache on path+mtime)
+    graft.sources.Tables.parquetCached(s, path.toString)
   }
 }

@@ -14,9 +14,32 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Schema cache for parquet reads (optimization round 16, guide §1/§5:
+    * driver work). A bare `spark.read.parquet(path)` runs a footer
+    * schema-inference JOB on every call; the bench constructs each table
+    * DataFrame fresh per query (154 queries × 2-7 tables), so inference
+    * alone was hundreds of driver-blocking micro-jobs per pass —
+    * PhaseProbe measured 0.4-0.9 s of per-query "build" time on
+    * multi-table queries. The cache holds only the STRUCT TYPE (metadata,
+    * exactly what a catalog/metastore provides at scale — never rows,
+    * never results), keyed on canonical path + directory mtime so a
+    * rewritten path re-infers.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** Parquet read with cached schema — skips the per-call inference job. */
+  def parquetCached(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val key = s"${f.getCanonicalPath}@${f.lastModified}"
+    val sch = schemaCache.computeIfAbsent(
+      key, _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
   /** One driver table. `dir` is e.g. /root/testdata/sf0.01 */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    parquetCached(spark, s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
