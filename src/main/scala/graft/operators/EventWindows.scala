@@ -420,33 +420,42 @@ object EventWindows {
     // per metric — three passes over the user summary for three tiny
     // histograms); each metric's offsets then filter out of the shared
     // histogram and broadcast into its rank join.
-    val ub = u.withColumn("bkt_r", col("r_days"))
-      .withColumn("bkt_f", -col("f_cnt"))
-      .withColumn("bkt_m", -expr("m_cents div 10000"))
+    // ONE exploded pass ranks all three metrics (optimization round 16,
+    // second step — the first respelling still ran three chained
+    // bucket-window + broadcast-join passes, 23 AQE stage jobs for
+    // 0.36 s of CPU; stage latency WAS the query). Each user explodes to
+    // three (metric, bkt, o1) rows where o1 encodes the metric-specific
+    // tie-break (0 for R/F → order by user_id; −m_cents for M →
+    // m_cents desc, user_id): a single (metric, bkt)-partitioned window
+    // ranks everything, ONE broadcast attaches all exclusive bucket
+    // offsets, and a per-user pivot-back restores the three rank
+    // columns. Two narrow 3N-row shuffles replace three user-table
+    // window shuffles + three broadcast builds — fewer exchanges at ANY
+    // scale, not a local[32] artifact.
+    val ex = u.select(col("user_id"), col("m_cents"), explode(array(
+        struct(lit("r").as("metric"), col("r_days").as("bkt"),
+          lit(0L).as("o1")),
+        struct(lit("f").as("metric"), (-col("f_cnt")).as("bkt"),
+          lit(0L).as("o1")),
+        struct(lit("m").as("metric"), (-expr("m_cents div 10000")).as("bkt"),
+          (-col("m_cents")).as("o1")))).as("mb"))
+      .select(col("user_id"), col("m_cents"), col("mb.metric").as("metric"),
+        col("mb.bkt").as("bkt"), col("mb.o1").as("o1"))
     val wOff = Window.partitionBy(col("metric")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ub.select(explode(array(
-        struct(lit("r").as("metric"), col("bkt_r").as("bkt")),
-        struct(lit("f").as("metric"), col("bkt_f").as("bkt")),
-        struct(lit("m").as("metric"), col("bkt_m").as("bkt")))).as("mb"))
-      .select(col("mb.metric").as("metric"), col("mb.bkt").as("bkt"))
-      .groupBy(col("metric"), col("bkt")).agg(count(lit(1)).as("bn"))
+    val offsets = ex.groupBy(col("metric"), col("bkt"))
+      .agg(count(lit(1)).as("bn"))
       .select(col("metric"), col("bkt"),
         coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
-    def grank(df: DataFrame, metric: String, inOrder: Seq[Column],
-        name: String): DataFrame = {
-      val wIn = Window.partitionBy(col(s"bkt_$metric")).orderBy(inOrder: _*)
-      df.withColumn("rn_in", row_number().over(wIn))
-        .join(broadcast(offsets.filter(col("metric") === metric)
-          .select(col("bkt").as(s"bkt_$metric"), col("off"))), s"bkt_$metric")
-        .withColumn(name, col("off") + col("rn_in"))
-        .drop("rn_in", "off")
-    }
-    val ranked = Seq[(String, Seq[Column], String)](
-      ("r", Seq(col("user_id")), "r_rank"),
-      ("f", Seq(col("user_id")), "f_rank"),
-      ("m", Seq(col("m_cents").desc, col("user_id")), "m_rank")
-    ).foldLeft(ub) { case (df, (m, ord, nm)) => grank(df, m, ord, nm) }
+    val wIn = Window.partitionBy(col("metric"), col("bkt"))
+      .orderBy(col("o1"), col("user_id"))
+    val ranked = ex.withColumn("rn_in", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("metric", "bkt"))
+      .withColumn("rank", col("off") + col("rn_in"))
+      .groupBy(col("user_id"), col("m_cents"))
+      .agg(max(when(col("metric") === "r", col("rank"))).as("r_rank"),
+        max(when(col("metric") === "f", col("rank"))).as("f_rank"),
+        max(when(col("metric") === "m", col("rank"))).as("m_rank"))
 
     ranked.crossJoin(broadcast(n))
       .select(concat(lit("R"), expr("(4 * (r_rank - 1)) div n_total + 1"),

@@ -23,7 +23,8 @@ object EventStreams {
     * batch reader.
     */
   def readEvents(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val batchSchema =
+      graft.sources.Tables.parquetCached(s, s"$dir/events.parquet").schema
     // the streaming file source monitors a DIRECTORY; select the events
     // table out of the shared sf dir with a glob filter
     val raw = s.readStream

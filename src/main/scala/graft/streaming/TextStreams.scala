@@ -100,7 +100,7 @@ object TextStreams {
   def nearDupGateLanded(spark: SparkSession, stream: DataFrame, dir: String,
       corpusSource: String = "src0", banding: Banding = Banding.Auto): DataFrame = {
     import graft.operators.{Materialize, Text}
-    def corpus = spark.read.parquet(s"$dir/documents.parquet")
+    def corpus = graft.sources.Tables.parquetCached(spark, s"$dir/documents.parquet")
       .filter(col("source") === corpusSource)
       .select(col("doc_id"), col("text"))
     val bd = Text.resolveBanding(banding, corpus.count())

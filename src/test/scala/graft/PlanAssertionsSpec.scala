@@ -669,11 +669,12 @@ class PlanAssertionsSpec extends SparkSpec {
   test("q89 RFM: every user-level window is bucket-partitioned") {
     val plan = formatted("q89_rfm")
     // partitioned in-bucket windows (comma after the partition column);
-    // r16 pins one bucket column per metric (bkt_r/bkt_f/bkt_m) so the
-    // shared exploded histogram can compute all three offset tables in
-    // one shuffle
-    assert("windowspecdefinition\\(bkt_[rfm]#\\d+L?,".r.findFirstIn(plan).isDefined,
-      "per-user ranks must come from bucket-partitioned windows")
+    // r16 ranks all three metrics in ONE exploded (metric, bkt)-
+    // partitioned window — one rank shuffle and one offsets broadcast
+    // instead of three of each
+    assert("windowspecdefinition\\(metric#\\d+, bkt#\\d+L?,".r
+      .findFirstIn(plan).isDefined,
+      "per-user ranks must come from one (metric, bucket)-partitioned window")
     // the naive global ntile/row_number over raw metrics must not appear:
     // any partition-less window may only order by the bucket summary
     Seq("r_days", "f_cnt", "m_cents", "user_id").foreach { c =>
