@@ -883,7 +883,12 @@ object Text {
           truePairs.join(minB, Seq("d1", "d2"), "left")
         })
     val hist = tagged.groupBy(col("min_b")).agg(count(lit(1)).as("c"))
-    val tot = tagged.agg(count(lit(1)).as("n_true"))
+    // n_true = Σ histogram counts (the left join keeps every true pair, so
+    // the min_b groups — null included — partition them exactly); deriving
+    // it from `hist` instead of a second tagged.agg(count) halves the
+    // tagged-join work (guide §1.2: don't compute things twice). coalesce
+    // keeps the empty-corpus value at 0, same as count(1) over no rows.
+    val tot = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n_true"))
     s.range(1, bd.bands + 1).select(col("id").as("n_bands"))
       .crossJoin(broadcast(hist))
       .groupBy(col("n_bands"))
@@ -2470,10 +2475,18 @@ object Text {
     // never over hashes. Identical counts (n_shared(s1,s2) = Σ over
     // source-sets containing both of that set's hash count), identical
     // containment denominators, oracle-pinned.
+    // The explicit size(srcs) > 0 filter is a no-op (collect_set over a
+    // non-null column yields ≥1 element per group) but it is load-bearing:
+    // the `sizes` branches below explode(srcs), and InferFiltersFromGenerate
+    // adds exactly this predicate to THEM — without it here, the main pair
+    // branch's subtree differs and AQE's stage cache re-runs the per-hash
+    // collect_set aggregate once per consumer (3× the dominant CPU; the r15
+    // q94 inferred-filter lesson, generate edition).
     val perHash = docShingles(s, dir)
       .select(col("source"), col("h"))
       .groupBy(col("h"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 0)
     val setMass = perHash.groupBy(col("srcs")).agg(count(lit(1)).as("cnt"))
     val sizes = setMass
       .select(explode(col("srcs")).as("source"), col("cnt"))
