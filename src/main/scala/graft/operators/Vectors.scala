@@ -746,20 +746,32 @@ object Vectors {
     * joins. Recall in exact integer micro-units.
     */
   def annScoreboard(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    // |Q|·k rows read from the LANDED truth table — the six consuming
-    // subtrees (three recall joins + three n_truth counts) each re-read
-    // a tiny parquet instead of replaying the corpus brute-force scan
+    // |Q|·k rows read from the LANDED truth table — consumers re-read a
+    // tiny parquet instead of replaying the corpus brute-force scan.
+    // Optimization round 16 (guide §1.2 — don't run the same work per
+    // branch): the per-method spelling ran join+agg+crossJoin THREE
+    // times (14 driver jobs for |Q|·k-row inputs — pure scheduling
+    // overhead); tag the candidate sets, take ONE join against the
+    // truth and ONE groupBy(method). The static 3-row method dim left-
+    // joined in keeps a zero-hit method's row, exactly as the old
+    // per-method count(1) over an empty join did.
+    import s.implicits._
     val brute = knnTruth(s, dir, k).select(col("qid"), col("neighbor_id"))
-    def recallOf(name: String, m: DataFrame): DataFrame =
-      brute.join(m.select(col("qid"), col("neighbor_id")),
-        Seq("qid", "neighbor_id"))
-        .agg(count(lit(1)).as("n_hits"))
-        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_truth"))))
-        .select(lit(name).as("method"), col("n_truth"), col("n_hits"),
-          expr("(n_hits * 1000000) div n_truth").as("recall_micro"))
-    recallOf("ivf", ivfKnn(s, dir))
-      .unionByName(recallOf("pq_adc", pqSearch(s, dir)))
-      .unionByName(recallOf("pq_rerank", pqRerank(s, dir)))
+    val methods = Seq(
+      "ivf" -> ivfKnn(s, dir),
+      "pq_adc" -> pqSearch(s, dir),
+      "pq_rerank" -> pqRerank(s, dir))
+    val cand = methods.map { case (n, m) =>
+      m.select(lit(n).as("method"), col("qid"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = brute.join(cand, Seq("qid", "neighbor_id"))
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    methods.map(_._1).toDF("method")
+      .join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_truth"))))
+      .select(col("method"), col("n_truth"), col("n_hits"),
+        expr("(n_hits * 1000000) div n_truth").as("recall_micro"))
       .orderBy(col("method"))
   }
 
