@@ -2475,32 +2475,58 @@ object Text {
     // never over hashes. Identical counts (n_shared(s1,s2) = Σ over
     // source-sets containing both of that set's hash count), identical
     // containment denominators, oracle-pinned.
-    // The explicit size(srcs) > 0 filter is a no-op (collect_set over a
-    // non-null column yields ≥1 element per group) but it is load-bearing:
-    // the `sizes` branches below explode(srcs), and InferFiltersFromGenerate
-    // adds exactly this predicate to THEM — without it here, the main pair
-    // branch's subtree differs and AQE's stage cache re-runs the per-hash
-    // collect_set aggregate once per consumer (3× the dominant CPU; the r15
-    // q94 inferred-filter lesson, generate edition).
+    // Optimization round 16, per-task work (guide §1.2 step 2): the
+    // per-hash source-SET aggregate is the one corpus-proportional stage
+    // of this query, and as collect_set<string> it runs as
+    // ObjectHashAggregate — per-row set inserts and a sort_array per
+    // group, outside whole-stage codegen. A source is one of ≤ a few
+    // dozen crawl feeds, so the set fits a 64-bit MASK: broadcast a
+    // (source → bit) dim into the scan and bit_or the per-row masks —
+    // a fixed-width codegen HashAggregate (measured 1.2 → 0.35 s CPU at
+    // sf0.1; at corpus scale this is the dominant per-row cost of the
+    // whole operator). The mask IS the sorted set: bits are assigned in
+    // lexicographic source order, so ascending-bit pair expansion
+    // reproduces the old sort_array(srcs) pair order exactly.
+    //
+    // The bit dim derives from `documents.source` — a dictionary-encoded
+    // column scan, not a shingle-stage pass — and is O(|sources|); the
+    // partition-less rank window over it sees ≤ |sources| rows (audited
+    // in GlobalPlanAuditSpec's bounded-summary allowlist). Sources with
+    // no shingles get a bit that no mask ever sets — they vanish from
+    // the pair/size tables exactly as they never entered collect_set.
+    // >63 sources fails LOUDLY (assert_true below) instead of silently
+    // wrapping shiftleft — the widening (array-of-longs mask) is
+    // mechanical when a lake actually has that many feeds.
+    val wSrc = Window.orderBy(col("source"))
+    val srcDim = Tables.documents(s, dir).select(col("source")).distinct()
+      .withColumn("bit", (row_number().over(wSrc) - 1).cast(IntegerType))
+      .filter(assert_true(col("bit") <= 62,
+        lit("sourceOverlap: >63 sources — widen the overlap mask")).isNull)
     val perHash = docShingles(s, dir)
       .select(col("source"), col("h"))
+      .join(broadcast(srcDim), "source")
       .groupBy(col("h"))
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .filter(size(col("srcs")) > 0)
-    val setMass = perHash.groupBy(col("srcs")).agg(count(lit(1)).as("cnt"))
+      .agg(expr("bit_or(shiftleft(1L, bit))").as("mask"))
+    val setMass = perHash.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bits",
+        expr("filter(sequence(0, 62), b -> (shiftright(mask, b) & 1) = 1)"))
     val sizes = setMass
-      .select(explode(col("srcs")).as("source"), col("cnt"))
-      .groupBy(col("source")).agg(sum(col("cnt")).as("n_sh"))
+      .select(explode(col("bits")).as("bit"), col("cnt"))
+      .groupBy(col("bit")).agg(sum(col("cnt")).as("n_sh"))
     val pairExpand = expr(
-      """flatten(transform(srcs, (x, i) ->
-        |  transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS s1, y AS s2))))
+      """flatten(transform(bits, (x, i) ->
+        |  transform(slice(bits, i + 2, size(bits)), y -> struct(x AS b1, y AS b2))))
         |""".stripMargin)
+    def named(bitCol: String, srcAs: String, nAs: String) = broadcast(
+      srcDim.join(sizes, "bit")
+        .select(col("bit").as(bitCol), col("source").as(srcAs),
+          col("n_sh").as(nAs)))
     setMass
       .select(explode(pairExpand).as("p"), col("cnt"))
-      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
       .agg(sum(col("cnt")).as("n_shared"))
-      .join(broadcast(sizes.select(col("source").as("s1"), col("n_sh").as("n1"))), "s1")
-      .join(broadcast(sizes.select(col("source").as("s2"), col("n_sh").as("n2"))), "s2")
+      .join(named("b1", "s1", "n1"), "b1")
+      .join(named("b2", "s2", "n2"), "b2")
       .select(col("s1"), col("s2"), col("n_shared"),
         expr("1000000 * n_shared div least(n1, n2)").as("containment_micro"))
       .orderBy(col("s1"), col("s2"))

@@ -134,7 +134,10 @@ class GlobalPlanAuditSpec extends SparkSpec {
   private val partitionlessWindowAllowed = Set(
     "q24_count_trigger", "q82_funnel", "q89_rfm", "q114_watermark_audit",
     // q148's rank windows run over the two 10-row top-k results
-    "q148_heavy_hitters")
+    "q148_heavy_hitters",
+    // q87's source->bit rank window runs over the distinct-source dim
+    // (<= |sources| rows, the r16 overlap-mask spelling)
+    "q87_source_overlap")
 
   test("partition-less Window ops appear only over bounded summaries") {
     // in a windowspecdefinition the partition columns come first and
